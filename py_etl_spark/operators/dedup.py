@@ -1,0 +1,266 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the whole point of these):
+
+- **Exact**: one hash-shuffle on a 16-byte fingerprint — the minimum
+  possible; at 100 TB the shuffle carries only (fingerprint, doc_id).
+- **MinHash+LSH**: signatures are computed map-side (one pass over tokens,
+  k hash functions via the standard (a·x+b) mod p family over a single md5
+  base hash); candidate generation shuffles on (band_id, band_hash) buckets
+  only — never all-pairs. Verification joins only within buckets.
+- **SimHash**: 64-bit signature map-side; near-dup candidates via banding
+  the signature into 4×16-bit chunks (Hamming ≤ 3 ⟹ one chunk equal).
+- All-pairs Jaccard is O(n²) and exists only as a small-n verification
+  path — the LSH bucket join is the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from py_etl_spark.operators.textstats import fingerprint_md5
+
+# Mersenne prime 2^61-1: the classic universal-hash modulus; fits in a long
+# without overflow for (a*x+b) with x < 2^32.
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup groups: fingerprint → (keeper=min id, n_dupes).
+
+    One shuffle on the md5 fingerprint; map-side partial aggregation makes
+    the shuffle per-distinct-key, not per-row.
+    """
+    return (
+        df.select(fingerprint_md5(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).cast("long").alias("keeper"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def deduplicate_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep exactly one doc (min id) per exact-duplicate group."""
+    w_keep = exact_duplicates(df, text_col, id_col).select(
+        F.col("keeper").alias(id_col)
+    )
+    return df.join(w_keep, id_col, "left_semi")
+
+
+def _shingles(text_col: str, k: int = 3) -> F.Column:
+    """Word k-shingles of normalized text as array<string>."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"[^a-z0-9\s]", " ")
+    toks = F.split(F.trim(norm), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def _base_hash(col):
+    """Portable 32-bit base hash of a shingle: first 8 hex chars of md5.
+
+    xxhash64/murmur would be faster but md5 keeps the signature reproducible
+    by any engine (the DuckDB oracle included).
+    """
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature per doc: array<long> of length ``num_hashes``.
+
+    Entirely map-side: shingle → base hash → k affine permutations → min.
+    """
+    import random
+
+    rng = random.Random(seed)
+    # a,b < 2^30 so (a*h + b) with h < 2^32 stays below 2^63 (no long
+    # overflow under ANSI mode); still a fine affine family mod 2^61-1.
+    coeffs = [(rng.randrange(1, 1 << 30), rng.randrange(0, 1 << 30)) for _ in range(num_hashes)]
+
+    # explode → hash → groupBy(min × k): a small (doc_id, k·long) shuffle
+    # with map-side combine; far cheaper to codegen than k nested
+    # array-transform trees, and the shuffle payload is exactly the
+    # signature. Scales linearly in corpus size.
+    exploded = df.select(
+        F.col(id_col), F.explode(_shingles(text_col, shingle_k)).alias("shingle")
+    ).select(id_col, _base_hash(F.col("shingle")).alias("h"))
+    aggs = [
+        F.min((F.col("h") * a + b) % _MERSENNE).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    per_doc = exploded.groupBy(id_col).agg(*aggs)
+    return per_doc.select(
+        F.col(id_col),
+        F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("minhash"),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via LSH banding.
+
+    Shuffle key = (band, hash-of-band-slice): only docs agreeing on a full
+    band co-locate. Returns distinct (id_a < id_b) candidate pairs.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed)
+    banded = sigs.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("minhash", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    lhs = banded.alias("l")
+    rhs = banded.alias("r")
+    return (
+        lhs.join(
+            rhs,
+            (F.col(f"l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Jaccard over word k-shingles for candidate pairs.
+
+    With ``candidates`` (from LSH) the join is bucket-pruned; without, it
+    falls back to all-pairs — correct but O(n²), small-n verification only.
+    """
+    sh = df.select(F.col(id_col), _shingles(text_col, shingle_k).alias("sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    if candidates is not None:
+        pairs = candidates.join(a, "id_a").join(b, "id_b")
+    else:
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per doc from word-shingle md5 bits, map-side only.
+
+    For each of 64 bit positions, sum ±1 over shingle hashes; sign → bit.
+    Expressed with array ops (no UDF): per shingle take md5 → two 32-bit
+    halves → per-position bit test.
+    """
+    # explode tokens → 60-bit portable hash (md5 first 15 hex chars) →
+    # per-bit ±1 votes aggregated map-side; same shuffle shape as minhash.
+    exploded = df.select(
+        F.col(id_col), F.explode(_shingles(text_col, 1)).alias("tok")
+    ).select(
+        id_col,
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v_{i}")
+        for i in range(60)
+    ]
+    per_doc = exploded.groupBy(id_col).agg(*votes)
+    sim = F.lit(0).cast("long")
+    for i in range(60):
+        sim = sim + F.shiftleft(
+            F.when(F.col(f"v_{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0)), i
+        )
+    return per_doc.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_candidates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", chunks: int = 4
+) -> DataFrame:
+    """Hamming-≤(chunks-1) candidates by banding the simhash into chunks
+    (pigeonhole: close signatures share at least one exact chunk)."""
+    sigs = simhash64(df, text_col, id_col)
+    width = 60 // chunks
+    mask = (1 << width) - 1
+    banded = sigs.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk"),
+                    F.shiftright("simhash", c * width).bitwiseAND(F.lit(mask)).alias("piece"),
+                )
+                for c in range(chunks)
+            ])
+        ).alias("cc"),
+    ).select(id_col, "cc.chunk", "cc.piece")
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.piece") == F.col("r.piece"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )

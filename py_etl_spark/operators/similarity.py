@@ -1,0 +1,157 @@
+"""Similarity search over embedding columns (array<float>).
+
+- Brute-force cosine top-k: exact baseline. Queries are broadcast (they are
+  small by construction); the corpus scan stays partitioned, so the plan is
+  a broadcast-nested-loop + per-partition top-k — no corpus shuffle. At
+  100 TB this is the pattern for "score everything against k probes".
+- LSH-bucketed (random hyperplane signs) and IVF (coarse centroids) variants
+  prune the candidate set with an equi-join on bucket id — the scale path
+  when the query set is large.
+
+Dot products use built-in higher-order functions (zip_with + aggregate) in
+double precision — JVM-side, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector.
+
+    Plan shape: broadcast(queries) ⋈ corpus (no shuffle of the corpus), then
+    one shuffle keyed by query_id for the global top-k window — the shuffle
+    carries only (query_id, neighbor_id, score), k·|queries| rows after
+    AQE's partial top-k via WindowGroupLimit pushdown.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("q_vec"), F.col("c_vec"))
+         / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+    if round_to is not None:
+        out = out.withColumn("cosine", F.round("cosine", round_to))
+    return out
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane LSH: sign pattern over ``planes`` hyperplanes →
+    bucket id. Map-side only; equal vectors share buckets w.h.p."""
+    import random
+
+    rng = random.Random(seed)
+    hyperplanes = [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)
+    ]
+    bucket = F.lit(0).cast("long")
+    for i, hp in enumerate(hyperplanes):
+        plane = F.array(*[F.lit(w) for w in hp])
+        s = _dot(F.col(vec_col), plane)
+        bucket = bucket + F.shiftleft(
+            F.when(s >= 0, F.lit(1).cast("long")).otherwise(F.lit(0)), i
+        )
+    return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: only corpus vectors in the query's LSH bucket are
+    scored. Equi-join on bucket replaces the cross product — the 100 TB
+    path (recall traded via ``planes``)."""
+    qb = hyperplane_lsh_buckets(queries, dim, planes, id_col, vec_col, seed).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket"
+    )
+    cb = hyperplane_lsh_buckets(corpus, dim, planes, id_col, vec_col, seed).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "bucket"
+    )
+    scored = cb.join(F.broadcast(qb), "bucket").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot(F.col("q_vec"), F.col("c_vec"))
+            / (_norm(F.col("q_vec")) * _norm(F.col("c_vec"))),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest centroid
+    (by dot product over normalized centroids). Map-side; centroids are a
+    plan literal (broadcast-by-construction)."""
+    best_c = F.lit(-1).cast("long")
+    best_s = F.lit(float("-inf"))
+    for ci, cvec in enumerate(centroids):
+        plane = F.array(*[F.lit(x) for x in cvec])
+        s = _dot(F.col(vec_col), plane) / (_norm(F.col(vec_col)) * _norm(plane))
+        best_c = F.when(s > best_s, F.lit(ci).cast("long")).otherwise(best_c)
+        best_s = F.when(s > best_s, s).otherwise(best_s)
+    return df.select(F.col(id_col), F.col(vec_col), best_c.alias("ivf_cell"))

@@ -1,0 +1,1074 @@
+"""Driver contract: one named query per implemented operator (SURVEY.md §2).
+
+Each entry pairs a Spark DataFrame implementation with the ANSI-SQL oracle
+DuckDB runs on the same parquet tables. Column names/aliases match exactly
+on both sides (the driver's compare sorts columns by name before hashing).
+
+Cross-engine hash-match rules used throughout:
+- integral outputs cast to BIGINT on both sides (DuckDB count→BIGINT,
+  sum(int)→HUGEINT, Spark row_number→int … all normalized);
+- order-dependent float aggregates rounded the same on both sides;
+- timestamps compared as epoch millis (Spark session TZ is UTC);
+- double→int conversions via floor() (DuckDB CAST rounds, Spark truncates);
+- arrays joined to strings.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from py_etl_spark.operators import dedup, similarity, textstats
+from py_etl_spark.operators.merge import MergePolicy, scd1_merge
+from py_etl_spark.schemas import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    fn: QueryFn
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    note: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None, note: str = ""):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = QuerySpec(fn, oracle, note)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# =========================================================================
+# TPC-H-style headline queries (bench + broad operator composition)
+# =========================================================================
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(l_quantity) AS BIGINT)                       AS sum_qty,
+           round(sum(l_extendedprice), 2)                        AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)     AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                                                                 AS sum_charge,
+           round(avg(l_quantity), 4)                             AS avg_qty,
+           round(avg(l_extendedprice), 4)                        AS avg_price,
+           round(avg(l_discount), 4)                             AS avg_disc,
+           count(*)                                              AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    note="TPC-H Q1 shape: scan → filter → 8-agg groupBy (A-family)",
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    WITH rev AS (
+      SELECT l_orderkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_orderkey
+    )
+    SELECT l_orderkey, revenue,
+           CAST(row_number() OVER (ORDER BY revenue DESC, l_orderkey) AS BIGINT) AS rk
+    FROM rev
+    QUALIFY rk <= 10
+    """,
+    note="TPC-H Q3 shape: 3-way join → agg → deterministic top-k",
+)
+def q3_shipping_priority(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+    return (
+        rev.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+    WHERE r_name = 'EUROPE'
+    GROUP BY n_name
+    """,
+    note="TPC-H Q5 shape: 6-way snowflake join, broadcast dims",
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dims = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(dims), cust.c_nationkey == dims.n_nationkey)
+        .join(F.broadcast(sup),
+              (li.l_suppkey == sup.s_suppkey) & (sup.s_nationkey == dims.n_nationkey))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# =========================================================================
+# S — scans / sources / sinks
+# =========================================================================
+
+@query(
+    "s1_full_scan_projection",
+    "SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice FROM lineitem",
+    note="S1: full scan with explicit column projection (pruned at parquet)",
+)
+def s1_full_scan_projection(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+
+
+@query(
+    "s2_keyset_range_scan",
+    """
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders WHERE o_orderkey >= 100 AND o_orderkey < 1100
+    """,
+    note="S2: keyset range scan (pushed to parquet row-groups)",
+)
+def s2_keyset_range_scan(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderkey") >= 100) & (F.col("o_orderkey") < 1100))
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+@query(
+    "s3_point_lookup",
+    "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderkey = 777",
+    note="S3: indexed point lookup → pushed predicate",
+)
+def s3_point_lookup(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") == 777)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+    )
+
+
+@query(
+    "s4_sorted_limit",
+    """
+    SELECT o_orderkey, o_orderpriority FROM orders ORDER BY o_orderkey LIMIT 50
+    """,
+    note="S4/O4: deterministic LIMIT via sort on unique key",
+)
+def s4_sorted_limit(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy("o_orderkey")
+        .limit(50)
+        .select("o_orderkey", "o_orderpriority")
+    )
+
+
+@query(
+    "s5_csv_roundtrip",
+    """
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           l_returnflag, l_quantity
+    FROM lineitem WHERE l_orderkey < 200
+    """,
+    note="S5+S6: ';'-CSV sink then source; values must survive the trip",
+)
+def s5_csv_roundtrip(spark, sf_dir):
+    df = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 200)
+        .select(
+            "l_orderkey",
+            F.col("l_linenumber").cast("long").alias("l_linenumber"),
+            "l_returnflag",
+            "l_quantity",
+        )
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="pyetl_csv_"), "lineitem_csv")
+    df.write.mode("overwrite").csv(path, sep=";", header=True)
+    return spark.read.csv(
+        path,
+        sep=";",
+        header=True,
+        schema="l_orderkey long, l_linenumber long, l_returnflag string, l_quantity double",
+    )
+
+
+@query(
+    "s7_scope_scan",
+    """
+    SELECT 'n=' || n_name || ',r=' || r_name AS dn,
+           CAST(n_nationkey AS BIGINT) AS nationkey
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+    """,
+    note="S7/P9/F11: hierarchical-path construction + scope (suffix) filter",
+)
+def s7_scope_scan(spark, sf_dir):
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.concat(F.lit("n="), "n_name", F.lit(",r="), "r_name").alias("dn"),
+            F.col("n_nationkey").cast("long").alias("nationkey"),
+        )
+        .filter(F.col("dn").endswith(",r=EUROPE"))
+    )
+
+
+@query(
+    "s10_tree_ancestors",
+    """
+    SELECT 'n=' || n_name || ',r=' || r_name AS dn
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    UNION
+    SELECT DISTINCT 'r=' || r_name AS dn FROM region
+    """,
+    note="S10: bootstrap ancestor entries from leaf paths (prefix explode)",
+)
+def s10_tree_ancestors(spark, sf_dir):
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    leaves = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.concat(F.lit("n="), "n_name", F.lit(",r="), "r_name").alias("dn"))
+    # ancestor = everything after the first ',' — derived from the leaf dn
+    # itself (the reference splits RDNs the same way, etl.py:819-851).
+    parents = leaves.select(
+        F.expr("substring(dn, instr(dn, ',') + 1)").alias("dn")
+    )
+    return leaves.unionByName(parents).distinct()
+
+
+# =========================================================================
+# P — projections / filters / predicates
+# =========================================================================
+
+@query(
+    "p3_rename_convert_projection",
+    """
+    SELECT c_custkey AS uid,
+           upper(c_name) AS name_upper,
+           c_mktsegment AS segment,
+           CAST(floor(c_acctbal) AS BIGINT) AS acctbal_floor
+    FROM customer
+    """,
+    note="P1-P3/F-family: explicit projection with rename map + conversions",
+)
+def p3_rename_convert_projection(spark, sf_dir):
+    return _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("uid"),
+        F.upper("c_name").alias("name_upper"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor("c_acctbal").cast("long").alias("acctbal_floor"),
+    )
+
+
+@query(
+    "p4_status_filter",
+    """
+    SELECT event_id, user_id, event_type FROM events
+    WHERE event_type IN ('signup', 'purchase')
+    """,
+    note="P4: status IN-list filter (reference: status IN ('N','E'))",
+)
+def p4_status_filter(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("signup", "purchase"))
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+@query(
+    "p5_watermark_filter",
+    """
+    SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events
+    WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+    """,
+    note="P5: watermark predicate event_time > high-water-mark",
+)
+def p5_watermark_filter(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts") > F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        .select("event_id", "user_id", F.unix_millis("ts").alias("ts_ms"))
+    )
+
+
+@query(
+    "p6_keyset_semi_join",
+    """
+    SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+    """,
+    note="P6/J5: key-set membership as broadcast left-semi join",
+)
+def p6_keyset_semi_join(spark, sf_dir):
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .join(big.select("o_orderkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .select("l_orderkey", "l_partkey", "l_quantity")
+    )
+
+
+@query(
+    "p10_validity_routing",
+    """
+    SELECT event_id,
+           CASE WHEN event_type NOT IN ('click','view','purchase','signup','error')
+                  THEN 'F'
+                WHEN value IS NULL OR value < 0 THEN 'F'
+                WHEN value > 400 THEN 'W'
+                ELSE 'S' END AS status,
+           CASE WHEN event_type NOT IN ('click','view','purchase','signup','error')
+                  THEN 'invalid event_type'
+                WHEN value IS NULL OR value < 0 THEN 'invalid value'
+                WHEN value > 400 THEN 'value out of range'
+                ELSE NULL END AS error_message
+    FROM events
+    """,
+    note="P10/F20: validation routing into status + error side-channel",
+)
+def p10_validity_routing(spark, sf_dir):
+    valid_types = ["click", "view", "purchase", "signup", "error"]
+    bad_type = ~F.col("event_type").isin(valid_types)
+    bad_value = F.col("value").isNull() | (F.col("value") < 0)
+    warn = F.col("value") > 400
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(bad_type, "F").when(bad_value, "F").when(warn, "W").otherwise("S").alias("status"),
+        F.when(bad_type, "invalid event_type")
+        .when(bad_value, "invalid value")
+        .when(warn, "value out of range")
+        .otherwise(F.lit(None).cast("string"))
+        .alias("error_message"),
+    )
+
+
+@query(
+    "p12_first_n_per_group",
+    """
+    SELECT event_type, event_id,
+           CAST(row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS BIGINT) AS rn
+    FROM events QUALIFY rn <= 3
+    """,
+    note="P12/A6/W3: first-N-per-group sampling via window",
+)
+def p12_first_n_per_group(spark, sf_dir):
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("event_type", "event_id", "rn")
+    )
+
+
+# =========================================================================
+# J — joins
+# =========================================================================
+
+@query(
+    "j1_snapshot_reconcile_outer",
+    """
+    WITH db AS (SELECT c_custkey AS k FROM customer WHERE c_custkey < 100),
+         st AS (SELECT DISTINCT user_id AS k FROM events
+                WHERE user_id BETWEEN 50 AND 149)
+    SELECT coalesce(db.k, st.k) AS key,
+           CASE WHEN db.k IS NOT NULL AND st.k IS NOT NULL THEN 'both'
+                WHEN db.k IS NOT NULL THEN 'db_only'
+                ELSE 'state_only' END AS branch
+    FROM db FULL OUTER JOIN st ON db.k = st.k
+    """,
+    note="J1: snapshot reconciliation = full-outer join with 3 branches "
+         "(both→update, db_only→insert, state_only→delete)",
+)
+def j1_snapshot_reconcile_outer(spark, sf_dir):
+    db = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 100)
+        .select(F.col("c_custkey").alias("db_k"))
+    )
+    st = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").between(50, 149))
+        .select(F.col("user_id").alias("st_k"))
+        .distinct()
+    )
+    j = db.join(st, db.db_k == st.st_k, "full_outer")
+    return j.select(
+        F.coalesce("db_k", "st_k").alias("key"),
+        F.when(F.col("db_k").isNotNull() & F.col("st_k").isNotNull(), "both")
+        .when(F.col("db_k").isNotNull(), "db_only")
+        .otherwise("state_only")
+        .alias("branch"),
+    )
+
+
+@query(
+    "j2_event_entity_lookup",
+    """
+    SELECT event_id, c_name, round(value, 2) AS value
+    FROM events LEFT JOIN customer ON user_id = c_custkey
+    """,
+    note="J2: per-event entity lookup → one broadcast join, not N+1 queries",
+)
+def j2_event_entity_lookup(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    return ev.join(
+        F.broadcast(cust), ev.user_id == cust.c_custkey, "left"
+    ).select("event_id", "c_name", F.round("value", 2).alias("value"))
+
+
+@query(
+    "j3_two_key_fallback_join",
+    """
+    SELECT o_orderkey,
+           coalesce(c1.c_name, c2.c_name) AS resolved_name,
+           CASE WHEN c1.c_custkey IS NOT NULL THEN 'primary' ELSE 'fallback' END AS matched_via
+    FROM orders
+    LEFT JOIN customer c1 ON c1.c_custkey = o_custkey + 1000
+    LEFT JOIN customer c2 ON c2.c_custkey = o_custkey
+    """,
+    note="J3: match by key1, fall back to key2 (reference: cn then uid)",
+)
+def j3_two_key_fallback_join(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    c1 = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k1"), F.col("c_name").alias("name1")
+    )
+    c2 = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k2"), F.col("c_name").alias("name2")
+    )
+    return (
+        orders.join(F.broadcast(c1), F.col("o_custkey") + 1000 == F.col("k1"), "left")
+        .join(F.broadcast(c2), F.col("o_custkey") == F.col("k2"), "left")
+        .select(
+            "o_orderkey",
+            F.coalesce("name1", "name2").alias("resolved_name"),
+            F.when(F.col("k1").isNotNull(), "primary").otherwise("fallback").alias("matched_via"),
+        )
+    )
+
+
+@query(
+    "j4_sorted_merge_tree_compare",
+    """
+    WITH lhs AS (SELECT o_orderkey, round(o_totalprice,2) AS v FROM orders
+                 WHERE o_orderstatus = 'O'),
+         rhs AS (SELECT o_orderkey, round(o_totalprice,2) AS v FROM orders
+                 WHERE o_orderstatus = 'F')
+    SELECT coalesce(lhs.o_orderkey, rhs.o_orderkey) AS o_orderkey,
+           CASE WHEN lhs.o_orderkey IS NULL THEN 'only_rhs'
+                WHEN rhs.o_orderkey IS NULL THEN 'only_lhs'
+                ELSE 'both' END AS side
+    FROM lhs FULL OUTER JOIN rhs ON lhs.o_orderkey = rhs.o_orderkey
+    """,
+    note="J4: two-tree structural diff as sort-merge full-outer join",
+)
+def j4_sorted_merge_tree_compare(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    lhs = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderkey").alias("lk")
+    )
+    rhs = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("rk")
+    )
+    return lhs.join(rhs, lhs.lk == rhs.rk, "full_outer").select(
+        F.coalesce("lk", "rk").alias("o_orderkey"),
+        F.when(F.col("lk").isNull(), "only_rhs")
+        .when(F.col("rk").isNull(), "only_lhs")
+        .otherwise("both")
+        .alias("side"),
+    )
+
+
+@query(
+    "j7_anti_join_guard",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+    note="J7/E4: existence anti-check (delete-guard) as left-anti join",
+)
+def j7_anti_join_guard(spark, sf_dir):
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        _t(spark, sf_dir, "customer")
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+# =========================================================================
+# A — aggregations
+# =========================================================================
+
+@query(
+    "a1_count_by_group",
+    "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+    note="A1: counts per group",
+)
+def a1_count_by_group(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "a2_watermark_running_max",
+    "SELECT user_id, max(epoch_ms(ts)) AS wm_ms FROM events GROUP BY user_id",
+    note="A2: per-key running max event_time (the CDC watermark)",
+)
+def a2_watermark_running_max(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.max(F.unix_millis("ts")).alias("wm_ms"))
+    )
+
+
+@query(
+    "a3_last_writer_wins",
+    """
+    SELECT user_id, event_type, round(value, 2) AS value
+    FROM (SELECT user_id, event_type, value,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1
+    """,
+    note="A3/W1: last-writer-wins per key via ordered window",
+)
+def a3_last_writer_wins(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", F.round("value", 2).alias("value"))
+    )
+
+
+@query(
+    "a4_duplicate_key_detection",
+    """
+    SELECT o_custkey, count(*) AS n FROM orders
+    GROUP BY o_custkey HAVING count(*) > 15
+    """,
+    note="A4: duplicate/overloaded-key detection (reference: uid ambiguity warning)",
+)
+def a4_duplicate_key_detection(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 15)
+    )
+
+
+@query(
+    "a5_partition_boundaries",
+    """
+    SELECT tile, max(o_orderkey) AS upper_bound
+    FROM (SELECT o_orderkey,
+                 CAST(ntile(32) OVER (ORDER BY o_orderkey) AS BIGINT) AS tile
+          FROM orders)
+    GROUP BY tile
+    """,
+    note="A5: keyset partition-boundary computation (reference: every-1000th PK)",
+)
+def a5_partition_boundaries(spark, sf_dir):
+    w = Window.orderBy("o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", F.ntile(32).over(w).cast("long").alias("tile"))
+        .groupBy("tile")
+        .agg(F.max("o_orderkey").alias("upper_bound"))
+    )
+
+
+@query(
+    "a7_pending_work_exists",
+    """
+    SELECT count(*) AS n_pending FROM events
+    WHERE event_type = 'error' AND value > 400
+    """,
+    note="A7: sync-completion existence check",
+)
+def a7_pending_work_exists(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "error") & (F.col("value") > 400))
+        .agg(F.count(F.lit(1)).alias("n_pending"))
+    )
+
+
+# =========================================================================
+# W — windows
+# =========================================================================
+
+@query(
+    "w2_retry_escalation",
+    """
+    SELECT event_id, user_id,
+           CAST(attempt AS BIGINT) AS attempt,
+           CASE WHEN attempt > 10 THEN 'F' ELSE 'E' END AS status
+    FROM (SELECT event_id, user_id,
+                 count(*) OVER (PARTITION BY user_id ORDER BY event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS attempt
+          FROM events WHERE event_type = 'error')
+    """,
+    note="W2/ST4: retry counter accumulation with poison-pill cutoff >10",
+)
+def w2_retry_escalation(spark, sf_dir):
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select(
+            "event_id",
+            "user_id",
+            F.count(F.lit(1)).over(w).cast("long").alias("attempt"),
+        )
+        .withColumn("status", F.when(F.col("attempt") > 10, "F").otherwise("E"))
+    )
+
+
+# =========================================================================
+# O — sorts / limits
+# =========================================================================
+
+@query(
+    "o2_case_insensitive_sort",
+    """
+    SELECT doc_id, source,
+           CAST(row_number() OVER (ORDER BY lower(source), doc_id) AS BIGINT) AS position
+    FROM documents
+    """,
+    note="O2/O3: case-insensitive deterministic ordering (golden-dump contract)",
+)
+def o2_case_insensitive_sort(spark, sf_dir):
+    w = Window.orderBy(F.lower("source"), "doc_id")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.row_number().over(w).cast("long").alias("position")
+    )
+
+
+# =========================================================================
+# E — set operations
+# =========================================================================
+
+@query(
+    "e1_set_difference",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    GROUP BY user_id HAVING count(*) > 15
+    """,
+    note="E1/E4: set difference (keys in lhs minus heavy-error keys)",
+)
+def e1_set_difference(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    errorers = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 15)
+        .select("user_id")
+    )
+    # subtract = EXCEPT DISTINCT (set semantics, matching the SQL oracle);
+    # exceptAll would be multiset difference — wrong here.
+    return clickers.subtract(errorers)
+
+
+@query(
+    "e2_set_intersection",
+    """
+    SELECT user_id FROM events WHERE event_type = 'signup'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    note="E2: set intersection",
+)
+def e2_set_intersection(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "signup").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.intersect(b)
+
+
+# =========================================================================
+# F — scalar function suites
+# =========================================================================
+
+@query(
+    "f_string_suite",
+    """
+    SELECT c_custkey,
+           'cn=' || c_name || ',ou=user,ou=ph08,o=BMUKK' AS dn,
+           regexp_replace('cn=' || c_name || ',ou=user,ou=ph08,o=BMUKK',
+                          'ou=ph[0-9]+', 'ou=ph15') AS dn15,
+           CAST(split_part('pk_uniqueid=' || c_custkey, '=', -1) AS BIGINT) AS extracted_key,
+           lower(c_mktsegment) AS seg_lower,
+           CASE WHEN c_name LIKE 'Customer%' THEN 1 ELSE 0 END AS has_prefix
+    FROM customer
+    """,
+    note="F8/F10/F11/F12: key extraction, dn build, instance rewrite, case fns",
+)
+def f_string_suite(spark, sf_dir):
+    from py_etl_spark.functions import conversions as C
+
+    dn = F.concat(F.lit("cn="), "c_name", F.lit(",ou=user,ou=ph08,o=BMUKK"))
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        dn.alias("dn"),
+        C.rewrite_instance_in_dn(dn, "ph15").alias("dn15"),
+        C.key_from_table_key(
+            F.concat(F.lit("pk_uniqueid="), F.col("c_custkey").cast("string"))
+        ).alias("extracted_key"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.when(F.col("c_name").startswith("Customer"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("has_prefix"),
+    )
+
+
+@query(
+    "f_date_number_suite",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '.0' AS date_str,
+           strftime(o_orderdate, '%Y%m%d%H%M%S') || 'Z' AS generalized_time,
+           CAST(floor(o_totalprice) AS BIGINT) AS price_int,
+           CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR) AS price_str
+    FROM orders
+    """,
+    note="F1/F2/F7: db-date '.0' rendering, GeneralizedTime, float→int-string keys",
+)
+def f_date_number_suite(spark, sf_dir):
+    from py_etl_spark.functions import conversions as C
+
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        C.from_db_date("o_orderdate").alias("date_str"),
+        C.generalized_time("o_orderdate").alias("generalized_time"),
+        F.floor("o_totalprice").cast("long").alias("price_int"),
+        F.floor("o_totalprice").cast("long").cast("string").alias("price_str"),
+    )
+
+
+@query(
+    "f_hash_fingerprint",
+    """
+    SELECT doc_id, md5(text) AS fp_md5, sha256(text) AS fp_sha256 FROM documents
+    """,
+    note="F13/F19-adjacent: portable content hashing (md5 + sha256)",
+)
+def f_hash_fingerprint(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("fp_md5"), F.sha2(F.col("text").cast("binary"), 256).alias("fp_sha256")
+    )
+
+
+# =========================================================================
+# Streaming-shaped (windowed aggregation — batch-equivalent oracle)
+# =========================================================================
+
+@query(
+    "st_tumbling_window_agg",
+    """
+    SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start_ms,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    note="ST1-shape: tumbling 1h windowed aggregation (streaming-equivalent plan)",
+)
+def st_tumbling_window_agg(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_millis("w.start").alias("window_start_ms"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# =========================================================================
+# CDC merge (flagship — reference J1+ST8 semantics on the star schema)
+# =========================================================================
+
+CDC_MERGE_ORACLE = """
+    WITH latest AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1
+    )
+    SELECT c_custkey AS uid, c_name AS name, c_mktsegment AS segment,
+           round(CASE WHEN l.user_id IS NOT NULL THEN l.value
+                      ELSE c_acctbal END, 2) AS acctbal
+    FROM customer c LEFT JOIN latest l ON c.c_custkey = l.user_id
+    WHERE l.user_id IS NULL OR l.event_type <> 'error'
+"""
+
+
+@query(
+    "cdc_merge_scd1",
+    CDC_MERGE_ORACLE,
+    note="Flagship: J1/A3/ST5/ST8 — latest-event-per-key applied to keyed "
+         "state via the join-based merge kernel (delete on 'error', "
+         "value update otherwise)",
+)
+def cdc_merge_scd1(spark, sf_dir):
+    from py_etl_spark.operators.merge import OP_COL, OP_DELETE, OP_UPSERT
+
+    cust = _t(spark, sf_dir, "customer")
+    state = cust.select(
+        F.col("c_custkey").alias("uid"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    latest = (
+        _t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    # Change rows carry only the columns they modify; name/segment ride along
+    # from state via the merge's column-wise coalesce.
+    changes = latest.join(
+        state, latest.user_id == state.uid, "inner"
+    ).select(
+        "uid",
+        "name",
+        "segment",
+        F.round("value", 2).alias("acctbal"),
+        F.when(F.col("event_type") == "error", OP_DELETE)
+        .otherwise(OP_UPSERT)
+        .alias(OP_COL),
+    )
+    return scd1_merge(state, changes, keys=["uid"])
+
+
+# =========================================================================
+# Training-data pipeline: dedup / text analysis / similarity
+# =========================================================================
+
+@query(
+    "dedup_exact_groups",
+    """
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+           CAST(min(doc_id) AS BIGINT) AS keeper,
+           count(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+    note="Dedup-exact: hash-groupBy fingerprint → keeper + group size",
+)
+def dedup_exact_groups(spark, sf_dir):
+    return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_stats",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS stat_n_chars,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS stat_n_tokens,
+           CAST(length(regexp_replace(text, '[^.,;:!?''"-]', '', 'g')) AS BIGINT) AS stat_n_punct
+    FROM documents
+    """,
+    note="Text quality stats: char/token/punct counting, JVM-side only",
+)
+def text_stats(spark, sf_dir):
+    t = F.col("text")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length(t).cast("long").alias("stat_n_chars"),
+        textstats.token_count(t).alias("stat_n_tokens"),
+        textstats.punct_count(t).alias("stat_n_punct"),
+    )
+
+
+@query(
+    "lang_id_heuristic",
+    None,  # CASE-chain is replicable in SQL but the marker arrays make it
+           # unwieldy; registered rows-only, upgraded in a later round.
+    note="Language-ID: stopword-marker scoring (deterministic heuristic)",
+)
+def lang_id_heuristic(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", textstats.lang_guess(F.col("text")).alias("lang_guess")
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    None,  # multi-hash signature not reasonably SQL-expressible → rows-only
+    note="MinHash(32)+LSH(8 bands) candidate pairs — the 100 TB near-dup path",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_candidates(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_simhash",
+    None,
+    note="SimHash-60bit signatures with banded Hamming candidates",
+)
+def dedup_simhash(spark, sf_dir):
+    return dedup.simhash64(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  round(list_dot_product(q.v, c.v) /
+                        (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6)
+                    AS cosine
+           FROM q JOIN c ON q.vec_id <> c.vec_id
+         )
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored QUALIFY rank <= 5
+    """,
+    note="ANN baseline: exact brute-force cosine top-k (broadcast probes, "
+         "no corpus shuffle)",
+)
+def ann_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk_bruteforce(emb, queries, k=5)
+
+
+@query(
+    "ann_cosine_lsh",
+    None,  # approximate — no SQL oracle by construction
+    note="ANN scale path: random-hyperplane LSH bucketed cosine top-k",
+)
+def ann_cosine_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk_lsh(emb, queries, dim=64, k=5, planes=4)
+
+
+# =========================================================================
+# contract surface
+# =========================================================================
+
+def queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+    }
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: the CDC merge pipeline at sf0.001."""
+    return cdc_merge_scd1(spark, "/root/testdata/sf0.001")

@@ -14,6 +14,7 @@ functions.conversions.from_db_number.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # --------------------------------------------------------------------------
@@ -187,9 +188,20 @@ STAR_TABLES = [
 ]
 
 
+# Columns stored as TIMESTAMP(NANOS) in parquet; Spark (with
+# legacy.parquet.nanosAsLong) surfaces them as raw-nanosecond longs, which
+# loaders normalize back to TimestampType (µs).
+_NANO_TS_COLS = {"events": ["ts"]}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic star-schema table (columnar parquet scan)."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in _NANO_TS_COLS.get(name, []):
+        if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
+            # integer div — float division would lose precision on ~1e18 ns
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
 
 
 def register_star_views(spark: SparkSession, sf_dir: str) -> None:

@@ -1,0 +1,115 @@
+"""Merge-kernel semantics (SURVEY.md §2.3 J1, §2.9 ST5/ST6/ST8/ST10/ST12)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from py_etl_spark.operators.merge import (
+    OP_COL,
+    OP_DELETE,
+    OP_UPSERT,
+    MergePolicy,
+    garbage_collect,
+    scd1_merge,
+)
+
+STATE_SCHEMA = "k long, name string, flag string, deleted string, stamp string"
+CHANGE_SCHEMA = f"k long, name string, flag string, deleted string, stamp string, {OP_COL} string"
+
+
+def _state(spark, rows):
+    return spark.createDataFrame(rows, STATE_SCHEMA)
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(rows, CHANGE_SCHEMA)
+
+
+def _by_key(df):
+    return {tuple(r[0:1]): r.asDict() for r in df.collect()}
+
+
+def test_upsert_insert_delete_keep(spark):
+    state = _state(
+        spark,
+        [(1, "a", "x", None, None), (2, "b", "x", None, None), (3, "c", "x", None, None)],
+    )
+    changes = _changes(
+        spark,
+        [
+            (1, "a2", "x", None, None, OP_UPSERT),   # update
+            (3, None, None, None, None, OP_DELETE),  # delete
+            (4, "d", "y", None, None, OP_UPSERT),    # insert
+        ],
+    )
+    out = _by_key(scd1_merge(state, changes, ["k"]))
+    assert set(out) == {(1,), (2,), (4,)}  # 3 hard-deleted, 2 kept
+    assert out[(1,)]["name"] == "a2"
+    assert out[(2,)]["name"] == "b"
+    assert out[(4,)]["name"] == "d"
+
+
+def test_tombstone_and_resurrection(spark):
+    policy = MergePolicy(
+        tombstone_col="deleted",
+        tombstone_overrides={"flag": "GESPERRT"},
+        stamp_col="stamp",
+        stamp_value="T1",
+    )
+    state = _state(spark, [(1, "a", "OK", None, None), (2, "b", "OK", "TRUE", "T0")])
+    changes = _changes(
+        spark,
+        [
+            (1, None, None, None, None, OP_DELETE),   # tombstone, not removed
+            (2, "b2", "OK", None, None, OP_UPSERT),   # resurrection clears flag
+        ],
+    )
+    out = _by_key(scd1_merge(state, changes, ["k"], policy))
+    assert set(out) == {(1,), (2,)}
+    assert out[(1,)]["deleted"] == "TRUE"
+    assert out[(1,)]["flag"] == "GESPERRT"       # forced on tombstone
+    assert out[(1,)]["stamp"] == "T1"            # delete stamps
+    assert out[(2,)]["deleted"] is None          # resurrected
+    assert out[(2,)]["name"] == "b2"
+
+
+def test_noop_suppression_keeps_stamp(spark):
+    policy = MergePolicy(stamp_col="stamp", stamp_value="T9")
+    state = _state(spark, [(1, "a", "x", None, "T0"), (2, "b", "x", None, "T0")])
+    changes = _changes(
+        spark,
+        [
+            (1, "a", "x", None, "T0", OP_UPSERT),   # identical → no-op
+            (2, "B", "x", None, "T0", OP_UPSERT),   # real diff → stamp
+        ],
+    )
+    out = _by_key(scd1_merge(state, changes, ["k"], policy))
+    assert out[(1,)]["stamp"] == "T0"  # unchanged row keeps old stamp
+    assert out[(2,)]["stamp"] == "T9"
+
+
+def test_duplicate_keys_both_updated(spark):
+    """uid is not unique by design (ST12): all rows for a key are synced."""
+    state = _state(spark, [(1, "a", "x", None, None), (1, "a'", "y", None, None)])
+    changes = _changes(spark, [(1, "z", "z", None, None, OP_UPSERT)])
+    rows = scd1_merge(state, changes, ["k"]).collect()
+    assert len(rows) == 2
+    assert all(r.name == "z" for r in rows)
+
+
+def test_snapshot_mode_deletes_unmatched_state(spark):
+    state = _state(spark, [(1, "a", "x", None, None), (2, "b", "x", None, None)])
+    changes = _changes(spark, [(1, "a", "x", None, None, OP_UPSERT)])
+    out = _by_key(
+        scd1_merge(state, changes, ["k"], MergePolicy(snapshot=True))
+    )
+    assert set(out) == {(1,)}
+
+
+def test_garbage_collect(spark):
+    state = spark.createDataFrame(
+        [(1, "TRUE", "0"), (2, "TRUE", "1"), (3, None, "0")],
+        "k long, deleted string, synced string",
+    )
+    out = garbage_collect(state, "deleted", "synced", "0")
+    assert {r.k for r in out.collect()} == {2, 3}
