@@ -1,0 +1,147 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary + typed
+metadata, with decode/feature/resize/frame-sample stages as Arrow-batched
+``mapInPandas`` operators.
+
+The Spark-side contract is fully real — schemas, partitioning, batch
+iteration, null handling — while the codec itself is pluggable: the
+container has no image/audio libraries, so the default codec is a
+deterministic fake (size/hash-derived features) and the PIL/ffmpeg paths
+raise ``NotImplementedError`` until a real codec is injected.
+
+Scale notes: media rows are large and skewed → ``repartition`` by a size
+bucket before the UDF so Arrow batches stay bounded;
+``spark.sql.execution.arrow.maxRecordsPerBatch`` caps batch memory; the
+UDF is a generator over batches, so one oversized file cannot OOM a task
+that streams its batches.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),        # image|audio|video
+    T.StructField("content", T.BinaryType(), True),      # opaque payload
+    T.StructField("mime", T.StringType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+])
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes long, sha1 string, "
+    "feature array<float>, decode_error string"
+)
+
+
+def fake_decode_features(content: bytes | None, dim: int = 8) -> list[float] | None:
+    """Deterministic stand-in for a real decoder: hash-derived features.
+    Replace with a real codec via ``decode_fn`` injection."""
+    if content is None:
+        return None
+    h = hashlib.sha256(content).digest()
+    return [b / 255.0 for b in h[:dim]]
+
+
+def real_decode_stub(content: bytes | None, dim: int = 8):
+    """The real-codec seam. The v1 container ships no PIL/ffmpeg/librosa —
+    inject a codec or use :func:`fake_decode_features`."""
+    raise NotImplementedError(
+        "media codecs (PIL/ffmpeg/librosa) are not available in this "
+        "container; inject decode_fn=... or use fake_decode_features"
+    )
+
+
+def extract_features(
+    media: DataFrame,
+    decode_fn: Callable[[bytes | None], list[float] | None] = fake_decode_features,
+    batch_bucket_bytes: int = 64 << 20,
+) -> DataFrame:
+    """content → per-item feature vector via mapInPandas (Arrow batches).
+
+    The size-bucket repartition bounds per-task payload so huge media files
+    don't skew a single Arrow batch."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, errs, hashes, sizes = [], [], [], []
+            for content in pdf["content"]:
+                if content is None:
+                    feats.append(None)
+                    errs.append("null content")
+                    hashes.append(None)
+                    sizes.append(0)
+                    continue
+                b = bytes(content)
+                sizes.append(len(b))
+                hashes.append(hashlib.sha1(b).hexdigest())
+                try:
+                    feats.append(decode_fn(b))
+                    errs.append(None)
+                except NotImplementedError as e:
+                    feats.append(None)
+                    errs.append(str(e))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": sizes,
+                    "sha1": hashes,
+                    "feature": feats,
+                    "decode_error": errs,
+                }
+            )
+
+    bucketed = media.repartition(
+        F.floor(
+            F.coalesce(F.length("content"), F.lit(0)) / F.lit(batch_bucket_bytes)
+        ),
+        F.col("media_id"),
+    )
+    return bucketed.mapInPandas(op, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(video: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling *plan*: one output row per sampled frame timestamp —
+    pure Spark (sequence+explode); the actual pixel decode is the injected
+    codec's job downstream."""
+    return (
+        video.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.coalesce(F.col("duration_ms"), F.lit(0)),
+                    F.lit(every_ms),
+                )
+            ).alias("frame_ts_ms"),
+        )
+    )
+
+
+def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic opaque-binary fixture (no media libs needed)."""
+    rows = []
+    for i in range(n):
+        payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (i % 7 + 1)
+        kind = ["image", "audio", "video"][i % 3]
+        rows.append(
+            (
+                i,
+                kind,
+                bytearray(payload),
+                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                64 + i if kind == "image" else None,
+                48 + i if kind == "image" else None,
+                1000 * (i + 1) if kind != "image" else None,
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -121,11 +121,12 @@ DB_TO_TARGET_FIELD = {
 }
 
 # Multi-valued target attributes (stored as array<string> in state).
+# benutzergruppen/org_einheiten stay ';'-joined scalars — the reference's
+# conversion registry does NOT split them (etl.py:301-315; golden dumps show
+# "phonlineBenutzergruppe=B;A").
 MULTI_VALUE_ATTRS = {
     "phonlineFunktionen",
     "phonlineSchulkennzahlen",
-    "phonlineBenutzergruppe",
-    "phonlineOrgEinheiten",
     "objectClass",
     "o",
     "ou",
@@ -159,12 +160,13 @@ _STATE_SCALAR_ATTRS = [
     "phonlineMatrikelnummer", "phonlineGebDatum", "phonlinePersonNr",
     "phonlinePersonNrStudent", "phonlineIdentNr", "phonlinePersonNrOBF",
     "phonlinePersonNrOBFStudent",
+    "phonlineBenutzergruppe", "phonlineOrgEinheiten",
+    "o", "ou", "userPassword",
     "idnDeleted", "idnSyncDiff", "etlTimestamp", "etdTimestamp",
 ]
 _STATE_ARRAY_ATTRS = [
-    "objectClass", "o", "ou",
+    "objectClass",
     "phonlineFunktionen", "phonlineSchulkennzahlen",
-    "phonlineBenutzergruppe", "phonlineOrgEinheiten",
 ]
 
 STATE_SCHEMA = T.StructType(

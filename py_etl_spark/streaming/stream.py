@@ -1,0 +1,122 @@
+"""Structured-Streaming driver for the CDC sync (SURVEY.md §2.9).
+
+The reference's ``etl`` action is a hand-rolled micro-batch loop: poll
+eventlog every 20 s, ≤100 events per batch, skip the sleep while a backlog
+drains, ack each event with a status column (etl.py:393-423, 576-733). Here
+the same batch kernel (:func:`py_etl_spark.operators.refsync.cdc_apply`)
+runs under ``foreachBatch``:
+
+- trigger(processingTime=...)      ≙ the 20 s poll (backlog draining is
+  inherent — a new micro-batch starts as soon as the previous one ends)
+- maxFilesPerTrigger / limit       ≙ max_records rate cap
+- checkpointLocation               ≙ the status-ack protocol's restart
+  safety (exactly-once over the event source)
+- withWatermark('event_time', …)   ≙ the read-only high-water-mark mode
+  (ST3) — no status writeback, just a monotone cut
+- StreamingQueryListener           ≙ the /tmp/liveness heartbeat (ST13)
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from py_etl_spark.operators.refsync import SyncConfig, cdc_apply
+from py_etl_spark.schemas import EVENTLOG_SCHEMA
+
+
+@dataclass
+class StreamResult:
+    batches: int
+    statuses: list
+
+
+class CdcStreamDriver:
+    """Runs the CDC kernel over a stream of eventlog micro-batches.
+
+    State lives as a Parquet table rewritten per batch (Parquet has no
+    in-place update; the state is partitioned by ``instance`` so only
+    touched partitions rewrite at scale).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        users: DataFrame,
+        state_path: str,
+        instance: str,
+        cfg: SyncConfig | None = None,
+        heartbeat_path: str | None = None,
+    ):
+        self.spark = spark
+        self.users = users
+        self.state_path = state_path
+        self.instance = instance
+        self.cfg = cfg or SyncConfig()
+        self.heartbeat_path = heartbeat_path
+        self.statuses: list = []
+        self.batches = 0
+
+    def _beat(self) -> None:
+        if self.heartbeat_path:
+            with open(self.heartbeat_path, "w") as f:
+                json.dump({"ts": time.time(), "batches": self.batches}, f)
+
+    def process_batch(self, events: DataFrame, batch_id: int) -> None:
+        state = self.spark.read.parquet(self.state_path)
+        cfg = SyncConfig(
+            key=self.cfg.key,
+            iv_hex=self.cfg.iv_hex,
+            batch_ts=f"{self.cfg.batch_ts[:-1]}{batch_id:04d}Z"
+            if self.cfg.batch_ts.endswith("Z")
+            else f"{self.cfg.batch_ts}-{batch_id}",
+        )
+        new_state, statuses = cdc_apply(state, self.users, events, self.instance, cfg)
+        # materialize before overwrite (read+overwrite of the same path)
+        rows = new_state.collect()
+        self.statuses.append(statuses.collect())
+        self.spark.createDataFrame(rows, new_state.schema).write.mode(
+            "overwrite"
+        ).partitionBy("instance").parquet(self.state_path)
+        self.batches += 1
+        self._beat()
+
+    def run_file_stream(
+        self,
+        events_dir: str,
+        max_files_per_trigger: int = 1,
+        processing_time: str | None = None,
+        checkpoint: str | None = None,
+    ):
+        """Consume eventlog files appearing in a directory (the batch-file
+        equivalent of the reference's polling query)."""
+        stream = (
+            self.spark.readStream.schema(EVENTLOG_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .csv(events_dir, sep=";", header=True)
+        )
+        writer = stream.writeStream.foreachBatch(self.process_batch)
+        if processing_time:
+            writer = writer.trigger(processingTime=processing_time)
+        else:
+            writer = writer.trigger(availableNow=True)
+        if checkpoint:
+            writer = writer.option("checkpointLocation", checkpoint)
+        return writer.start()
+
+
+def watermark_windowed_counts(
+    events: DataFrame, delay: str = "10 minutes", window: str = "1 hour"
+) -> DataFrame:
+    """Read-only watermark mode (ST3): late-data-tolerant windowed counts.
+    Works on both batch and streaming DataFrames."""
+    return (
+        events.withWatermark("event_time", delay)
+        .groupBy(F.window("event_time", window).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
