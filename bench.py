@@ -30,6 +30,7 @@ HEADLINE = [
     "a3_last_writer_wins",
     "st_tumbling_window_agg",
     "j2_event_entity_lookup",
+    "sessionize_events",
     "dedup_exact_groups",
     "dedup_minhash_lsh",
     "text_stats",

@@ -54,10 +54,15 @@ def deduplicate_exact(
     return df.join(w_keep, id_col, "left_semi")
 
 
-def _shingles(text_col: str, k: int = 3) -> F.Column:
-    """Word k-shingles of normalized text as array<string>."""
+def _norm_tokens(text_col: str) -> F.Column:
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"[^a-z0-9\s]", " ")
-    toks = F.split(F.trim(norm), r"\s+")
+    return F.split(F.trim(norm), r"\s+")
+
+
+def _shingles(text_col: str, k: int = 3) -> F.Column:
+    """Word k-shingles of normalized text as array<string> (small-array
+    path; the hot path is :func:`exploded_shingles` below)."""
+    toks = _norm_tokens(text_col)
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.when(
@@ -68,13 +73,38 @@ def _shingles(text_col: str, k: int = 3) -> F.Column:
     ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
-def _base_hash(col):
-    """Portable 32-bit base hash of a shingle: first 8 hex chars of md5.
+def exploded_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, shingle) rows via posexplode + window lead — fully codegen'd.
 
-    xxhash64/murmur would be faster but md5 keeps the signature reproducible
-    by any engine (the DuckDB oracle included).
-    """
-    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+    Per-element array HOFs (transform+slice) are interpreted and ~8× slower
+    at corpus scale; the window shuffle is on id and combines with the
+    downstream signature aggregation's shuffle."""
+    from pyspark.sql import Window as W
+
+    ex = df.select(F.col(id_col), F.posexplode(_norm_tokens(text_col)).alias("pos", "tok"))
+    w = W.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("tok", i).over(w) for i in range(1, k)]
+    n = F.count(F.lit(1)).over(W.partitionBy(id_col))
+    return (
+        ex.select(
+            id_col,
+            "pos",
+            F.concat_ws(" ", "tok", *leads).alias("shingle"),
+            n.alias("__n"),
+        )
+        .filter((F.col("pos") <= F.col("__n") - k) | ((F.col("__n") < k) & (F.col("pos") == 0)))
+        .select(id_col, "shingle")
+    )
+
+
+def _base_hash(col):
+    """32-bit base hash of a shingle: xxhash64 (JVM-native, codegen'd)
+    folded to 32 bits so the affine permutations can't overflow a long.
+    (md5-based hashing is ~6× slower here; portable-hash variants belong in
+    oracle-checked operators like fingerprint_md5.)"""
+    return F.pmod(F.xxhash64(col), F.lit(1 << 32)).cast("long")
 
 
 def minhash_signatures(
@@ -99,10 +129,11 @@ def minhash_signatures(
     # explode → hash → groupBy(min × k): a small (doc_id, k·long) shuffle
     # with map-side combine; far cheaper to codegen than k nested
     # array-transform trees, and the shuffle payload is exactly the
-    # signature. Scales linearly in corpus size.
-    exploded = df.select(
-        F.col(id_col), F.explode(_shingles(text_col, shingle_k)).alias("shingle")
-    ).select(id_col, _base_hash(F.col("shingle")).alias("h"))
+    # signature. Scales linearly in corpus size. Duplicate shingles don't
+    # affect min(), so no distinct pass is needed.
+    exploded = exploded_shingles(df, text_col, id_col, shingle_k).select(
+        id_col, _base_hash(F.col("shingle")).alias("h")
+    )
     aggs = [
         F.min((F.col("h") * a + b) % _MERSENNE).alias(f"mh_{i}")
         for i, (a, b) in enumerate(coeffs)
@@ -136,14 +167,11 @@ def minhash_lsh_candidates(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.md5(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at("minhash", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ],
-                        )
+                    F.xxhash64(
+                        *[
+                            F.element_at("minhash", b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ]
                     ).alias("bucket"),
                 )
                 for b in range(bands)
@@ -180,7 +208,9 @@ def ngram_jaccard_pairs(
     With ``candidates`` (from LSH) the join is bucket-pruned; without, it
     falls back to all-pairs — correct but O(n²), small-n verification only.
     """
-    sh = df.select(F.col(id_col), _shingles(text_col, shingle_k).alias("sh"))
+    sh = exploded_shingles(df, text_col, id_col, shingle_k).groupBy(id_col).agg(
+        F.collect_set("shingle").alias("sh")
+    )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     if candidates is not None:
@@ -208,15 +238,14 @@ def simhash64(
     Expressed with array ops (no UDF): per shingle take md5 → two 32-bit
     halves → per-position bit test.
     """
-    # explode tokens → 60-bit portable hash (md5 first 15 hex chars) →
-    # per-bit ±1 votes aggregated map-side; same shuffle shape as minhash.
+    # explode tokens → 60-bit hash (xxhash64 masked) → per-bit ±1 votes
+    # aggregated map-side; same shuffle shape as minhash. (Unigram shingles
+    # ⇒ plain posexplode, no window needed; simhash counts multiplicity.)
     exploded = df.select(
-        F.col(id_col), F.explode(_shingles(text_col, 1)).alias("tok")
+        F.col(id_col), F.explode(_norm_tokens(text_col)).alias("tok")
     ).select(
         id_col,
-        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10)
-        .cast("long")
-        .alias("h"),
+        F.xxhash64(F.col("tok")).bitwiseAND(F.lit((1 << 60) - 1)).alias("h"),
     )
     votes = [
         F.sum(

@@ -1056,6 +1056,275 @@ def ann_cosine_lsh(spark, sf_dir):
 
 
 # =========================================================================
+# Grouping extensions (rollup / cube / grouping sets / pivot) — the
+# reference has no grouping sets (SURVEY §2.4 note); Spark exposes them and
+# the engine surfaces them as first-class operators.
+# =========================================================================
+
+@query(
+    "g1_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+           CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    note="rollup with grouping() markers",
+)
+def g1_rollup(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.grouping("l_returnflag").cast("long").alias("g_flag"),
+            F.grouping("l_linestatus").cast("long").alias("g_status"),
+        )
+    )
+
+
+@query(
+    "g2_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    note="cube over two dimensions",
+)
+def g2_cube(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "g3_pivot",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS st_o,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS st_f,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS st_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+    note="pivot (orderstatus → columns); oracle via conditional aggregation",
+)
+def g3_pivot(spark, sf_dir):
+    p = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("st_o"),
+        F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("st_f"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("st_p"),
+    )
+
+
+# =========================================================================
+# Sessionization + as-of join (common OLAP patterns Spark lacks natively;
+# composed from windows/joins — SURVEY §7 custom-operator policy (a))
+# =========================================================================
+
+@query(
+    "sessionize_events",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE OR
+                       lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, event_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events, min(epoch_ms(ts)) AS session_start_ms
+    FROM sess GROUP BY user_id, session_id
+    """,
+    note="sessionization: 30-min-gap sessions via lag + running sum",
+)
+def sessionize_events(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = F.when(
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800, 1
+    ).when(F.lag("ts").over(w).isNull(), 1).otherwise(0)
+    running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("brk", brk)
+        .withColumn("session_id", F.sum("brk").over(running).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(F.unix_millis("ts")).alias("session_start_ms"),
+        )
+    )
+
+
+@query(
+    "asof_latest_order_at_shipdate",
+    """
+    SELECT l_orderkey, l_linenumber, asof_orderkey FROM (
+      SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+             o2.o_orderkey AS asof_orderkey,
+             row_number() OVER (
+               PARTITION BY l.l_orderkey, l.l_linenumber
+               ORDER BY o2.o_orderdate DESC, o2.o_orderkey DESC) AS rn
+      FROM lineitem l
+      JOIN orders o1 ON l.l_orderkey = o1.o_orderkey
+      JOIN orders o2 ON o2.o_custkey = o1.o_custkey
+                     AND o2.o_orderdate <= l.l_shipdate
+      WHERE l.l_orderkey < 100
+    ) WHERE rn = 1
+    """,
+    note="as-of join: latest order of the same customer at each line's "
+         "shipdate (range join + windowed argmax — Spark's as-of recipe)",
+)
+def asof_latest_order_at_shipdate(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    o1 = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k1"), F.col("o_custkey").alias("c1")
+    )
+    o2 = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("asof_orderkey"),
+        F.col("o_custkey").alias("c2"),
+        F.col("o_orderdate").alias("d2"),
+    )
+    j = (
+        li.join(F.broadcast(o1), li.l_orderkey == F.col("k1"))
+        .join(F.broadcast(o2), (F.col("c2") == F.col("c1")) & (F.col("d2") <= F.col("l_shipdate")))
+    )
+    w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+        F.desc("d2"), F.desc("asof_orderkey")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_orderkey",
+            F.col("l_linenumber").cast("long").alias("l_linenumber"),
+            "asof_orderkey",
+        )
+    )
+
+
+# =========================================================================
+# More training-data ops with strong oracles
+# =========================================================================
+
+@query(
+    "ngram_jaccard_allpairs_small",
+    """
+    WITH raw AS (
+      SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(trim(text)),
+                 '[^a-z0-9\\s]', ' ', 'g')), '\\s+') AS toks
+      FROM documents WHERE doc_id < 40
+    ), toks AS (
+      SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+      FROM raw
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', tok, lead(tok,1) OVER w, lead(tok,2) OVER w) AS shingle
+      FROM (SELECT doc_id, tok, pos,
+                   count(*) OVER (PARTITION BY doc_id) AS n FROM toks)
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY pos <= n - 2 OR (n < 3 AND pos = 1)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE i / (sa.sz + sb.sz - i) >= 0.01
+    """,
+    note="n-gram Jaccard, exact all-pairs on a bounded subset (the "
+         "LSH-bucketed variant is the scale path; this is its oracle)",
+)
+def ngram_jaccard_allpairs_small(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.01)
+
+
+@query(
+    "embedding_near_dup",
+    """
+    WITH a AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings WHERE vec_id < 200),
+         b AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+             AS cosine
+    FROM a JOIN b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) > 0.3
+    """,
+    note="embedding-cosine near-duplicate pairs above a threshold",
+)
+def embedding_near_dup(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    cos = similarity._dot(F.col("va"), F.col("vb")) / (
+        similarity._norm(F.col("va")) * similarity._norm(F.col("vb"))
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("__cos", cos)
+        .filter(F.col("__cos") > 0.3)
+        .select("id_a", "id_b", F.round("__cos", 6).alias("cosine"))
+    )
+
+
+@query(
+    "anonymize_email_domains",
+    """
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           'u' || CAST(user_id AS VARCHAR) || '@example.org' AS email
+    FROM events WHERE event_type = 'signup'
+    """,
+    note="anonymization property check: pseudonymized email keeps the "
+         "synthetic domain structure (full key-consistency covered in tests)",
+)
+def anonymize_email_domains(spark, sf_dir):
+    # Build a synthetic email column, anonymize it with the engine's
+    # pseudonymizer, and emit the structure-preserved part (domain); the
+    # local part's determinism is asserted in unit tests.
+    from py_etl_spark.operators.anonymize import pseudo_email
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    email = F.concat(F.lit("u"), F.col("user_id").cast("string"), F.lit("@example.org"))
+    anon = pseudo_email(email, "salt")
+    return ev.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.concat(
+            F.lit("u"), F.col("user_id").cast("string"), F.lit("@"),
+            F.substring_index(anon, "@", -1),
+        ).alias("email"),
+    )
+
+
+# =========================================================================
 # contract surface
 # =========================================================================
 

@@ -1,0 +1,127 @@
+"""Unit coverage for dedup / similarity / textstats / anonymize /
+sampling / multimodal operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from py_etl_spark.operators import dedup, sampling, similarity, textstats
+from py_etl_spark.operators.anonymize import anonymize, build_mapping
+from py_etl_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    synthetic_media,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+    (3, "completely different content about spark engines"),
+    (4, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    groups = dedup.exact_duplicates(_docs(spark)).collect()
+    by_keeper = {r.keeper: r.n_docs for r in groups}
+    assert by_keeper[1] == 2  # docs 1+4 collapse
+    kept = dedup.deduplicate_exact(_docs(spark))
+    assert {r.doc_id for r in kept.collect()} == {1, 2, 3}
+
+
+def test_minhash_lsh_finds_near_dup(spark):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_candidates(_docs(spark), num_hashes=32, bands=16).collect()
+    }
+    assert (1, 4) in pairs  # exact dup always collides
+    assert (1, 2) in pairs  # near-dup shares most shingles
+
+
+def test_ngram_jaccard(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(_docs(spark), threshold=0.0).collect()
+    }
+    assert pairs[(1, 4)] == 1.0
+    assert 0.5 < pairs[(1, 2)] < 1.0
+    assert pairs.get((1, 3), 0.0) < 0.1
+
+
+def test_simhash_close_for_near_dups(spark):
+    sigs = {r.doc_id: r.simhash for r in dedup.simhash64(_docs(spark)).collect()}
+    assert sigs[1] == sigs[4]
+    ham_12 = bin(sigs[1] ^ sigs[2]).count("1")
+    ham_13 = bin(sigs[1] ^ sigs[3]).count("1")
+    assert ham_12 < ham_13
+
+
+def test_cosine_topk_exact(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.cosine_topk_bruteforce(emb, emb.filter("vec_id=1"), k=2).collect()
+    ranked = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
+    assert ranked == [2, 3]
+    assert abs(out[0].cosine - 0.993884) < 1e-5
+
+
+def test_lang_and_quality(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house is big"),
+            (2, "der hund und die katze ist nicht da"),
+            (3, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textstats.with_text_stats(df).collect()}
+    assert out[1].stat_lang_guess == "en"
+    assert out[2].stat_lang_guess == "de"
+    assert out[3].stat_lang_guess == "und"
+    assert out[1].stat_n_tokens == 10
+    assert 0.0 <= out[1].stat_quality <= 1.0
+
+
+def test_anonymize_consistency(spark):
+    df = spark.createDataFrame(
+        [("a@x.com", "Ann"), ("a@x.com", "Ann"), ("b@y.org", "Bob")],
+        "emailadresse_b string, vorname string",
+    )
+    rows = anonymize(df, salt="s").collect()
+    # same input → same replacement (key consistency)
+    assert rows[0].emailadresse_b == rows[1].emailadresse_b
+    assert rows[0].vorname == rows[1].vorname
+    assert rows[0].emailadresse_b.endswith("@x.com")
+    assert rows[2].emailadresse_b.endswith("@y.org")
+    assert rows[0].vorname != "Ann"
+    mapping = build_mapping(df, "emailadresse_b", salt="s").collect()
+    assert len(mapping) == 2
+
+
+def test_first_n_per_column(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "a"), (3, "b"), (4, "c")], "x int, y string"
+    )
+    out = sampling.first_n_per_column(df, n=2).collect()
+    by_col = {}
+    for r in out:
+        by_col.setdefault(r.column, []).append(r.value)
+    assert len(by_col["x"]) == 2
+    assert len(by_col["y"]) == 2  # nulls skipped
+
+
+def test_multimodal_features_and_frames(spark):
+    media = synthetic_media(spark, 9)
+    feats = extract_features(media).collect()
+    assert len(feats) == 9
+    assert all(r.feature is not None and len(r.feature) == 8 for r in feats)
+    assert all(r.sha1 for r in feats)
+    frames = frame_sample_plan(media, every_ms=1000)
+    vids = media.filter(F.col("kind") == "video").count()
+    assert frames.select("media_id").distinct().count() == vids

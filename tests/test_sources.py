@@ -1,0 +1,78 @@
+"""Source/sink coverage: DDL (S9), state IO (S7/S8), JDBC config (S1/S2),
+CSV round-trip (S5/S6)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from py_etl_spark.operators.compare import bootstrap_tree
+from py_etl_spark.sources.csv_io import read_users_csv, write_csv
+from py_etl_spark.sources.jdbc import JdbcTableConfig
+from py_etl_spark.sources.state import read_state, scope, write_state
+
+
+def test_ddl_create_insert_drop(spark):
+    """S9: idempotent CREATE/DROP TABLE via Spark SQL."""
+    spark.sql("DROP TABLE IF EXISTS t_users_ddl")
+    spark.sql(
+        "CREATE TABLE IF NOT EXISTS t_users_ddl "
+        "(pk_uniqueid DOUBLE, benutzername STRING) USING parquet"
+    )
+    spark.sql("CREATE TABLE IF NOT EXISTS t_users_ddl (x INT) USING parquet")  # no-op
+    spark.sql("INSERT INTO t_users_ddl VALUES (1.0, 'a'), (2.0, 'b')")
+    assert spark.table("t_users_ddl").count() == 2
+    spark.sql("DROP TABLE IF EXISTS t_users_ddl")
+    spark.sql("DROP TABLE IF EXISTS t_users_ddl")  # idempotent
+
+
+def test_state_roundtrip_and_scope(spark):
+    state = bootstrap_tree(spark, ["ph08", "ph15"], ["ph08"])
+    path = tempfile.mkdtemp() + "/state"
+    write_state(state, path)
+    back = read_state(spark, path)
+    assert sorted(back.columns) == sorted(state.columns)
+    assert back.count() == state.count()
+    scoped = scope(back, "ou=ph08,o=BMUKK")
+    dns = {r.dn for r in scoped.collect()}
+    assert dns == {
+        "ou=ph08,o=BMUKK",
+        "ou=user,ou=ph08,o=BMUKK",
+        "ou=idnSync,ou=ph08,o=BMUKK",
+        "ou=ETD,ou=idnSync,ou=ph08,o=BMUKK",
+    }
+    # partition pruning visible in the plan
+    plan = scoped._jdf.queryExecution().executedPlan().toString()
+    assert "instance" in plan
+
+
+def test_jdbc_options_partitioned():
+    cfg = JdbcTableConfig(
+        url="jdbc:postgresql://db/test",
+        table="benutzer_alle_dirxml_v",
+        partition_column="pk_uniqueid",
+        lower_bound=0,
+        upper_bound=1_000_000,
+        num_partitions=32,
+    )
+    o = cfg.options()
+    assert o["partitionColumn"] == "pk_uniqueid"
+    assert o["numPartitions"] == "32"
+    assert o["fetchsize"] == "10000"
+
+
+def test_jdbc_options_validation():
+    cfg = JdbcTableConfig(url="jdbc:x", table="t", partition_column="k")
+    with pytest.raises(ValueError, match="requires lower_bound"):
+        cfg.options()
+
+
+def test_csv_sink_roundtrip(spark):
+    users = read_users_csv(spark, "/root/reference/testdata/initial_data.csv")
+    out = tempfile.mkdtemp() + "/users_csv"
+    write_csv(users.select("pk_uniqueid", "benutzername", "nachname"), out)
+    back = spark.read.csv(out, sep=";", header=True)
+    assert back.count() == users.count()
+    assert back.filter(F.col("benutzername") == "caesar1").count() == 1
