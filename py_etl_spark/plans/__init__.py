@@ -1,0 +1,10 @@
+"""Physical-plan inspection helpers."""
+
+from py_etl_spark.plans.explain import (  # noqa: F401
+    broadcast_join_count,
+    executed_plan,
+    has_pushed_filters,
+    scan_read_schema,
+    shuffle_count,
+    wholestage_codegen_spans,
+)

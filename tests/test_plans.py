@@ -1,0 +1,90 @@
+"""Physical-plan hygiene: the scale properties the engine promises.
+
+These assert *plan shape*, not results: predicates and projections reach
+the parquet scan, dimensions broadcast, shuffle counts stay at the
+semantic minimum. A regression here is a 100 TB performance bug even when
+sf0.01 results stay correct.
+"""
+
+from __future__ import annotations
+
+import py_etl_spark.queries as Q
+from py_etl_spark.plans import (
+    broadcast_join_count,
+    has_pushed_filters,
+    scan_read_schema,
+    shuffle_count,
+)
+from tests.conftest import SF_MED
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = Q.REGISTRY["s2_keyset_range_scan"].fn(spark, SF_MED)
+    assert has_pushed_filters(df, "o_orderkey")
+
+
+def test_point_lookup_pushdown(spark):
+    df = Q.REGISTRY["s3_point_lookup"].fn(spark, SF_MED)
+    assert has_pushed_filters(df, "o_orderkey")
+
+
+def test_column_pruning(spark):
+    df = Q.REGISTRY["s1_full_scan_projection"].fn(spark, SF_MED)
+    assert set(scan_read_schema(df)) == {
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    }
+
+
+def test_q1_prunes_and_pushes(spark):
+    df = Q.REGISTRY["q1_pricing_summary"].fn(spark, SF_MED)
+    cols = set(scan_read_schema(df))
+    # only the 7 referenced columns are read, not all 16
+    assert "l_partkey" not in cols and "l_suppkey" not in cols
+    assert has_pushed_filters(df, "l_shipdate")
+    # one shuffle for the groupBy, nothing else
+    assert shuffle_count(df) == 1
+
+
+def test_q5_broadcasts_dimensions(spark):
+    df = Q.REGISTRY["q5_local_supplier_volume"].fn(spark, SF_MED)
+    assert broadcast_join_count(df) >= 3  # region⋈nation, dims, supplier
+
+
+def test_lookup_join_broadcasts(spark):
+    df = Q.REGISTRY["j2_event_entity_lookup"].fn(spark, SF_MED)
+    assert broadcast_join_count(df) == 1
+    assert shuffle_count(df) == 0  # broadcast ⇒ no exchange on the fact side
+
+
+def test_semi_join_pushes_projection(spark):
+    df = Q.REGISTRY["p6_keyset_semi_join"].fn(spark, SF_MED)
+    # the orders side reads only its join+filter columns
+    schemas = [set(scan_read_schema(df))]
+    assert {"l_orderkey", "l_partkey", "l_quantity"} <= schemas[0]
+
+
+def test_cdc_merge_shuffle_budget(spark):
+    df = Q.REGISTRY["cdc_merge_scd1"].fn(spark, SF_MED)
+    # latest-per-key window (1) + merge join keyed on uid; broadcast keeps
+    # the rest shuffle-free. Budget: ≤4 exchanges.
+    assert shuffle_count(df) <= 4
+
+
+def test_scan_projection_is_codegen(spark):
+    from py_etl_spark.plans import wholestage_codegen_spans
+
+    df = Q.REGISTRY["s1_full_scan_projection"].fn(spark, SF_MED)
+    # AQE hides subtree counts for multi-stage plans pre-execution; a plain
+    # scan+project must still report ≥1 codegen span (no interpreted path).
+    assert wholestage_codegen_spans(df) >= 1
+
+
+def test_minhash_signature_single_shuffle_per_stage(spark):
+    from py_etl_spark.operators import dedup
+    from py_etl_spark.schemas import load_table
+
+    docs = load_table(spark, SF_MED, "documents")
+    sigs = dedup.minhash_signatures(docs)
+    # shingle window + signature groupBy hash-partition on the same key;
+    # budget: ≤2 exchanges
+    assert shuffle_count(sigs) <= 2
