@@ -26,6 +26,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q18_large_volume_customers",
     "cdc_merge_scd1",
     "a3_last_writer_wins",
     "st_tumbling_window_agg",

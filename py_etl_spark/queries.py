@@ -949,6 +949,61 @@ def cdc_merge_scd1(spark, sf_dir):
     return scd1_merge(state, changes, keys=["uid"])
 
 
+@query(
+    "cdc_tombstone_lifecycle",
+    """
+    WITH latest AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1
+    )
+    SELECT c_custkey AS uid, c_name AS name,
+           round(CASE WHEN l.user_id IS NOT NULL AND l.event_type <> 'error'
+                      THEN l.value ELSE c_acctbal END, 2) AS acctbal,
+           CASE WHEN l.event_type = 'error' THEN 'GESPERRT' ELSE 'OK' END AS status,
+           CASE WHEN l.event_type = 'error' THEN 'TRUE' END AS deleted
+    FROM customer c LEFT JOIN latest l ON c.c_custkey = l.user_id
+    """,
+    note="ST5/ST6 on the star schema: deletes tombstone (flag + forced "
+         "status) instead of removing rows — the merge kernel's soft-delete "
+         "policy, oracle-checked",
+)
+def cdc_tombstone_lifecycle(spark, sf_dir):
+    from py_etl_spark.operators.merge import OP_COL, OP_DELETE, OP_UPSERT
+
+    cust = _t(spark, sf_dir, "customer")
+    state = cust.select(
+        F.col("c_custkey").alias("uid"),
+        F.col("c_name").alias("name"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.lit("OK").alias("status"),
+        F.lit(None).cast("string").alias("deleted"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    latest = (
+        _t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    changes = latest.join(state, latest.user_id == state.uid, "inner").select(
+        "uid",
+        "name",
+        F.round("value", 2).alias("acctbal"),
+        F.lit("OK").alias("status"),
+        F.lit(None).cast("string").alias("deleted"),
+        F.when(F.col("event_type") == "error", OP_DELETE)
+        .otherwise(OP_UPSERT)
+        .alias(OP_COL),
+    )
+    policy = MergePolicy(
+        tombstone_col="deleted",
+        tombstone_value="TRUE",
+        tombstone_overrides={"status": "GESPERRT"},
+    )
+    return scd1_merge(state, changes, keys=["uid"], policy=policy)
+
+
 # =========================================================================
 # Training-data pipeline: dedup / text analysis / similarity
 # =========================================================================
@@ -988,11 +1043,32 @@ def text_stats(spark, sf_dir):
     )
 
 
+_LANG_ORACLE_COUNTS = {
+    lang: "len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+          f"t -> t IN ({', '.join(repr(m) for m in markers)})))"
+    for lang, markers in textstats.LANG_MARKERS.items()
+}
+
 @query(
     "lang_id_heuristic",
-    None,  # CASE-chain is replicable in SQL but the marker arrays make it
-           # unwieldy; registered rows-only, upgraded in a later round.
-    note="Language-ID: stopword-marker scoring (deterministic heuristic)",
+    f"""
+    WITH scored AS (
+      SELECT doc_id,
+             {_LANG_ORACLE_COUNTS['en']} AS c_en,
+             {_LANG_ORACLE_COUNTS['de']} AS c_de,
+             {_LANG_ORACLE_COUNTS['fr']} AS c_fr,
+             {_LANG_ORACLE_COUNTS['es']} AS c_es
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN c_en > 0 AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+                WHEN c_de > 0 AND c_de >= c_fr AND c_de >= c_es THEN 'de'
+                WHEN c_fr > 0 AND c_fr >= c_es THEN 'fr'
+                WHEN c_es > 0 THEN 'es'
+                ELSE 'und' END AS lang_guess
+    FROM scored
+    """,
+    note="Language-ID: stopword-marker scoring (first language wins ties)",
 )
 def lang_id_heuristic(spark, sf_dir):
     return _t(spark, sf_dir, "documents").select(
@@ -1053,6 +1129,164 @@ def ann_cosine_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.cosine_topk_lsh(emb, queries, dim=64, k=5, planes=4)
+
+
+# =========================================================================
+# Further TPC-H-shaped queries (bench breadth)
+# =========================================================================
+
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    note="TPC-H Q6 shape: tight multi-predicate scan → single agg "
+         "(pure pushdown showcase)",
+)
+def q6_forecast_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+@query(
+    "q14_promo_revenue_share",
+    """
+    SELECT round(
+             100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+    """,
+    note="TPC-H Q14 shape: join + conditional aggregation ratio",
+)
+def q14_promo_revenue_share(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_share")
+        )
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    """
+    SELECT c_custkey, o_orderkey,
+           CAST(total_qty AS BIGINT) AS total_qty
+    FROM (
+      SELECT o.o_custkey AS c_custkey, l.l_orderkey AS o_orderkey,
+             sum(l.l_quantity) AS total_qty
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ) WHERE total_qty > 150
+    """,
+    note="TPC-H Q18 shape: join → group → HAVING on the aggregate",
+)
+def q18_large_volume_customers(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("l_orderkey").alias("o_orderkey"),
+        )
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+        .withColumn("total_qty", F.col("total_qty").cast("long"))
+    )
+
+
+# =========================================================================
+# Semi-structured + distinct/percentile aggregates + unpivot
+# =========================================================================
+
+@query(
+    "json_props_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+    note="semi-structured: JSON property extraction from a string column",
+)
+def json_props_extract(spark, sf_dir):
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+@query(
+    "a8_distinct_and_percentile",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           round(quantile_cont(value, 0.5), 4) AS median_value,
+           round(quantile_cont(value, 0.95), 4) AS p95_value
+    FROM events GROUP BY event_type
+    """,
+    note="distinct aggregation + exact interpolated percentiles",
+)
+def a8_distinct_and_percentile(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("median_value"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95_value"),
+        )
+    )
+
+
+@query(
+    "e5_unpivot_metrics",
+    """
+    SELECT c_custkey, metric, round(v, 2) AS v
+    FROM (SELECT c_custkey, round(c_acctbal, 2) AS acctbal,
+                 CAST(c_nationkey AS DOUBLE) AS nationkey
+          FROM customer)
+    UNPIVOT (v FOR metric IN (acctbal, nationkey))
+    """,
+    note="unpivot/melt: wide metrics to (key, metric, value) rows",
+)
+def e5_unpivot_metrics(spark, sf_dir):
+    wide = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    )
+    return wide.unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "v").select(
+        "c_custkey", "metric", F.round("v", 2).alias("v")
+    )
 
 
 # =========================================================================
