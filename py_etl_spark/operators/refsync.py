@@ -374,6 +374,59 @@ def delete_uids(
     return state
 
 
+def sync_student_emails(
+    state: DataFrame, source_instance: str, ph15_instance: str = "ph15"
+) -> DataFrame:
+    """Cross-tree conditional attribute propagation (the reference's
+    ph15_email.py:93-151): for every source-instance entry with
+    phonlineEmailStudent set and an active student flag, write that email
+    onto the same-cn entry in the paired instance when it differs.
+
+    One filtered scan ⋈ one instance-pruned join — the reference does a
+    per-entry BASE search + modify round-trip."""
+    src = (
+        state.filter(
+            _user_scope(state, source_instance)
+            & F.col("phonlineEmailStudent").isNotNull()
+            & (F.trim(F.col("phonlineStudentAktiv")) == "J")
+        )
+        .select(F.col("cn").alias("__src_cn"), F.col("phonlineEmailStudent").alias("__src_mail"))
+    )
+    tgt_cond = _user_scope(state, ph15_instance)
+    s = state.alias("s")
+    j = s.join(
+        F.broadcast(src),
+        tgt_cond & (F.col("s.cn") == F.col("__src_cn")),
+        "left",
+    )
+    out = []
+    for c in STATE_COLS:
+        expr = F.col(f"s.{c}")
+        if c == "phonlineEmailStudent":
+            expr = F.when(
+                F.col("__src_mail").isNotNull() & ~F.col("__src_mail").eqNullSafe(expr),
+                F.col("__src_mail"),
+            ).otherwise(expr)
+        out.append(expr.alias(c))
+    return j.select(*out)
+
+
+def watermark_advance(events: DataFrame, current) -> "object":
+    """Read-only mode (ST3): no status writeback — advance the
+    high-water-mark to max(event_time) seen (etl.py:579-592, 613-614,
+    719-721). Returns the new watermark (a datetime) or ``current`` when
+    the batch is empty."""
+    row = events.agg(F.max("event_time").alias("wm")).first()
+    return row.wm if row and row.wm is not None else current
+
+
+def events_after(events: DataFrame, watermark) -> DataFrame:
+    """The read-only mode's source filter: event_time > high-water-mark."""
+    if watermark is None:
+        return events
+    return events.filter(F.col("event_time") > F.lit(watermark))
+
+
 def set_etd_done(state: DataFrame, uniqueid: str | None = None,
                  ph15_instance: str = "ph15") -> DataFrame:
     """Simulate the downstream consumer ack: etdTimestamp := etlTimestamp
@@ -532,5 +585,39 @@ def cdc_apply(
         "record_id",
         status.alias("status"),
         message.alias("error_message"),
+        F.lit(cfg.batch_ts).alias("read_time"),
     )
     return state2, statuses
+
+
+def apply_status_writeback(eventlog: DataFrame, statuses: DataFrame) -> DataFrame:
+    """The ack protocol (ST2): write processed statuses back onto the
+    event store as a join-based update. Retry accounting (ST4): an 'E'
+    status increments ``attempt``; attempt > 10 escalates to 'F' (the
+    poison-pill cutoff, etl.py:692-696)."""
+    e = eventlog.alias("e")
+    s = statuses.alias("s")
+    j = e.join(s, F.col("e.record_id") == F.col("s.record_id"), "left")
+    hit = F.col("s.status").isNotNull()
+    is_err = hit & (F.col("s.status") == "E")
+    new_attempt = F.when(
+        is_err, F.coalesce(F.col("e.attempt"), F.lit(0.0)) + 1
+    ).otherwise(F.col("e.attempt"))
+    esc_status = F.when(
+        is_err & (F.coalesce(F.col("e.attempt"), F.lit(0.0)) > 10), F.lit("F")
+    ).otherwise(F.col("s.status"))
+    out = []
+    for c in eventlog.columns:
+        expr = F.col(f"e.{c}")
+        if c == "status":
+            expr = F.when(hit, F.rpad(esc_status, 3, " ")).otherwise(expr)
+        elif c == "error_message":
+            expr = F.when(hit, F.col("s.error_message")).otherwise(expr)
+        elif c == "attempt":
+            expr = new_attempt
+        elif c == "read_time":
+            expr = F.when(
+                hit, F.to_timestamp(F.col("s.read_time"), "yyyyMMddHHmmss'Z'")
+            ).otherwise(expr)
+        out.append(expr.alias(c))
+    return j.select(*out)

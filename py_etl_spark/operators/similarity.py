@@ -138,6 +138,48 @@ def cosine_topk_lsh(
     )
 
 
+def ivf_train(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[float]]:
+    """Train IVF coarse centroids with Lloyd's k-means, Spark-side.
+
+    Per iteration: assignment is a map-side expression over centroid
+    literals (k is small by construction); the update is one
+    posexplode + groupBy((cell, dim)) average — a shuffle of k·dim cells,
+    independent of corpus size. Only the k×dim centroid matrix ever
+    reaches the driver."""
+    seed_rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.pmod(F.xxhash64(F.col(id_col) + seed), F.lit(97)), id_col)
+        .limit(k)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in seed_rows]
+    for _ in range(iters):
+        assigned = ivf_assign(df, centroids, id_col, vec_col)
+        stats = (
+            assigned.select(
+                "ivf_cell", F.posexplode(vec_col).alias("dim", "x")
+            )
+            .groupBy("ivf_cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = {c: dict() for c in range(len(centroids))}
+        for r in stats:
+            new[r.ivf_cell][r.dim] = r.m
+        centroids = [
+            [new[c][d] for d in sorted(new[c])] if new.get(c) else centroids[c]
+            for c in range(len(centroids))
+        ]
+    return centroids
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: list[list[float]],

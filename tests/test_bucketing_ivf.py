@@ -1,0 +1,60 @@
+"""Bucketed-table co-located joins (the state table's 100 TB story) and
+IVF centroid training."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from py_etl_spark.operators import similarity
+from py_etl_spark.plans import shuffle_count
+from py_etl_spark.schemas import load_table
+from tests.conftest import SF_SMALL
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    orders = load_table(spark, SF_SMALL, "orders")
+    customer = load_table(spark, SF_SMALL, "customer")
+    spark.sql("DROP TABLE IF EXISTS orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS customer_bkt")
+    (orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable("orders_bkt"))
+    (customer.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .mode("overwrite").saveAsTable("customer_bkt"))
+    ob, cb = spark.table("orders_bkt"), spark.table("customer_bkt")
+
+    # plain parquet join on the same keys needs 2 exchanges...
+    plain = orders.hint("merge").join(
+        customer, orders.o_custkey == customer.c_custkey
+    )
+    assert shuffle_count(plain) >= 2
+    # ...the bucketed join needs none: buckets are co-located on disk
+    j = ob.hint("merge").join(cb, ob.o_custkey == cb.c_custkey)
+    assert shuffle_count(j) == 0
+    # bucketed aggregation on the bucket key also skips the exchange
+    agg = ob.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    assert shuffle_count(agg) == 0
+    spark.sql("DROP TABLE IF EXISTS orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS customer_bkt")
+
+
+def test_ivf_train_and_assign(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        base = [5.0, 5.0] if i % 2 == 0 else [-5.0, -5.0]
+        rows.append((i, [base[0] + rng.gauss(0, 0.3), base[1] + rng.gauss(0, 0.3)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    centroids = similarity.ivf_train(df, k=2, iters=4)
+    assert len(centroids) == 2
+    # the two learned centroids sit near the two true clusters
+    signs = sorted(tuple(1 if x > 0 else -1 for x in c) for c in centroids)
+    assert signs == [(-1, -1), (1, 1)]
+    assigned = similarity.ivf_assign(df, centroids)
+    # assignment is pure: same-cluster points share a cell
+    cells = {r.vec_id: r.ivf_cell for r in assigned.collect()}
+    even_cells = {cells[i] for i in range(0, 60, 2)}
+    odd_cells = {cells[i] for i in range(1, 60, 2)}
+    assert len(even_cells) == 1 and len(odd_cells) == 1
+    assert even_cells != odd_cells
