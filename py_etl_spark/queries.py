@@ -1085,6 +1085,65 @@ def dedup_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_candidates(_t(spark, sf_dir, "documents"))
 
 
+def _minhash_oracle_sql() -> str:
+    import random
+
+    rng = random.Random(42)
+    coeffs = [(rng.randrange(1, 1 << 30), rng.randrange(0, 1 << 30)) for _ in range(8)]
+    p = (1 << 61) - 1
+    mins = ",\n           ".join(
+        f"min(({a} * h + {b}) % {p}) AS mh_{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    return f"""
+    WITH raw AS (
+      SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(trim(text)),
+                 '[^a-z0-9\\s]', ' ', 'g')), '\\s+') AS toks
+      FROM documents WHERE doc_id < 40
+    ), toks AS (
+      SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+      FROM raw
+    ), sh AS (
+      SELECT doc_id,
+             concat_ws(' ', tok, lead(tok,1) OVER w, lead(tok,2) OVER w) AS shingle
+      FROM (SELECT doc_id, tok, pos,
+                   count(*) OVER (PARTITION BY doc_id) AS n FROM toks)
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY pos <= n - 2 OR (n < 3 AND pos = 1)
+    ), hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh
+    )
+    SELECT doc_id,
+           {mins}
+    FROM hashed GROUP BY doc_id
+    """
+
+
+@query(
+    "dedup_minhash_portable_small",
+    _minhash_oracle_sql(),
+    note="MinHash signatures with a PORTABLE (md5-based) hash family on a "
+         "bounded subset — the full SQL oracle for the xxhash64 scale path",
+)
+def dedup_minhash_portable_small(spark, sf_dir):
+    import random
+
+    rng = random.Random(42)
+    coeffs = [(rng.randrange(1, 1 << 30), rng.randrange(0, 1 << 30)) for _ in range(8)]
+    p = (1 << 61) - 1
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    hashed = dedup.exploded_shingles(docs).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long").alias("h"),
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h") * a + b) % p).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ]
+    )
+
+
 @query(
     "dedup_simhash",
     None,

@@ -198,6 +198,13 @@ _NANO_TS_COLS = {"events": ["ts"]}
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic star-schema table (columnar parquet scan)."""
+    # The caller may hand us a session built without our factory (the
+    # external driver does). Timestamp rendering must match the UTC-naive
+    # oracle, and TIMESTAMP(NANOS) parquet needs nanosAsLong or the scan
+    # itself throws PARQUET_TYPE_ILLEGAL. Both are runtime-settable.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name in _NANO_TS_COLS:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _NANO_TS_COLS.get(name, []):
         if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):

@@ -109,6 +109,20 @@ class CdcStreamDriver:
         return writer.start()
 
 
+def check_liveness(
+    heartbeat_path: str, sleeptime_s: float = 20.0, grace_s: float = 600.0
+) -> bool:
+    """Heartbeat freshness check (reference: liveness:7-21): healthy iff
+    the heartbeat file was written within 2·sleeptime + grace seconds."""
+    import os
+
+    try:
+        age = time.time() - os.path.getmtime(heartbeat_path)
+    except OSError:
+        return False
+    return age <= 2 * sleeptime_s + grace_s
+
+
 def watermark_windowed_counts(
     events: DataFrame, delay: str = "10 minutes", window: str = "1 hour"
 ) -> DataFrame:

@@ -58,6 +58,21 @@ def test_cdc_file_stream_applies_batch(spark):
     assert all(s.status == "S" for batch in drv.statuses for s in batch)
 
 
+def test_check_liveness_staleness_bound():
+    import time
+
+    from py_etl_spark.streaming.stream import check_liveness
+
+    p = tempfile.mktemp()
+    assert check_liveness(p) is False  # missing heartbeat = dead
+    with open(p, "w") as f:
+        f.write("x")
+    assert check_liveness(p) is True
+    os.utime(p, (time.time() - 700, time.time() - 700))
+    assert check_liveness(p) is False        # 700s > 2·20 + 600
+    assert check_liveness(p, grace_s=1000) is True
+
+
 def test_watermark_windowed_counts_batch_equivalence(spark):
     ev = spark.createDataFrame(
         [(1, "2024-01-01 00:05:00"), (2, "2024-01-01 00:40:00"), (3, "2024-01-01 01:10:00")],
