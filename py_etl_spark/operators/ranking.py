@@ -1,0 +1,172 @@
+"""Scale-safe total ordering / partition-boundary operators.
+
+The reference computes keyset partition boundaries by walking every 1000th
+primary key in a sorted scan (etl.py:446-457) and renders dumps in one
+global order. On Spark, a ``row_number()``/``ntile()`` window with no
+PARTITION BY funnels the whole table through a single partition — correct,
+but a scale-killer at 100 TB. This module provides the distributed
+equivalents:
+
+- :func:`with_global_position` — exact global rank via the zipWithIndex
+  pattern: deterministic range buckets + per-bucket window + driver-side
+  cumulative offsets (driver traffic is O(num_buckets) ints, never rows).
+- :func:`exact_ntile_boundaries` — exact ``ntile(k)`` upper bounds as order
+  statistics over :func:`with_global_position` (matches the SQL ``ntile``
+  oracle bit-for-bit).
+- :func:`approx_partition_boundaries` — the production path for the
+  reference's every-Nth-PK use case: ``approxQuantile`` range bounds, one
+  pass, no total sort at all.
+
+Determinism note: we do NOT use ``repartitionByRange`` for the bucket
+assignment. RangePartitioner re-samples per physical planning, so two jobs
+over the same lazy plan can disagree on boundaries; instead the bucket id
+is a pure expression over the row's own sort key (struct comparisons
+against literal boundaries), so recomputation is always consistent and no
+persist/checkpoint is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "with_global_position",
+    "exact_ntile_boundaries",
+    "approx_partition_boundaries",
+]
+
+
+def _key_struct(order_cols: list[Column]) -> Column:
+    return F.struct(*[c.alias(f"k{i}") for i, c in enumerate(order_cols)])
+
+
+def _lit_struct(values) -> Column:
+    return F.struct(*[F.lit(v).alias(f"k{i}") for i, v in enumerate(values)])
+
+
+def with_global_position(
+    df: DataFrame,
+    order_cols: list[Column],
+    position_col: str = "position",
+    num_buckets: int = 32,
+    sample_per_bucket: int = 200,
+    seed: int = 42,
+) -> DataFrame:
+    """Exact 1-based global rank by ``order_cols`` without a global window.
+
+    zipWithIndex pattern, all-DataFrame:
+
+    1. sample ≤ ``num_buckets * sample_per_bucket`` sort keys to the driver
+       and pick ``num_buckets - 1`` range boundaries;
+    2. assign each row a bucket id with a deterministic struct-comparison
+       expression (pure function of the row — safe to recompute);
+    3. ``row_number()`` windowed PER BUCKET (no exchange-to-one);
+    4. bucket counts (≤ ``num_buckets`` ints) → cumulative offsets,
+       broadcast-joined back.
+
+    Ties across bucket boundaries are fine as long as ``order_cols`` is a
+    total order (include a unique tiebreaker column).
+    """
+    key = _key_struct(order_cols)
+    tagged = df.withColumn("__key", key)
+
+    n = tagged.count()
+    if n == 0:
+        return df.withColumn(position_col, F.lit(None).cast("long"))
+
+    target = num_buckets * sample_per_bucket
+    fraction = min(1.0, target / n)
+    sampled = sorted(
+        r["__key"] for r in tagged.select("__key").sample(fraction, seed=seed).collect()
+    )
+    boundaries = []
+    if sampled and num_buckets > 1:
+        step = len(sampled) / num_buckets
+        seen = set()
+        for i in range(1, num_buckets):
+            b = tuple(sampled[min(int(i * step), len(sampled) - 1)])
+            if b not in seen:
+                seen.add(b)
+                boundaries.append(b)
+
+    pid = F.lit(0)
+    for b in boundaries:
+        pid = pid + F.when(F.col("__key") > _lit_struct(b), 1).otherwise(0)
+    bucketed = tagged.withColumn("__pid", pid)
+
+    w = Window.partitionBy("__pid").orderBy(F.col("__key"))
+    local = bucketed.withColumn("__local", F.row_number().over(w))
+
+    # Bucket counts: ≤ num_buckets rows — driver-side metadata, like
+    # approxQuantile's result, not a data collect.
+    counts = bucketed.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt")).collect()
+    offsets, acc = [], 0
+    for row in sorted(counts, key=lambda r: r["__pid"]):
+        offsets.append((row["__pid"], acc))
+        acc += row["__cnt"]
+    off_df = df.sparkSession.createDataFrame(offsets, "__pid INT, __off BIGINT")
+
+    return (
+        local.join(F.broadcast(off_df), "__pid")
+        .withColumn(position_col, (F.col("__off") + F.col("__local")).cast("long"))
+        .drop("__pid", "__key", "__local", "__off")
+    )
+
+
+def exact_ntile_boundaries(
+    df: DataFrame,
+    order_col: str,
+    k: int = 32,
+    tile_col: str = "tile",
+    bound_col: str = "upper_bound",
+) -> DataFrame:
+    """Exact ``ntile(k)`` upper bounds, fully distributed.
+
+    ``ntile(k)`` over N rows gives the first ``N % k`` tiles ``N//k + 1``
+    rows and the rest ``N//k``; the upper bound of tile *i* is therefore the
+    order statistic at the cumulative tile size. We compute global positions
+    with :func:`with_global_position` and keep only the ≤ k boundary rows.
+    Matches ``SELECT tile, max(x) ... GROUP BY ntile(k)`` bit-for-bit.
+
+    Reference semantics: etl.py:446-457 (every-1000th-PK keyset bounds).
+    """
+    n = df.count()
+    if n == 0:
+        return df.sparkSession.createDataFrame(
+            [], f"{tile_col} BIGINT, {bound_col} BIGINT"
+        )
+    q, r = divmod(n, k)
+    cum, bounds = 0, []
+    for i in range(1, k + 1):
+        size = q + (1 if i <= r else 0)
+        if size == 0:
+            continue
+        cum += size
+        bounds.append((cum, i))
+    bounds_df = df.sparkSession.createDataFrame(bounds, "position BIGINT, tile BIGINT")
+
+    ranked = with_global_position(
+        df.select(order_col), [F.col(order_col)], position_col="position"
+    )
+    return (
+        ranked.join(F.broadcast(bounds_df), "position")
+        .select(
+            F.col("tile").alias(tile_col),
+            F.col(order_col).cast("long").alias(bound_col),
+        )
+    )
+
+
+def approx_partition_boundaries(
+    df: DataFrame, col: str, k: int = 32, relative_error: float = 0.001
+) -> list[float]:
+    """Production path for keyset range bounds: one ``approxQuantile`` pass
+    (Greenwald-Khanna sketch, no sort, no shuffle of data rows), returning
+    ``k - 1`` interior bounds. The reference's every-1000th-PK walk
+    (etl.py:446-457) needs bounds that *roughly* equalize work per range —
+    approximate quantiles are exactly that, at 100 TB for the cost of a
+    single scan.
+    """
+    probs = [i / k for i in range(1, k)]
+    return df.stat.approxQuantile(col, probs, relative_error)

@@ -4,7 +4,9 @@ from py_etl_spark.plans.explain import (  # noqa: F401
     broadcast_join_count,
     executed_plan,
     has_pushed_filters,
+    node_count,
     scan_read_schema,
     shuffle_count,
+    single_partition_exchange_count,
     wholestage_codegen_spans,
 )

@@ -60,6 +60,20 @@ def shuffle_count(df: DataFrame) -> int:
     return len(_node_ids(plan, "Exchange"))
 
 
+def single_partition_exchange_count(df: DataFrame) -> int:
+    """Number of exchange-to-one-partition operators — the global-sort /
+    global-window scale-killer. Zero for every data-plane operator; a
+    non-zero count means all rows funnel through a single task."""
+    plan = executed_plan(df)
+    return len(re.findall(r"Exchange SinglePartition", plan))
+
+
+def node_count(df: DataFrame, node: str) -> int:
+    """Distinct instances of a physical node type (e.g. 'Window',
+    'TakeOrderedAndProject') in the formatted plan."""
+    return len(_node_ids(executed_plan(df), node))
+
+
 def wholestage_codegen_spans(df: DataFrame) -> int:
     """Number of whole-stage-codegen subtrees.
 

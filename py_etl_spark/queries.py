@@ -23,7 +23,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from py_etl_spark.operators import dedup, similarity, textstats
+from py_etl_spark.operators import dedup, ranking, similarity, textstats
 from py_etl_spark.operators.merge import MergePolicy, scd1_merge
 from py_etl_spark.schemas import load_table
 
@@ -97,23 +97,20 @@ def q1_pricing_summary(spark, sf_dir):
 @query(
     "q3_shipping_priority",
     """
-    WITH rev AS (
-      SELECT l_orderkey,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-      FROM customer
-      JOIN orders   ON c_custkey = o_custkey
-      JOIN lineitem ON l_orderkey = o_orderkey
-      WHERE c_mktsegment = 'BUILDING'
-        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-        AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
-      GROUP BY l_orderkey
-    )
-    SELECT l_orderkey, revenue,
-           CAST(row_number() OVER (ORDER BY revenue DESC, l_orderkey) AS BIGINT) AS rk
-    FROM rev
-    QUALIFY rk <= 10
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
     """,
-    note="TPC-H Q3 shape: 3-way join → agg → deterministic top-k",
+    note="TPC-H Q3 shape: 3-way join → agg → deterministic top-k "
+         "(TakeOrderedAndProject; no single-partition window)",
 )
 def q3_shipping_priority(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -133,11 +130,11 @@ def q3_shipping_priority(spark, sf_dir):
             ).alias("revenue")
         )
     )
-    w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
-    return (
-        rev.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= 10)
-    )
+    # Top-k via orderBy+limit => TakeOrderedAndProject: each partition keeps
+    # its local top 10, the driver merges 10*numPartitions rows. Fully
+    # distributed, unlike a row_number() window with no PARTITION BY (which
+    # funnels every aggregated row through one partition).
+    return rev.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10)
 
 
 @query(
@@ -657,15 +654,14 @@ def a4_duplicate_key_detection(spark, sf_dir):
           FROM orders)
     GROUP BY tile
     """,
-    note="A5: keyset partition-boundary computation (reference: every-1000th PK)",
+    note="A5: keyset partition-boundary computation (reference: every-1000th PK). "
+         "Distributed-exact ntile: order statistics at cumulative tile sizes via "
+         "range-bucketed ranking (operators.ranking), no global window. "
+         "Production path for this use case is ranking.approx_partition_boundaries.",
 )
 def a5_partition_boundaries(spark, sf_dir):
-    w = Window.orderBy("o_orderkey")
-    return (
-        _t(spark, sf_dir, "orders")
-        .select("o_orderkey", F.ntile(32).over(w).cast("long").alias("tile"))
-        .groupBy("tile")
-        .agg(F.max("o_orderkey").alias("upper_bound"))
+    return ranking.exact_ntile_boundaries(
+        _t(spark, sf_dir, "orders"), "o_orderkey", k=32
     )
 
 
@@ -731,13 +727,15 @@ def w2_retry_escalation(spark, sf_dir):
            CAST(row_number() OVER (ORDER BY lower(source), doc_id) AS BIGINT) AS position
     FROM documents
     """,
-    note="O2/O3: case-insensitive deterministic ordering (golden-dump contract)",
+    note="O2/O3: case-insensitive deterministic ordering (golden-dump contract). "
+         "Range-partitioned global rank (zipWithIndex pattern) — no "
+         "exchange-to-one; driver sees only bucket counts.",
 )
 def o2_case_insensitive_sort(spark, sf_dir):
-    w = Window.orderBy(F.lower("source"), "doc_id")
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.row_number().over(w).cast("long").alias("position")
-    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return ranking.with_global_position(
+        docs, [F.lower("source"), F.col("doc_id")], position_col="position"
+    ).select("doc_id", "source", "position")
 
 
 # =========================================================================

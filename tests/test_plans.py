@@ -12,8 +12,10 @@ import py_etl_spark.queries as Q
 from py_etl_spark.plans import (
     broadcast_join_count,
     has_pushed_filters,
+    node_count,
     scan_read_schema,
     shuffle_count,
+    single_partition_exchange_count,
 )
 from tests.conftest import SF_MED
 
@@ -77,6 +79,27 @@ def test_scan_projection_is_codegen(spark):
     # AQE hides subtree counts for multi-stage plans pre-execution; a plain
     # scan+project must still report ≥1 codegen span (no interpreted path).
     assert wholestage_codegen_spans(df) >= 1
+
+
+def test_q3_topk_is_take_ordered_not_global_window(spark):
+    df = Q.REGISTRY["q3_shipping_priority"].fn(spark, SF_MED)
+    # top-10 must be TakeOrderedAndProject (per-partition top-k + driver
+    # merge), never a row_number() window with no PARTITION BY
+    assert node_count(df, "TakeOrderedAndProject") == 1
+    assert node_count(df, "Window") == 0
+    assert single_partition_exchange_count(df) == 0
+
+
+def test_o2_global_rank_no_exchange_to_one(spark):
+    df = Q.REGISTRY["o2_case_insensitive_sort"].fn(spark, SF_MED)
+    # zipWithIndex pattern: windows are partitioned by range bucket; no
+    # operator funnels all rows into one partition
+    assert single_partition_exchange_count(df) == 0
+
+
+def test_a5_boundaries_no_exchange_to_one(spark):
+    df = Q.REGISTRY["a5_partition_boundaries"].fn(spark, SF_MED)
+    assert single_partition_exchange_count(df) == 0
 
 
 def test_minhash_signature_single_shuffle_per_stage(spark):
