@@ -99,11 +99,17 @@ def exploded_shingles(
     )
 
 
-def _base_hash(col):
-    """32-bit base hash of a shingle: xxhash64 (JVM-native, codegen'd)
-    folded to 32 bits so the affine permutations can't overflow a long.
-    (md5-based hashing is ~6× slower here; portable-hash variants belong in
-    oracle-checked operators like fingerprint_md5.)"""
+def _base_hash(col, family: str = "xxhash64"):
+    """32-bit base hash of a shingle.
+
+    - ``xxhash64`` (production): JVM-native, codegen'd, folded to 32 bits so
+      the affine permutations can't overflow a long.
+    - ``md5`` (portable): first 8 hex chars of md5 — reproducible in any
+      engine (DuckDB: ``('0x' || substr(md5(x),1,8))::BIGINT``), used by the
+      oracle-checked registry queries. ~6× slower; same plan shape.
+    """
+    if family == "md5":
+        return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
     return F.pmod(F.xxhash64(col), F.lit(1 << 32)).cast("long")
 
 
@@ -114,6 +120,7 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_k: int = 3,
     seed: int = 42,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per doc: array<long> of length ``num_hashes``.
 
@@ -132,7 +139,7 @@ def minhash_signatures(
     # signature. Scales linearly in corpus size. Duplicate shingles don't
     # affect min(), so no distinct pass is needed.
     exploded = exploded_shingles(df, text_col, id_col, shingle_k).select(
-        id_col, _base_hash(F.col("shingle")).alias("h")
+        id_col, _base_hash(F.col("shingle"), hash_family).alias("h")
     )
     aggs = [
         F.min((F.col("h") * a + b) % _MERSENNE).alias(f"mh_{i}")
@@ -153,31 +160,58 @@ def minhash_lsh_candidates(
     bands: int = 8,
     shingle_k: int = 3,
     seed: int = 42,
+    hash_family: str = "xxhash64",
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via LSH banding.
 
     Shuffle key = (band, hash-of-band-slice): only docs agreeing on a full
     band co-locate. Returns distinct (id_a < id_b) candidate pairs.
+
+    **Skew guard**: a degenerate bucket (e.g. every empty/boilerplate doc
+    hashing identically) turns the self-join into O(n²) on one task. Buckets
+    larger than ``max_bucket_size`` are dropped before the join (one window
+    count on the join key — no extra shuffle). Members of a dropped bucket
+    are near-identical to each other, so they still pair up in their other
+    ``bands - 1`` buckets, and true full duplicates are exact-dedup's job
+    (:func:`exact_duplicates`), not LSH's. ``None`` disables the cap.
+
+    With ``hash_family="md5"`` the bucket key is the raw band slice (an
+    array equi-join key) instead of its xxhash64 — collision-free and
+    reproducible in the cross-engine oracle; the production path keeps the
+    compact 8-byte bucket hash for the shuffle.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed)
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_k, seed, hash_family
+    )
+
+    def band_key(b):
+        vals = [
+            F.element_at("minhash", b * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ]
+        if hash_family == "md5":
+            return F.array(*vals).alias("bucket")
+        return F.xxhash64(*vals).alias("bucket")
+
     banded = sigs.select(
         id_col,
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(
-                        *[
-                            F.element_at("minhash", b * rows_per_band + r + 1)
-                            for r in range(rows_per_band)
-                        ]
-                    ).alias("bucket"),
-                )
-                for b in range(bands)
+                F.struct(F.lit(b).alias("band"), band_key(b)) for b in range(bands)
             ])
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        from pyspark.sql import Window as W
+
+        bucket_n = F.count(F.lit(1)).over(W.partitionBy("band", "bucket"))
+        banded = (
+            banded.withColumn("__bn", bucket_n)
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
     lhs = banded.alias("l")
     rhs = banded.alias("r")
     return (
@@ -230,23 +264,29 @@ def ngram_jaccard_pairs(
 
 
 def simhash64(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash per doc from word-shingle md5 bits, map-side only.
+    """60-bit SimHash per doc from token hashes, map-side only.
 
-    For each of 64 bit positions, sum ±1 over shingle hashes; sign → bit.
-    Expressed with array ops (no UDF): per shingle take md5 → two 32-bit
-    halves → per-position bit test.
+    For each bit position, sum ±1 over token hashes; sign → bit.
+
+    ``hash_family``: ``xxhash64`` (production, JVM codegen'd, masked to 60
+    bits) or ``md5`` (portable: first 15 hex chars — reproducible in DuckDB
+    as ``('0x' || substr(md5(tok),1,15))::BIGINT`` for the oracle).
     """
-    # explode tokens → 60-bit hash (xxhash64 masked) → per-bit ±1 votes
-    # aggregated map-side; same shuffle shape as minhash. (Unigram shingles
-    # ⇒ plain posexplode, no window needed; simhash counts multiplicity.)
+    # explode tokens → 60-bit hash → per-bit ±1 votes aggregated map-side;
+    # same shuffle shape as minhash. (Unigram shingles ⇒ plain explode, no
+    # window needed; simhash counts multiplicity.)
+    if hash_family == "md5":
+        h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(F.col("tok")).bitwiseAND(F.lit((1 << 60) - 1))
     exploded = df.select(
         F.col(id_col), F.explode(_norm_tokens(text_col)).alias("tok")
-    ).select(
-        id_col,
-        F.xxhash64(F.col("tok")).bitwiseAND(F.lit((1 << 60) - 1)).alias("h"),
-    )
+    ).select(id_col, h.alias("h"))
     votes = [
         F.sum(
             F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -263,10 +303,17 @@ def simhash64(
 
 
 def simhash_candidates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", chunks: int = 4
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunks: int = 4,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Hamming-≤(chunks-1) candidates by banding the simhash into chunks
-    (pigeonhole: close signatures share at least one exact chunk)."""
+    (pigeonhole: close signatures share at least one exact chunk).
+
+    Same hot-bucket cap as :func:`minhash_lsh_candidates` — a degenerate
+    chunk value shared by n docs would otherwise make an O(n²) task."""
     sigs = simhash64(df, text_col, id_col)
     width = 60 // chunks
     mask = (1 << width) - 1
@@ -282,6 +329,15 @@ def simhash_candidates(
             ])
         ).alias("cc"),
     ).select(id_col, "cc.chunk", "cc.piece")
+    if max_bucket_size is not None:
+        from pyspark.sql import Window as W
+
+        n = F.count(F.lit(1)).over(W.partitionBy("chunk", "piece"))
+        banded = (
+            banded.withColumn("__bn", n)
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
     l, r = banded.alias("l"), banded.alias("r")
     return (
         l.join(

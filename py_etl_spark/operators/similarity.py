@@ -75,6 +75,21 @@ def cosine_topk_bruteforce(
     return out
 
 
+def hyperplane_coords(
+    dim: int, planes: int, seed: int = 42, integer_planes: bool = False
+) -> list[list[float]]:
+    """Deterministic hyperplane coordinates shared by the Spark path and
+    the SQL oracle generator."""
+    import random
+
+    rng = random.Random(seed)
+    if integer_planes:
+        return [
+            [float(rng.randint(-9, 9)) for _ in range(dim)] for _ in range(planes)
+        ]
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)]
+
+
 def hyperplane_lsh_buckets(
     df: DataFrame,
     dim: int,
@@ -82,15 +97,16 @@ def hyperplane_lsh_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    integer_planes: bool = False,
 ) -> DataFrame:
     """Random-hyperplane LSH: sign pattern over ``planes`` hyperplanes →
-    bucket id. Map-side only; equal vectors share buckets w.h.p."""
-    import random
+    bucket id. Map-side only; equal vectors share buckets w.h.p.
 
-    rng = random.Random(seed)
-    hyperplanes = [
-        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)
-    ]
+    ``integer_planes=True`` draws seeded integer coordinates instead of
+    Gaussians — same locality property (only the hyperplane's direction
+    matters), but reproducible as literal arrays in an ANSI-SQL oracle
+    (see :func:`hyperplane_coords`)."""
+    hyperplanes = hyperplane_coords(dim, planes, seed, integer_planes)
     bucket = F.lit(0).cast("long")
     for i, hp in enumerate(hyperplanes):
         plane = F.array(*[F.lit(w) for w in hp])
@@ -110,14 +126,19 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    integer_planes: bool = False,
 ) -> DataFrame:
     """Approximate top-k: only corpus vectors in the query's LSH bucket are
     scored. Equi-join on bucket replaces the cross product — the 100 TB
     path (recall traded via ``planes``)."""
-    qb = hyperplane_lsh_buckets(queries, dim, planes, id_col, vec_col, seed).select(
+    qb = hyperplane_lsh_buckets(
+        queries, dim, planes, id_col, vec_col, seed, integer_planes
+    ).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket"
     )
-    cb = hyperplane_lsh_buckets(corpus, dim, planes, id_col, vec_col, seed).select(
+    cb = hyperplane_lsh_buckets(
+        corpus, dim, planes, id_col, vec_col, seed, integer_planes
+    ).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "bucket"
     )
     scored = cb.join(F.broadcast(qb), "bucket").filter(

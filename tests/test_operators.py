@@ -42,6 +42,56 @@ def test_minhash_lsh_finds_near_dup(spark):
     assert (1, 2) in pairs  # near-dup shares most shingles
 
 
+def test_lsh_hot_bucket_cap_bounds_degenerate_corpus(spark):
+    # 400 identical docs: without the cap the banded self-join would emit
+    # ~80k pairs from one bucket per band. With the cap the degenerate
+    # buckets are dropped entirely (exact dedup owns full duplicates) while
+    # distinct near-dups still pair up.
+    rows = [(i, "all work and no play makes jack a dull boy") for i in range(400)]
+    rows += [
+        (1000, "the quick brown fox jumps over the lazy dog"),
+        (1001, "the quick brown fox jumps over the lazy cat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_candidates(
+            df, num_hashes=32, bands=16, max_bucket_size=100
+        ).collect()
+    }
+    assert (1000, 1001) in pairs
+    assert len(pairs) <= 2  # degenerate bucket contributed nothing
+
+    sim_pairs = dedup.simhash_candidates(df, max_bucket_size=100).count()
+    assert sim_pairs <= 4
+
+    # and the uncapped path on a small corpus still finds everything
+    groups = dedup.exact_duplicates(df).filter(F.col("n_docs") > 1).collect()
+    assert groups[0].n_docs == 400
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    from py_etl_spark.schemas import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk_bruteforce(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk_lsh(
+            emb, queries, dim=64, k=5, planes=2, integer_planes=True
+        ).collect()
+    }
+    # 2 hyperplanes ⇒ 4 buckets ⇒ each query scores ~1/4 of the corpus;
+    # recall@5 must beat random by a wide margin
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4
+
+
 def test_ngram_jaccard(spark):
     pairs = {
         (r.id_a, r.id_b): r.jaccard

@@ -58,8 +58,13 @@ def table_digest(rows, colnames) -> str:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--json", default=None,
+        help="write driver-style per-query records to this path",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
+    records: dict[str, dict] = {}
 
     spark = get_spark("correctness", cpus=16, shuffle_partitions=16)
     con = duckdb.connect()
@@ -83,10 +88,15 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
             failures.append(name)
+            records[name] = {"rows_match": None, "schema_match": None,
+                             "hash_match": None, "err": f"spark: {e}"[:200]}
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             n_rows_only += 1
+            records[name] = {"rows_match": None, "schema_match": None,
+                             "hash_match": None, "spark_rows": len(srows),
+                             "err": "no_oracle"}
             continue
         try:
             res = con.execute(oracles[name])
@@ -96,6 +106,9 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb error: {str(e).splitlines()[0]}")
             n_fail += 1
             failures.append(name)
+            records[name] = {"rows_match": None, "schema_match": None,
+                             "hash_match": None,
+                             "err": f"duckdb: {str(e).splitlines()[0]}"[:200]}
             continue
         problems = []
         if len(srows) != len(drows):
@@ -120,6 +133,15 @@ def main() -> int:
                 only_d = list(dset - sset)[:3]
                 problems.append(f"spark-only sample: {only_s}")
                 problems.append(f"duck-only sample: {only_d}")
+        records[name] = {
+            "rows_match": len(srows) == len(drows),
+            "schema_match": sorted(c.lower() for c in scols)
+            == sorted(c.lower() for c in dcols),
+            "hash_match": not problems,
+            "spark_rows": len(srows),
+            "oracle_rows": len(drows),
+            "err": "; ".join(problems)[:200] if problems else None,
+        }
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
             n_fail += 1
@@ -127,6 +149,11 @@ def main() -> int:
         else:
             print(f"ok    {name}: {len(srows)} rows hash-match [{time.time()-t0:.1f}s]")
             n_pass += 1
+    if args.json:
+        import json
+
+        with open(args.json, "w") as fh:
+            json.dump(records, fh, indent=2)
     print(
         f"\n{n_pass} hash-match, {n_rows_only} rows-only, {n_fail} FAIL"
         + (f": {failures}" if failures else "")
