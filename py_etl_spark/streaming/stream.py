@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from py_etl_spark.operators.refsync import SyncConfig, cdc_apply
 from py_etl_spark.schemas import EVENTLOG_SCHEMA
+from py_etl_spark.streaming.state_store import VersionedState
 
 
 @dataclass
@@ -38,9 +39,11 @@ class StreamResult:
 class CdcStreamDriver:
     """Runs the CDC kernel over a stream of eventlog micro-batches.
 
-    State lives as a Parquet table rewritten per batch (Parquet has no
-    in-place update; the state is partitioned by ``instance`` so only
-    touched partitions rewrite at scale).
+    State lives in a :class:`VersionedState` store: every batch writes the
+    next version to a fresh directory (fully distributed — state rows never
+    pass through the driver) and publishes it with an atomic manifest
+    append; superseded versions are garbage-collected. A pre-existing plain
+    Parquet table at ``state_path`` is migrated to version 0 on first use.
     """
 
     def __init__(
@@ -51,15 +54,38 @@ class CdcStreamDriver:
         instance: str,
         cfg: SyncConfig | None = None,
         heartbeat_path: str | None = None,
+        keep_versions: int = 2,
     ):
         self.spark = spark
         self.users = users
         self.state_path = state_path
+        self.store = VersionedState(
+            spark, state_path, partition_by=("instance",), keep_versions=keep_versions
+        )
         self.instance = instance
         self.cfg = cfg or SyncConfig()
         self.heartbeat_path = heartbeat_path
         self.statuses: list = []
         self.batches = 0
+        self._migrate_legacy_layout()
+
+    def _migrate_legacy_layout(self) -> None:
+        """One-time: adopt a plain Parquet table at ``state_path`` as v=0
+        (distributed read → distributed write; no driver round-trip)."""
+        if self.store.exists():
+            return
+        try:
+            legacy = self.spark.read.parquet(self.state_path)
+        except Exception:
+            return  # empty/new store: first commit will create v=0
+        self.store.commit(legacy, {"migrated": True})
+        # Retire the legacy files so a partition-discovering read of the
+        # root can't see two copies (the commit above already scanned them).
+        Path, fs = self.store._Path, self.store._fs
+        for st in fs.listStatus(Path(self.state_path)):
+            name = st.getPath().getName()
+            if not (name.startswith("v=") or name.startswith("_")):
+                fs.delete(st.getPath(), True)
 
     def _beat(self) -> None:
         if self.heartbeat_path:
@@ -67,7 +93,7 @@ class CdcStreamDriver:
                 json.dump({"ts": time.time(), "batches": self.batches}, f)
 
     def process_batch(self, events: DataFrame, batch_id: int) -> None:
-        state = self.spark.read.parquet(self.state_path)
+        state = self.store.read()
         cfg = SyncConfig(
             key=self.cfg.key,
             iv_hex=self.cfg.iv_hex,
@@ -76,14 +102,17 @@ class CdcStreamDriver:
             else f"{self.cfg.batch_ts}-{batch_id}",
         )
         new_state, statuses = cdc_apply(state, self.users, events, self.instance, cfg)
-        # materialize before overwrite (read+overwrite of the same path)
-        rows = new_state.collect()
+        # Statuses are the per-event acks (bounded by the batch rate cap) —
+        # the only thing the driver materializes. The state itself goes
+        # executor → parquet v=<n+1>, published by the manifest append.
         self.statuses.append(statuses.collect())
-        self.spark.createDataFrame(rows, new_state.schema).write.mode(
-            "overwrite"
-        ).partitionBy("instance").parquet(self.state_path)
+        self.store.commit(new_state, {"batch_id": batch_id})
         self.batches += 1
         self._beat()
+
+    def read_state(self) -> DataFrame:
+        """Current committed state (manifest-resolved version)."""
+        return self.store.read()
 
     def run_file_stream(
         self,

@@ -49,13 +49,61 @@ def test_cdc_file_stream_applies_batch(spark):
     assert drv.batches == 1
     assert json.load(open(hb))["batches"] == 1
     # eventlog01 targets uid 4714 — its etlTimestamp moved in ph08
-    post = spark.read.parquet(state_path)
+    post = drv.read_state()
     row = post.filter(
         (F.col("phonlineUniqueId") == "4714") & (F.col("instance") == "ph08")
     ).first()
     assert row is not None and row.etlTimestamp.endswith("0000Z")
     # statuses recorded S for the processed events
     assert all(s.status == "S" for batch in drv.statuses for s in batch)
+
+
+def test_versioned_state_store_commit_gc_and_no_driver_materialization(spark):
+    import inspect
+
+    from py_etl_spark.streaming.state_store import VersionedState
+    from py_etl_spark.streaming.stream import CdcStreamDriver
+
+    tmp = tempfile.mkdtemp()
+    store = VersionedState(spark, os.path.join(tmp, "st"), partition_by=(), keep_versions=2)
+    assert not store.exists()
+    df = spark.range(5).withColumnRenamed("id", "k")
+    v0 = store.commit(df, {"batch_id": 0})
+    assert v0 == 0 and store.current_version() == 0
+    assert store.read().count() == 5
+
+    # three more commits: GC must keep only the newest 2 versions on disk
+    for i in range(1, 4):
+        store.commit(spark.range(5 + i).withColumnRenamed("id", "k"), {"batch_id": i})
+    assert store.current_version() == 3
+    assert store.read().count() == 8
+    vdirs = sorted(d for d in os.listdir(os.path.join(tmp, "st")) if d.startswith("v="))
+    assert vdirs == ["v=2", "v=3"]
+
+    # the batch kernel must never round-trip state rows through the driver
+    src = inspect.getsource(CdcStreamDriver.process_batch)
+    assert "new_state.collect" not in src and "createDataFrame" not in src
+
+
+def test_versioned_state_migrates_legacy_parquet(spark):
+    tmp = tempfile.mkdtemp()
+    path = os.path.join(tmp, "state")
+    df = spark.createDataFrame(
+        [("a", "ph08"), ("b", "ph15")], "dn string, instance string"
+    )
+    df.write.partitionBy("instance").parquet(path)
+
+    users = spark.createDataFrame([("x",)], "cn string")
+    drv = CdcStreamDriver(spark, users, path, "ph08")
+    assert drv.store.current_version() == 0
+    assert {r.dn for r in drv.read_state().collect()} == {"a", "b"}
+    # legacy partition dirs were retired; only v=* and _manifest remain
+    names = set(os.listdir(path))
+    # (dot-files are Hadoop LocalFS checksum shadows — invisible to
+    # listStatus, harmless to Spark's partition discovery)
+    assert all(
+        n.startswith("v=") or n.startswith("_") or n.startswith(".") for n in names
+    )
 
 
 def test_check_liveness_staleness_bound():
