@@ -11,7 +11,7 @@ userPassword redacted to its scheme prefix, etl/etd timestamps ignored.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from py_etl_spark.schemas import STATE_SCHEMA
@@ -69,17 +69,29 @@ def _dfs_key(dn: str) -> tuple[str, ...]:
     return tuple(c.lower() for c in reversed(dn.split(",")))
 
 
+def _scope(state: DataFrame, base_dn: str) -> DataFrame:
+    return state.filter(
+        (F.col("dn") == base_dn) | F.col("dn").endswith("," + base_dn)
+    )
+
+
+def dfs_key_col(dn_col: Column) -> Column:
+    """The DFS-preorder sort key as a Column: reversed dn components,
+    lowercased — array ordering in Spark is elementwise like Python's
+    tuple ordering, so ``orderBy(dfs_key_col(dn))`` reproduces
+    :func:`_dfs_key`'s driver-side sort exactly."""
+    return F.reverse(F.split(F.lower(dn_col), ","))
+
+
 def dump_tree(state: DataFrame, base_dn: str) -> list[str]:
     """Golden-format dump of the subtree rooted at ``base_dn``.
 
-    The sort/format runs driver-side over the *scoped* subtree — the dump
-    is a test oracle for bounded trees, not a data-plane operator; the
-    distributed path would be ``orderBy(dfs_key)`` + streaming write.
+    The sort/format runs driver-side over the *scoped* subtree — a test
+    oracle for bounded trees. The data-plane path is
+    :func:`dump_tree_stream` (distributed range-partitioned sort +
+    partition-at-a-time streaming to the sink).
     """
-    scoped = state.filter(
-        (F.col("dn") == base_dn) | F.col("dn").endswith("," + base_dn)
-    )
-    rows = scoped.collect()
+    rows = _scope(state, base_dn).collect()
     rows.sort(key=lambda r: _dfs_key(r["dn"]))
     lines = [entry_line(r) for r in rows]
     return lines + ["", "", f"Count: {len(rows)}"]
@@ -87,6 +99,27 @@ def dump_tree(state: DataFrame, base_dn: str) -> list[str]:
 
 def dump_to_string(state: DataFrame, base_dn: str) -> str:
     return "\n".join(dump_tree(state, base_dn)) + "\n"
+
+
+def dump_tree_stream(state: DataFrame, base_dn: str, out) -> int:
+    """Distributed golden dump: total order via Spark's range-partitioned
+    sort (each partition sorts in parallel; partitions are ordered ranges),
+    then ``toLocalIterator`` renders one partition at a time into ``out`` —
+    the driver holds a single partition, never the tree. Byte-identical to
+    :func:`dump_tree`. Returns the entry count (caller writes no footer
+    twice)."""
+    ordered = (
+        _scope(state, base_dn)
+        .withColumn("__k", dfs_key_col(F.col("dn")))
+        .orderBy("__k")
+        .drop("__k")
+    )
+    count = 0
+    for row in ordered.toLocalIterator():
+        out.write(entry_line(row) + "\n")
+        count += 1
+    out.write(f"\n\nCount: {count}\n")
+    return count
 
 
 def compare_trees(

@@ -132,15 +132,23 @@ def sync_users_into_state(
     skip_attrs: set[str] = frozenset(),
     collect_writethrough: bool = False,
 ):
-    """The shared upsert kernel. Returns (new_state, renames_df, wt_df).
+    """The shared upsert kernel. Returns (new_state, renames_df, wt_df,
+    errors_df).
 
     renames_df: (oldcn, newcn) pairs where a matched entry changed its key.
     wt_df (if requested): per-entry changed write-through values.
+    errors_df: (cn, uid, error) entries the reference refuses to sync —
+    a tombstoned cn-match holding a different pk_uniqueid
+    (etl.py:950-957) and ambiguous >1 uid-fallback matches
+    (etl.py:961-968); callers route these to status 'E'.
     """
     scope = state.filter(_user_scope(state, instance))
     others = state.filter(~_user_scope(state, instance))
 
-    e = entries.alias("e")
+    # input order tag: the reference applies rows sequentially so the LAST
+    # row targeting a dn wins (etl.py:675-678 duplicate-cn tolerance);
+    # monotonically_increasing_id preserves source order within the batch.
+    e = entries.withColumn("__ord", F.monotonically_increasing_id()).alias("e")
     # -- match 1: by cn (dn is cn=<cn>,<base>, unique per instance)
     s1 = scope.alias("s1")
     m1 = e.join(s1, F.col("e.cn") == F.col("s1.cn"), "left")
@@ -169,6 +177,13 @@ def sync_users_into_state(
 
     matched = sv("dn").isNotNull()
     ambiguous = F.col("s1.dn").isNull() & (F.coalesce(F.col("u.__uid_n"), F.lit(0)) > 1)
+    # A tombstoned cn-match with a DIFFERENT pk_uniqueid is an error, not a
+    # resurrection — the reference refuses the sync (etl.py:950-957).
+    deleted_conflict = (
+        F.col("s1.dn").isNotNull()
+        & F.col("s1.idnDeleted").isNotNull()
+        & ~F.col("e.phonlineUniqueId").eqNullSafe(F.col("s1.phonlineUniqueId"))
+    )
 
     # -- per-attribute result: entry value wins (None deletes the attr)
     pw_changed, pw_final = _pw_exprs(cfg, sv("idnDistributionPassword"), F.col("e.__pw_plain"))
@@ -233,7 +248,7 @@ def sync_users_into_state(
             expr = F.col(f"e.{c}")
         out_cols.append(expr.cast(dict((f.name, f.dataType) for f in STATE_SCHEMA.fields)[c]).alias(c))
 
-    applied = m.filter(~ambiguous)
+    applied = m.filter(~ambiguous & ~deleted_conflict)
     result_rows = applied.select(
         *out_cols,
         sv("dn").alias("__matched_dn"),
@@ -241,10 +256,52 @@ def sync_users_into_state(
         sv("cn").alias("__old_cn"),
         pw_changed.alias("__pw_changed"),
         F.col("e.__pw_plain").alias("__pw_plain"),
+        F.col("e.__ord").alias("__ord"),
         *[
             (~F.col(f"e.{a}").eqNullSafe(sv(a))).alias(f"__diff_{a}")
             for a in WRITETHROUGH_ATTRS.values()
         ],
+    )
+
+    # last-write-wins per target dn: two batch rows hitting the same state
+    # row (same cn, or same uid via fallback) must produce ONE output row —
+    # the reference's sequential apply keeps the final write.
+    from pyspark.sql import Window as _W
+
+    w_dedup = _W.partitionBy(
+        F.coalesce(F.col("__matched_dn"), F.col("dn"))
+    ).orderBy(F.desc("__ord"))
+    result_rows = (
+        result_rows.withColumn("__rn", F.row_number().over(w_dedup))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    errors = (
+        m.filter(deleted_conflict)
+        .select(
+            F.col("e.cn").alias("cn"),
+            F.col("e.phonlineUniqueId").alias("uid"),
+            F.concat(
+                F.lit("Found deleted record with same CN "),
+                F.col("e.cn"),
+                F.lit(" but different pk_uniqueid: "),
+                F.col("e.phonlineUniqueId"),
+            ).alias("error"),
+        )
+        .unionByName(
+            m.filter(ambiguous).select(
+                F.col("e.cn").alias("cn"),
+                F.col("e.phonlineUniqueId").alias("uid"),
+                F.concat(
+                    F.lit("Non-matching cn: "),
+                    F.col("e.cn"),
+                    F.lit(" and more than one record with same pk_uniqueid: "),
+                    F.col("e.phonlineUniqueId"),
+                    F.lit(", giving up"),
+                ).alias("error"),
+            )
+        )
     )
 
     renames = (
@@ -271,7 +328,7 @@ def sync_users_into_state(
         untouched = untouched.filter(F.col("idnDeleted").isNotNull())
 
     new_scope = untouched.unionByName(result_rows.select(*STATE_COLS))
-    return others.unionByName(new_scope), renames, wt
+    return others.unionByName(new_scope), renames, wt, errors
 
 
 def apply_ph15_writethrough(
@@ -334,6 +391,17 @@ def delete_uids(
             "left",
         )
         hit = F.col("t.__t_uid").isNotNull()
+        # etlTimestamp moves only when the change set is non-empty
+        # (etl.py:503-506): a repeated delete of an already-tombstoned,
+        # already-locked entry must NOT re-open etd != etl (it would block
+        # garbage_collect_state and re-trigger downstream sync).
+        any_change = F.col("s.idnDeleted").isNull()
+        for a in ACC_STATUS_ATTRS:
+            any_change = any_change | (F.col(f"s.{a}") == "OK")
+        for a in ACC_ACTIVE_ATTRS:
+            any_change = any_change | (
+                F.col(f"s.{a}").isNotNull() & (F.col(f"s.{a}") != "N")
+            )
         out = []
         for c in STATE_COLS:
             expr = F.col(f"s.{c}")
@@ -346,7 +414,7 @@ def delete_uids(
                     hit & expr.isNotNull() & (expr != "N"), F.lit("N")
                 ).otherwise(expr)
             elif c == "etlTimestamp":
-                expr = F.when(hit, F.lit(cfg.batch_ts)).otherwise(expr)
+                expr = F.when(hit & any_change, F.lit(cfg.batch_ts)).otherwise(expr)
             out.append(expr.alias(c))
         targeted_cns = j.filter(hit).select(F.col("s.cn").alias("cn"))
         state = j.select(*out)
@@ -467,8 +535,11 @@ def validate_events(events: DataFrame) -> DataFrame:
         F.when(et == 4, "delete").when(et == 5, "insert").when(et == 6, "update")
     )
     key_ok = F.col("table_key").startswith("pk_uniqueid=")
-    uid = F.substring_index("table_key", "=", -1)
-    uid_num = uid.cast("double").cast("long")
+    # Reference parsing (etl.py:641-652): split('=', 1) then int() — so
+    # 'pk_uniqueid=a=34' yields 'a=34' and 'pk_uniqueid=12.5' raises,
+    # both marked F. Strict integer regex replicates int()'s domain.
+    uid = F.element_at(F.split(F.col("table_key"), "=", 2), 2)
+    uid_num = F.when(uid.rlike("^-?[0-9]+$"), uid.cast("long"))
     tbl_ok = F.lower("table_name") == VALID_TABLE
     err = (
         F.when(verb.isNull(), F.concat(F.lit("Invalid event_type: "), F.col("event_type").cast("string")))
@@ -523,12 +594,13 @@ def cdc_apply(
         sync_uids, convert_column("pk_uniqueid") == F.col("uid"), "left_semi"
     )
     entries = users_to_entries(sync_rows, instance, suffix)
-    state1, renames, wt = sync_users_into_state(
+    state1, renames, wt, sync_errors = sync_users_into_state(
         state, entries, instance, cfg, collect_writethrough=True
     )
     state1 = materialize(state1)
     renames = materialize(renames)
     wt = materialize(wt)
+    sync_errors = materialize(sync_errors)
 
     # --- cross-instance write-through of selected changed attrs (ST11)
     if ph15_instance and instance != ph15_instance:
@@ -556,16 +628,25 @@ def cdc_apply(
             rn, F.trim(F.col("benutzername")) == F.col("bn"), "left_semi"
         )
         replay_entries = users_to_entries(replay_rows, ph15_instance, suffix)
-        state2, _, _ = sync_users_into_state(
+        state2, _, _, _ = sync_users_into_state(
             state2, replay_entries, ph15_instance, cfg,
             skip_attrs=NOT_SYNCED_PH15,
         )
         state2 = materialize(state2)
 
     # --- status writeback (ST2)
+    # Sync refusals (tombstone/uid conflict, ambiguous uid fallback) map to
+    # status 'E' so apply_status_writeback's retry counter and the >10
+    # poison-pill escalation engage (reference returns the error message
+    # from sync_to_ldap → status E, etl.py:692-696).
+    err_by_uid = sync_errors.groupBy("uid").agg(
+        F.first("error").alias("__sync_error")
+    )
     dup = F.coalesce(F.col("n_user_rows"), F.lit(0)) > 1
+    sync_err = F.col("__sync_error").isNotNull()
     status = (
         F.when(F.col("validation_error").isNotNull(), "F")
+        .when(sync_err, "E")
         .when(dup, "W")
         .when(exists & (F.col("verb") == "delete"), "W")
         .when(~exists & (F.col("verb") != "delete"), "W")
@@ -573,6 +654,7 @@ def cdc_apply(
     )
     message = (
         F.when(F.col("validation_error").isNotNull(), F.col("validation_error"))
+        .when(sync_err, F.col("__sync_error"))
         .when(dup, F.concat(F.lit("Duplicate pk_uniqueid: "), F.col("uid")))
         .when(exists & (F.col("verb") == "delete"),
               F.concat(F.lit("Record "), F.col("uid"), F.lit(" existing in DB")))
@@ -581,7 +663,7 @@ def cdc_apply(
     )
     statuses = ev.join(
         ev_u.select("record_id", "n_user_rows"), "record_id", "left"
-    ).select(
+    ).join(F.broadcast(err_by_uid), "uid", "left").select(
         "record_id",
         status.alias("status"),
         message.alias("error_message"),

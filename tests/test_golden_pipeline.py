@@ -89,7 +89,7 @@ def pipeline_state(spark):
     )
     users = m(read_users_csv(spark, str(TD / "initial_data.csv")))
     for inst in ("ph08", "ph15"):
-        state, _, _ = sync_users_into_state(
+        state, _, _, _ = sync_users_into_state(
             state, users_to_entries(users, inst), inst, cfg, snapshot=True
         )
         state = m(state)
@@ -108,7 +108,7 @@ def test_full_scenario_suite(spark, pipeline_state):
     # --- deluids 4731 4732 + initial_load ph08 → ldap00
     cfg = SyncConfig(iv_hex=FIXED_TEST_IV_HEX, batch_ts="20240102000000Z")
     users = m(users.filter(~F.col("pk_uniqueid").isin(4731.0, 4732.0)))
-    state, _, _ = sync_users_into_state(
+    state, _, _, _ = sync_users_into_state(
         state, users_to_entries(users, "ph08"), "ph08", cfg, snapshot=True
     )
     state = m(state)

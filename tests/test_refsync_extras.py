@@ -75,6 +75,145 @@ def test_readonly_watermark_mode(spark):
     assert watermark_advance(events_after(ev, wm1), wm1) == wm1
 
 
+def test_duplicate_cn_entries_last_write_wins(spark):
+    cfg = SyncConfig(iv_hex=FIXED_TEST_IV_HEX, batch_ts="20240106000000Z")
+    m = _m(spark)
+    users = m(read_users_csv(spark, f"{TD}/initial_data.csv"))
+    state = _dual_state(spark, users, cfg)
+    # two batch rows for the same benutzername (cn) with different emails:
+    # the reference applies them sequentially — last write wins, dn unique
+    dup_users = users.filter(F.trim("benutzername") == "caesar1")
+    dup_users = m(
+        dup_users.withColumn("emailadresse_st", F.lit("first@x.example")).unionByName(
+            dup_users.withColumn("emailadresse_st", F.lit("second@x.example"))
+        )
+    )
+    new_state, _, _, errors = sync_users_into_state(
+        state, users_to_entries(dup_users, "ph08"), "ph08", cfg
+    )
+    rows = m(new_state).filter(
+        (F.col("instance") == "ph08") & (F.col("cn") == "caesar1")
+    ).collect()
+    assert len(rows) == 1  # no duplicate dn
+    assert rows[0].phonlineEmailStudent == "second@x.example"
+    assert errors.count() == 0
+
+
+def test_tombstone_uid_conflict_refused_and_status_E(spark):
+    cfg = SyncConfig(iv_hex=FIXED_TEST_IV_HEX, batch_ts="20240107000000Z")
+    m = _m(spark)
+    users = m(read_users_csv(spark, f"{TD}/initial_data.csv"))
+    state = _dual_state(spark, users, cfg)
+    # tombstone caesar1 in ph08 and give it a DIFFERENT uid in state
+    state = m(
+        state.withColumn(
+            "idnDeleted",
+            F.when(
+                (F.col("instance") == "ph08") & (F.col("cn") == "caesar1"), "TRUE"
+            ).otherwise(F.col("idnDeleted")),
+        ).withColumn(
+            "phonlineUniqueId",
+            F.when(
+                (F.col("instance") == "ph08") & (F.col("cn") == "caesar1"), "99999"
+            ).otherwise(F.col("phonlineUniqueId")),
+        )
+    )
+    entries = users_to_entries(users.filter(F.trim("benutzername") == "caesar1"), "ph08")
+    new_state, _, _, errors = sync_users_into_state(state, entries, "ph08", cfg)
+    err = errors.collect()
+    assert len(err) == 1 and "Found deleted record with same CN" in err[0].error
+    # the tombstoned row was NOT resurrected / overwritten
+    row = m(new_state).filter(
+        (F.col("instance") == "ph08") & (F.col("cn") == "caesar1")
+    ).first()
+    assert row.idnDeleted == "TRUE" and row.phonlineUniqueId == "99999"
+
+    # end-to-end: the event for that uid acks with status E (retry path)
+    uid = users.filter(F.trim("benutzername") == "caesar1").first().pk_uniqueid
+    ev = m(
+        spark.createDataFrame(
+            [(1.0, 20240107.0, 6.0, f"pk_uniqueid={int(uid)}",
+              "benutzer_alle_dirxml_v", None, None, 0.0)],
+            "record_id double, ts double, event_type double, table_key string,"
+            "table_name string, status string, error_message string, attempt double",
+        )
+    )
+    _, statuses = cdc_apply(state, users, ev, "ph08", cfg, materialize=m)
+    st = statuses.first()
+    assert st.status == "E" and "Found deleted record" in st.error_message
+
+
+def test_ambiguous_uid_fallback_is_error_not_silent_drop(spark):
+    cfg = SyncConfig(iv_hex=FIXED_TEST_IV_HEX, batch_ts="20240108000000Z")
+    m = _m(spark)
+    users = m(read_users_csv(spark, f"{TD}/initial_data.csv"))
+    state = _dual_state(spark, users, cfg)
+    # two ph08 state rows share uid 7777; entry has a cn matching neither
+    state = m(
+        state.withColumn(
+            "phonlineUniqueId",
+            F.when(
+                (F.col("instance") == "ph08")
+                & F.col("cn").isin("caesar1", "caesar3"),
+                "7777",
+            ).otherwise(F.col("phonlineUniqueId")),
+        )
+    )
+    probe = users.filter(F.trim("benutzername") == "caesar1").withColumn(
+        "benutzername", F.lit("renamed_cn")
+    ).withColumn("pk_uniqueid", F.lit(7777.0))
+    _, _, _, errors = sync_users_into_state(
+        state, users_to_entries(probe, "ph08"), "ph08", cfg
+    )
+    err = errors.collect()
+    assert len(err) == 1
+    assert "more than one record with same pk_uniqueid" in err[0].error
+
+
+def test_repeated_delete_does_not_restamp_etl_timestamp(spark):
+    from py_etl_spark.operators.refsync import delete_uids
+
+    cfg1 = SyncConfig(iv_hex=FIXED_TEST_IV_HEX, batch_ts="20240109000000Z")
+    cfg2 = SyncConfig(iv_hex=FIXED_TEST_IV_HEX, batch_ts="20240110000000Z")
+    m = _m(spark)
+    users = m(read_users_csv(spark, f"{TD}/initial_data.csv"))
+    state = _dual_state(spark, users, cfg1)
+    uid = state.filter(
+        (F.col("instance") == "ph08") & (F.col("cn") == "caesar1")
+    ).first().phonlineUniqueId
+    uids = spark.createDataFrame([(uid,)], "uid string")
+    s1 = m(delete_uids(state, uids, "ph08", cfg1))
+    r1 = s1.filter((F.col("instance") == "ph08") & (F.col("cn") == "caesar1")).first()
+    assert r1.idnDeleted == "TRUE" and r1.etlTimestamp == "20240109000000Z"
+    # second delete of the already-tombstoned+locked entry: change set is
+    # empty → etlTimestamp must NOT move (would re-open etd != etl)
+    s2 = m(delete_uids(s1, uids, "ph08", cfg2))
+    r2 = s2.filter((F.col("instance") == "ph08") & (F.col("cn") == "caesar1")).first()
+    assert r2.etlTimestamp == "20240109000000Z"
+
+
+def test_strict_event_key_validation(spark):
+    from py_etl_spark.operators.refsync import validate_events
+
+    ev = spark.createDataFrame(
+        [
+            (1.0, "pk_uniqueid=12", "benutzer_alle_dirxml_v", 6.0, 0.0),
+            (2.0, "pk_uniqueid=12.5", "benutzer_alle_dirxml_v", 6.0, 0.0),
+            (3.0, "pk_uniqueid=1e3", "benutzer_alle_dirxml_v", 6.0, 0.0),
+            (4.0, "pk_uniqueid=a=34", "benutzer_alle_dirxml_v", 6.0, 0.0),
+            (5.0, "pk_uniqueid=-7", "benutzer_alle_dirxml_v", 6.0, 0.0),
+        ],
+        "record_id double, table_key string, table_name string,"
+        "event_type double, attempt double",
+    )
+    out = {r.record_id: r for r in validate_events(ev).collect()}
+    assert out[1.0].validation_error is None and out[1.0].uid == "12"
+    # reference split('=',1) + int() rejects all of these (etl.py:641-652)
+    for rid in (2.0, 3.0, 4.0):
+        assert out[rid].validation_error is not None, rid
+    assert out[5.0].validation_error is None and out[5.0].uid == "-7"
+
+
 def test_status_writeback_and_poison_pill(spark):
     cfg = SyncConfig(iv_hex=FIXED_TEST_IV_HEX, batch_ts="20240105000000Z")
     m = _m(spark)
