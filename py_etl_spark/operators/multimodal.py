@@ -3,10 +3,12 @@ metadata, with decode/feature/resize/frame-sample stages as Arrow-batched
 ``mapInPandas`` operators.
 
 The Spark-side contract is fully real — schemas, partitioning, batch
-iteration, null handling — while the codec itself is pluggable: the
-container has no image/audio libraries, so the default codec is a
-deterministic fake (size/hash-derived features) and the PIL/ffmpeg paths
-raise ``NotImplementedError`` until a real codec is injected.
+iteration, null handling — and the codec is pluggable: the container has
+no image/audio libraries, so the default codec is a deterministic fake
+(size/hash-derived features), a REAL pure-Python PNG/WAV decoder lives in
+:mod:`py_etl_spark.operators.media_codec` (``codec_decode_features``),
+and the heavyweight PIL/ffmpeg paths raise ``NotImplementedError`` until
+a real codec is injected.
 
 Scale notes: media rows are large and skewed → ``repartition`` by a size
 bucket before the UDF so Arrow batches stay bounded;
@@ -85,8 +87,8 @@ def extract_features(
                 try:
                     feats.append(decode_fn(b))
                     errs.append(None)
-                except NotImplementedError as e:
-                    feats.append(None)
+                except Exception as e:  # decode failures are data errors →
+                    feats.append(None)  # error channel, never a task crash
                     errs.append(str(e))
             yield pd.DataFrame(
                 {

@@ -166,6 +166,83 @@ def test_first_n_per_column(spark):
     assert len(by_col["y"]) == 2  # nulls skipped
 
 
+def _make_png(w=4, h=3, rgb=(10, 200, 30)):
+    """Hand-rolled valid RGB8 PNG: row 0 unfiltered, later rows Up-filtered
+    (all-equal rows ⇒ Up residuals are zero) — exercises the unfilter path."""
+    import binascii
+    import struct
+    import zlib
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", binascii.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    row = bytes(rgb) * w
+    raw = b"\x00" + row + (b"\x02" + bytes(len(row))) * (h - 1)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _make_wav(rate=8000, n=800, amp=16384):
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{n}h", *([amp, -amp] * (n // 2))))
+    return buf.getvalue()
+
+
+def test_media_codec_decodes_real_png_and_wav(spark):
+    from py_etl_spark.operators.media_codec import (
+        codec_decode_features,
+        parse_png,
+        parse_wav,
+    )
+
+    png = _make_png()
+    meta = parse_png(png)
+    assert (meta["width"], meta["height"], meta["channels"]) == (4, 3, 3)
+    exp_mean = (10 + 200 + 30) / 3 / 255.0
+    assert abs(sum(meta["pixels"]) / len(meta["pixels"]) / 255.0 - exp_mean) < 1e-9
+
+    wav = _make_wav()
+    m = parse_wav(wav)
+    assert m["channels"] == 1 and m["sample_rate"] == 8000
+    assert m["duration_ms"] == 100  # 800 frames @ 8 kHz
+    assert abs(m["rms"] - 16384 / 32768.0) < 1e-6
+
+    # end-to-end through the Arrow mapInPandas operator with the REAL codec
+    from py_etl_spark.operators.multimodal import MEDIA_SCHEMA
+
+    rows = [
+        (1, "image", bytearray(png), "image/png", 4, 3, None),
+        (2, "audio", bytearray(wav), "audio/wav", None, None, 100),
+        (3, "image", bytearray(b"garbage-not-an-image"), "image/png", 0, 0, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {
+        r.media_id: r
+        for r in extract_features(media, decode_fn=codec_decode_features).collect()
+    }
+    assert out[1].decode_error is None
+    assert out[1].feature[0] == 1.0 and out[1].feature[1] == 4.0
+    assert out[2].decode_error is None
+    assert out[2].feature[0] == 2.0 and out[2].feature[2] == 8000.0
+    assert out[3].feature is None and "unsupported media format" in out[3].decode_error
+
+
 def test_multimodal_features_and_frames(spark):
     media = synthetic_media(spark, 9)
     feats = extract_features(media).collect()
