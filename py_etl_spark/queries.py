@@ -1735,6 +1735,163 @@ def anonymize_email_domains(spark, sf_dir):
     )
 
 
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH uc AS (
+      SELECT l_partkey, l_suppkey, l_extendedprice / l_quantity AS unit_cost
+      FROM lineitem
+    ), r AS (
+      SELECT l_partkey, l_suppkey, unit_cost,
+             row_number() OVER (PARTITION BY l_partkey
+                                ORDER BY unit_cost, l_suppkey) AS rn
+      FROM uc
+    )
+    SELECT p_partkey, p_type, s_name, round(unit_cost, 4) AS best_unit_cost
+    FROM r
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE rn = 1 AND p_size <= 10
+    """,
+    note="TPC-H Q2 shape: argmin-per-group (cheapest supplier per part) via "
+         "partitioned window; dims broadcast",
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"),
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
+    best = li.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), best.l_suppkey == sup.s_suppkey)
+        .select(
+            "p_partkey", "p_type", "s_name",
+            F.round("unit_cost", 4).alias("best_unit_cost"),
+        )
+    )
+
+
+@query(
+    "q4_order_priority_exists",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    note="TPC-H Q4 shape: EXISTS decorrelated to a left-semi join, then agg",
+)
+def q4_order_priority_exists(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    sat = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return sat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+
+
+@query(
+    "q10_returned_revenue",
+    """
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    note="TPC-H Q10 shape: returned-item revenue per customer, "
+         "TakeOrderedAndProject top-20",
+)
+def q10_returned_revenue(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+_IVF_FIXED_CENTROIDS = (0, 7, 21, 42)
+
+
+@query(
+    "ivf_assign_fixed",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e
+          WHERE vec_id IN {_IVF_FIXED_CENTROIDS}),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+             list_dot_product(e.v, c.cv) /
+               (sqrt(list_dot_product(e.v, e.v)) *
+                sqrt(list_dot_product(c.cv, c.cv))) AS cos
+      FROM e CROSS JOIN c
+    ),
+    ranked AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, cid) AS rn
+      FROM scored
+    )
+    SELECT vec_id, CAST(cid AS BIGINT) AS ivf_cell FROM ranked WHERE rn = 1
+    """,
+    note="IVF coarse quantization with pinned centroid rows: assignment is a "
+         "map-side argmax over k literal centroids (k·dim driver metadata, "
+         "no corpus shuffle); oracle-checked bit-for-bit. Trained-centroid "
+         "path (Lloyd's) covered by unit convergence tests.",
+)
+def ivf_assign_fixed(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter(F.col("vec_id").isin(*_IVF_FIXED_CENTROIDS))
+        .orderBy("vec_id")
+        .collect()
+    )
+    centroids = [[float(x) for x in r["embedding"]] for r in cent_rows]
+    cid_of_index = F.array(
+        *[F.lit(int(r["vec_id"])) for r in cent_rows]
+    )
+    assigned = similarity.ivf_assign(emb, centroids)
+    return assigned.select(
+        "vec_id",
+        F.element_at(cid_of_index, F.col("ivf_cell").cast("int") + 1)
+        .cast("long")
+        .alias("ivf_cell"),
+    )
+
+
 # =========================================================================
 # contract surface
 # =========================================================================
@@ -1764,16 +1921,24 @@ _FRONT = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_lsh",
+    "q2_min_cost_supplier",
+    "q4_order_priority_exists",
+    "q10_returned_revenue",
+    "ivf_assign_fixed",
 ]
 _TAIL = [
     "s10_tree_ancestors",
     "p3_rename_convert_projection",
     "p10_validity_routing",
     "j1_snapshot_reconcile_outer",
+    "j3_two_key_fallback_join",
     "j7_anti_join_guard",
+    "a3_last_writer_wins",
     "cdc_tombstone_lifecycle",
     "f_date_number_suite",
     "f_string_suite",
+    "f_hash_fingerprint",
+    "st_tumbling_window_agg",
     "w2_retry_escalation",
 ]
 
