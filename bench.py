@@ -37,6 +37,13 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "text_stats",
     "ann_cosine_topk",
+    # round 2 additions (headline set was 14 queries in BENCH_r01):
+    "q2_min_cost_supplier",
+    "q4_order_priority_exists",
+    "q10_returned_revenue",
+    "o2_case_insensitive_sort",
+    "a5_partition_boundaries",
+    "ivf_assign_fixed",
 ]
 
 

@@ -99,11 +99,23 @@ class VersionedState:
     def exists(self) -> bool:
         return self.current_version() is not None
 
-    def read(self) -> DataFrame:
-        v = self.current_version()
-        if v is None:
-            raise FileNotFoundError(f"no committed version under {self.root}")
-        return self.spark.read.parquet(self._data_path(v))
+    def versions(self) -> list[int]:
+        """Committed versions still on disk (oldest → newest)."""
+        return self._list_versions()
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Read the current version, or time-travel to an older committed
+        version still inside the GC retention window."""
+        if version is None:
+            version = self.current_version()
+            if version is None:
+                raise FileNotFoundError(f"no committed version under {self.root}")
+        elif version not in self._list_versions():
+            raise FileNotFoundError(
+                f"version {version} not available under {self.root} "
+                f"(retained: {self._list_versions()})"
+            )
+        return self.spark.read.parquet(self._data_path(version))
 
     def commit(self, df: DataFrame, meta: dict | None = None) -> int:
         """Publish ``df`` as the next version. Fully distributed write to a

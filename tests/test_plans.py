@@ -102,6 +102,28 @@ def test_a5_boundaries_no_exchange_to_one(spark):
     assert single_partition_exchange_count(df) == 0
 
 
+def test_q10_topk_is_take_ordered(spark):
+    df = Q.REGISTRY["q10_returned_revenue"].fn(spark, SF_MED)
+    assert node_count(df, "TakeOrderedAndProject") == 1
+    assert node_count(df, "Window") == 0
+    assert broadcast_join_count(df) >= 1  # customer dim broadcast
+
+
+def test_q2_argmin_window_is_partitioned(spark):
+    df = Q.REGISTRY["q2_min_cost_supplier"].fn(spark, SF_MED)
+    # the argmin window partitions by l_partkey — never exchange-to-one
+    assert single_partition_exchange_count(df) == 0
+    assert broadcast_join_count(df) >= 2  # part + supplier dims
+
+
+def test_q4_exists_is_semi_join(spark):
+    from py_etl_spark.plans import executed_plan
+
+    df = Q.REGISTRY["q4_order_priority_exists"].fn(spark, SF_MED)
+    assert "LeftSemi" in executed_plan(df)
+    assert single_partition_exchange_count(df) == 0
+
+
 def test_minhash_signature_single_shuffle_per_stage(spark):
     from py_etl_spark.operators import dedup
     from py_etl_spark.schemas import load_table

@@ -106,6 +106,46 @@ def test_versioned_state_migrates_legacy_parquet(spark):
     )
 
 
+def test_versioned_state_time_travel(spark):
+    from py_etl_spark.streaming.state_store import VersionedState
+
+    tmp = tempfile.mkdtemp()
+    store = VersionedState(spark, os.path.join(tmp, "st"), partition_by=(), keep_versions=3)
+    for i in range(3):
+        store.commit(spark.range(10 + i).withColumnRenamed("id", "k"))
+    assert store.versions() == [0, 1, 2]
+    assert store.read(version=0).count() == 10
+    assert store.read(version=2).count() == 12
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        store.read(version=9)
+
+
+def test_spark_sql_surface_matches_dataframe_api(spark):
+    from py_etl_spark.schemas import register_star_views
+    from tests.conftest import SF_MED
+
+    register_star_views(spark, SF_MED)
+    sql_rows = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    ).collect()
+    import py_etl_spark.queries as Q
+
+    df_rows = Q.REGISTRY["q1_pricing_summary"].fn(spark, SF_MED).collect()
+    sql_map = {(r.l_returnflag, r.l_linestatus): r.sum_qty for r in sql_rows}
+    df_map = {(r.l_returnflag, r.l_linestatus): r.sum_qty for r in df_rows}
+    assert set(df_map) <= set(sql_map)
+    for k, v in df_map.items():
+        assert abs(sql_map[k] - v) < 1e-6
+
+
 def test_check_liveness_staleness_bound():
     import time
 
