@@ -1892,6 +1892,197 @@ def ivf_assign_fixed(spark, sf_dir):
     )
 
 
+@query(
+    "q7_nation_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                           AND TIMESTAMP '1996-12-31 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    note="TPC-H Q7 shape: bilateral nation-pair volume. Both nation dims and "
+         "supplier broadcast; the disjunctive nation-pair predicate is "
+         "evaluated map-side after broadcast joins, so only the "
+         "lineitem⋈orders⋈customer fact joins shuffle.",
+)
+def q7_nation_volume(spark, sf_dir):
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.lit("1995-01-01 00:00:00").cast("timestamp"),
+            F.lit("1996-12-31 00:00:00").cast("timestamp"),
+        )
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+        | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n1), sup.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q12_priority_lineclass",
+    """
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+    note="TPC-H Q12 shape (shipmode → linestatus: source lacks l_shipmode): "
+         "fact⋈fact equi-join with pushed date range, CASE-sum pivoted "
+         "priority counts; single shuffle pair for the join + partial aggs.",
+)
+def q12_priority_lineclass(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q19_disjunctive_brand_revenue",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    note="TPC-H Q19 shape: disjunctive multi-branch predicate across a "
+         "broadcast join. The conjunctive envelope (brand IN set, size ≤ 15, "
+         "quantity ≤ 30) is manually hoisted below the join so each side "
+         "prunes before the OR is evaluated — Catalyst cannot factor an OR "
+         "that spans both join sides on its own.",
+)
+def q19_disjunctive_brand_revenue(spark, sf_dir):
+    # Envelope filters: necessary-condition projections of the OR branches
+    # onto each side, pushed into the parquet scans.
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= 15)
+    ).select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    ).select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(branch)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+_BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@query(
+    "token_count_bpe",
+    f"""
+    SELECT source,
+           count(*) AS docs,
+           CAST(sum(len(regexp_extract_all(text, '{_BPE_TOKEN_RE}'))) AS BIGINT)
+             AS total_tokens,
+           round(avg(len(regexp_extract_all(text, '{_BPE_TOKEN_RE}'))), 4)
+             AS avg_tokens
+    FROM documents
+    GROUP BY source
+    """,
+    note="LLM-pipeline token accounting: BPE-ish pre-tokenizer regex "
+         "(letter runs | digit runs | single punctuation), counted entirely "
+         "JVM-side via regexp_extract_all — no Python in the hot path; one "
+         "shuffle on the 20-value source key.",
+)
+def token_count_bpe(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    ntok = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_TOKEN_RE), F.lit(0)))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(ntok).cast("long").alias("total_tokens"),
+        F.round(F.avg(ntok), 4).alias("avg_tokens"),
+    )
+
+
 # =========================================================================
 # contract surface
 # =========================================================================
@@ -1925,8 +2116,19 @@ _FRONT = [
     "q4_order_priority_exists",
     "q10_returned_revenue",
     "ivf_assign_fixed",
+    "q7_nation_volume",
+    "q12_priority_lineclass",
+    "q19_disjunctive_brand_revenue",
+    "token_count_bpe",
 ]
 _TAIL = [
+    # s5/j2/j4/cdc_merge are exercised end-to-end by the golden byte-diff
+    # suite (CSV ingest, event→entity lookup, tree compare, merge kernel),
+    # so their driver rows are the cheapest to cede to the first-50 window.
+    "s5_csv_roundtrip",
+    "j2_event_entity_lookup",
+    "j4_sorted_merge_tree_compare",
+    "cdc_merge_scd1",
     "s10_tree_ancestors",
     "p3_rename_convert_projection",
     "p10_validity_routing",

@@ -133,3 +133,37 @@ def test_minhash_signature_single_shuffle_per_stage(spark):
     # shingle window + signature groupBy hash-partition on the same key;
     # budget: ≤2 exchanges
     assert shuffle_count(sigs) <= 2
+
+def test_q7_broadcasts_dims_and_limits_shuffles(spark):
+    df = Q.REGISTRY["q7_nation_volume"].fn(spark, SF_MED)
+    # supplier + both nation aliases broadcast; only the fact-side joins
+    # (lineitem⋈orders⋈customer) and the final groupBy may shuffle
+    assert broadcast_join_count(df) >= 3
+    assert single_partition_exchange_count(df) == 0
+    assert has_pushed_filters(df, "l_shipdate")
+
+
+def test_q12_pushes_date_range_single_agg_shuffle(spark):
+    df = Q.REGISTRY["q12_priority_lineclass"].fn(spark, SF_MED)
+    assert has_pushed_filters(df, "l_shipdate")
+    cols = set(scan_read_schema(df))
+    assert "l_extendedprice" not in cols  # pruned: only keys + status read
+    assert single_partition_exchange_count(df) == 0
+
+
+def test_q19_envelope_filters_reach_scans(spark):
+    df = Q.REGISTRY["q19_disjunctive_brand_revenue"].fn(spark, SF_MED)
+    # the hoisted conjunctive envelopes must be pushed into BOTH scans
+    assert has_pushed_filters(df, "l_quantity")
+    assert has_pushed_filters(df, "p_brand")
+    assert broadcast_join_count(df) == 1
+
+
+def test_token_count_stays_jvm_side(spark):
+    from py_etl_spark.plans import executed_plan
+
+    df = Q.REGISTRY["token_count_bpe"].fn(spark, SF_MED)
+    plan = executed_plan(df)
+    # regexp tokenization must not fall back to a Python worker
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert shuffle_count(df) == 1  # the 20-key groupBy only
