@@ -168,3 +168,63 @@ def test_watermark_windowed_counts_batch_equivalence(spark):
     ).select("id", F.to_timestamp("t").alias("event_time"))
     out = {r.window_start.isoformat(): r.n for r in watermark_windowed_counts(ev).collect()}
     assert out == {"2024-01-01T00:00:00": 2, "2024-01-01T01:00:00": 1}
+
+def test_streaming_sessionize_matches_batch_query(spark):
+    """Stream-vs-batch parity for gap sessionization: the stateful
+    applyInPandasWithState operator must emit exactly the sessions the
+    DuckDB-oracle-checked batch window query derives, with state carried
+    across micro-batches (events and the closing sentinels arrive in
+    separate triggers)."""
+    import time as _time
+
+    from py_etl_spark.schemas import load_table
+    from py_etl_spark.streaming.sessionize import sessionize_stream
+    from tests.conftest import SF_SMALL
+
+    events = load_table(spark, SF_SMALL, "events").select("user_id", "ts", "event_id")
+    tmp = tempfile.mkdtemp()
+    src = os.path.join(tmp, "src")
+    events.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b1"))
+    # One far-future sentinel per user: its gap closes each user's final
+    # session through the normal data path (no wall-clock dependence).
+    # All sentinels share ONE timestamp (global max + 2 days): the final
+    # watermark then equals that instant, so no sentinel session's own
+    # timeout (sentinel + gap) is ever crossed and none is emitted.
+    global_max = events.agg(F.max("ts")).first()[0]
+    sentinels = (
+        events.select("user_id")
+        .distinct()
+        .withColumn("ts", F.lit(global_max) + F.expr("INTERVAL 2 DAYS"))
+        .withColumn("event_id", F.lit(-1).cast("long"))
+        .select("user_id", "ts", "event_id")
+    )
+    _time.sleep(1.1)  # file source orders triggers by mtime: sentinels last
+    sentinels.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b2"))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert q.exception() is None
+
+    got = {
+        (r.user_id, r.session_id): (r.n_events, r.session_start_ms)
+        for r in spark.table("sess_out").collect()
+    }
+    import py_etl_spark.queries as Q
+
+    want = {
+        (r.user_id, r.session_id): (r.n_events, r.session_start_ms)
+        for r in Q.REGISTRY["sessionize_events"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == want
