@@ -229,6 +229,77 @@ def minhash_lsh_candidates(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster candidate pairs into duplicate groups: (node, cluster_id)
+    where cluster_id = min node id reachable in the undirected pair graph.
+
+    Min-label propagation: each iteration every node takes the min of its
+    own label and its neighbours' labels — one equi-join on the edge list
+    plus one groupBy(min), both shuffling on node id, so a single iteration
+    costs two shuffles regardless of cluster count. Converges in
+    O(component diameter) iterations; near-dup graphs are unions of small
+    cliques (diameter ≲ 2), so the loop exits after 2–3 rounds in practice.
+    Lineage is cut with ``localCheckpoint`` per iteration so the plan stays
+    bounded (on a cluster: ``checkpoint`` against the checkpoint dir).
+
+    ``nodes``: one-column DataFrame of all node ids; isolated nodes (no
+    edges) become singleton clusters. Defaults to the ids present in
+    ``edges``.
+    """
+    und = edges.select(
+        F.col(src).cast("long").alias("node"), F.col(dst).cast("long").alias("nbr")
+    ).union(
+        edges.select(
+            F.col(dst).cast("long").alias("node"), F.col(src).cast("long").alias("nbr")
+        )
+    )
+    if nodes is None:
+        labels = (
+            und.select("node").distinct().select("node", F.col("node").alias("label"))
+        )
+    else:
+        id_col = nodes.columns[0]
+        labels = nodes.select(
+            F.col(id_col).cast("long").alias("node"),
+            F.col(id_col).cast("long").alias("label"),
+        )
+    labels = labels.localCheckpoint(eager=True)
+    # Name-based (USING) joins throughout: labels and und share lineage when
+    # nodes defaults from edges, and column-expression joins on same-exprId
+    # attributes fail Spark's ambiguous-self-join check; USING joins are
+    # auto-deduplicated.
+    for _ in range(max_iter):
+        nbr_labels = (
+            und.select(F.col("node").alias("dst"), F.col("nbr").alias("src"))
+            .join(labels.select(F.col("node").alias("src"), "label"), "src")
+            .select(F.col("dst").alias("node"), "label")
+        )
+        new_labels = (
+            labels.select("node", "label")
+            .union(nbr_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.select("node", F.col("label").alias("new_label"))
+            .join(labels.select("node", F.col("label").alias("old_label")), "node")
+            .filter(F.col("new_label") != F.col("old_label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -201,6 +201,71 @@ def ivf_train(
     return centroids
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """IVF probe search: each query scores only corpus vectors whose coarse
+    cell is among the query's ``nprobe`` nearest centroids.
+
+    Scale shape: corpus cell assignment is map-side (centroids are plan
+    literals); at rest the corpus would be written partitioned/bucketed by
+    ``ivf_cell`` so the probe join prunes partitions at the source. Query
+    probes explode to (query, cell) rows and broadcast; candidate selection
+    is an equi-join on cell — no corpus shuffle, no cross product. Scored
+    candidates shuffle once on query_id for the top-k window (rows =
+    candidates, bounded by nprobe/k·|corpus| · |queries| ≪ all-pairs).
+    """
+    c = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "ivf_cell"
+    )
+    # Per-query ranked centroid list: array of (−cos, cell) structs sorted
+    # ascending ⇒ cos descending with ties broken by lowest cell (matches
+    # ivf_assign's argmax tie rule), then the first nprobe exploded.
+    entries = []
+    for ci, cvec in enumerate(centroids):
+        plane = F.array(*[F.lit(x) for x in cvec])
+        s = _dot(F.col(vec_col), plane) / (_norm(F.col(vec_col)) * _norm(plane))
+        entries.append(
+            F.struct((-s).alias("neg_cos"), F.lit(ci).cast("long").alias("cell"))
+        )
+    probes = F.slice(F.array_sort(F.array(*entries)), 1, nprobe)
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode(probes).alias("p"),
+        )
+        .select("query_id", "q_vec", F.col("p.cell").alias("ivf_cell"))
+    )
+    scored = (
+        c.join(F.broadcast(q), "ivf_cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+    if round_to is not None:
+        out = out.withColumn("cosine", F.round("cosine", round_to))
+    return out
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: list[list[float]],

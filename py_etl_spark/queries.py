@@ -2083,6 +2083,326 @@ def token_count_bpe(spark, sf_dir):
     )
 
 
+@query(
+    "q13_order_count_distribution",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+    note="TPC-H Q13 shape (priority filter: source lacks o_comment): "
+         "customers-without-orders kept via outer semantics. Implemented as "
+         "pre-aggregated orders (partial count before the join) + left join "
+         "+ coalesce(0) — the per-custkey counts shuffle instead of the raw "
+         "order rows, and the second distribution agg is map-side partial.",
+)
+def q13_order_count_distribution(spark, sf_dir):
+    per_cust_orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = cust.join(
+        per_cust_orders, cust.c_custkey == per_cust_orders.o_custkey, "left"
+    ).select(F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("c_count"))
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+@query(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    note="TPC-H Q15 shape: revenue view + scalar-max subquery. The 1-row "
+         "max aggregate is broadcast back onto the view (no second scan of "
+         "lineitem, no shuffle for the scalar compare); supplier dim "
+         "broadcast. Equality is on the engine's own rounded values, so the "
+         "pick is stable cross-engine once the rounded view matches.",
+)
+def q15_top_supplier(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == mx.__mx)
+        .join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    """
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (SELECT l_partkey AS t_partkey, 0.2 * avg(l_quantity) AS qty_thresh
+          FROM lineitem GROUP BY l_partkey) t
+      ON t_partkey = l_partkey
+    WHERE p_brand = 'Brand#12' AND p_type = 'SMALL'
+      AND l_quantity < qty_thresh
+    """,
+    note="TPC-H Q17 shape: correlated scalar-avg subquery decorrelated to a "
+         "per-part aggregate + join. The part filter is applied FIRST "
+         "(broadcast semi-prune), so the per-part avg is computed only over "
+         "the surviving parts' lineitems — identical result, ~2000× less "
+         "aggregated at TPC-H selectivity. l_quantity is integer-valued, so "
+         "avg is exact and the threshold compare is deterministic "
+         "cross-engine.",
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#12") & (F.col("p_type") == "SMALL")
+    ).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    li_sel = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    th = li_sel.groupBy("l_partkey").agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    return (
+        li_sel.join(F.broadcast(th), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q22_idle_customer_balance",
+    """
+    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                       WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+    GROUP BY c_nationkey
+    """,
+    note="TPC-H Q22 shape (nationkey for phone prefix): above-average "
+         "balances with no RECENT orders. Scalar avg broadcast (1 row); the "
+         "NOT EXISTS is a left-anti join against pre-distinct'd o_custkey "
+         "(date filter pushed to the orders scan, map-side partial dedup "
+         "shrinks the anti-join shuffle to distinct keys).",
+)
+def q22_idle_customer_balance(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("__ab")
+    )
+    buyers = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("__ab")
+    )
+    return (
+        rich.join(buyers, rich.c_custkey == buyers.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+_STOPWORD_RE = r"\b(the|and|of|to|in|a|is)\b"
+
+
+@query(
+    "quality_filter_gopher",
+    f"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_words,
+             len(regexp_replace(text, '\\s', '', 'g'))
+               AS word_chars,
+             len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+               AS sym_chars,
+             greatest(len(text), 1) AS n_chars_nz,
+             regexp_matches(lower(text), '{_STOPWORD_RE}') AS has_stopword
+      FROM documents
+    )
+    SELECT doc_id, n_words,
+           round(word_chars / n_words, 4)    AS mean_word_len,
+           round(sym_chars / n_chars_nz, 4)  AS symbol_ratio,
+           has_stopword,
+           (n_words BETWEEN 5 AND 10000
+            AND word_chars / n_words BETWEEN 2 AND 12
+            AND sym_chars / n_chars_nz < 0.2
+            AND has_stopword) AS keep
+    FROM m
+    """,
+    note="LLM-pipeline quality gate (Gopher-style rules): word-count "
+         "bounds, mean word length, symbol ratio, stopword presence → keep "
+         "flag + per-rule evidence columns. Pure Column expressions, "
+         "map-side only — zero shuffles, fully codegen'd at 100 TB. "
+         "Integer-exact intermediates keep every threshold compare "
+         "deterministic cross-engine.",
+)
+def quality_filter_gopher(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    word_chars = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+    sym_chars = F.length(
+        F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", "")
+    )
+    n_chars_nz = F.greatest(F.length("text"), F.lit(1))
+    has_stopword = F.lower(F.col("text")).rlike(_STOPWORD_RE)
+    mean_word_len = word_chars / n_words
+    symbol_ratio = sym_chars / n_chars_nz
+    keep = (
+        n_words.between(5, 10000)
+        & mean_word_len.between(2, 12)
+        & (symbol_ratio < 0.2)
+        & has_stopword
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(symbol_ratio, 4).alias("symbol_ratio"),
+        has_stopword.alias("has_stopword"),
+        keep.alias("keep"),
+    )
+
+
+def _cc_oracle_sql() -> str:
+    """Connected-components oracle: the LSH candidate pairs (identical CTE
+    chain to dedup_minhash_lsh) fed into a recursive transitive-closure CTE;
+    cluster id = min reachable doc_id. Bounded: near-dup components are
+    small cliques, so the closure is tiny relative to the corpus."""
+    lsh = _minhash_lsh_oracle_sql()
+    with_block, pair_select = lsh.split("SELECT DISTINCT", 1)
+    return (
+        with_block.replace("WITH ", "WITH RECURSIVE ", 1)
+        + ", pairs AS (\n      SELECT DISTINCT"
+        + pair_select.rstrip()
+        + "\n    ), edges AS (\n"
+        + "      SELECT id_a AS s, id_b AS d FROM pairs\n"
+        + "      UNION ALL\n"
+        + "      SELECT id_b AS s, id_a AS d FROM pairs\n"
+        + "    ), reach(node, label) AS (\n"
+        + "      SELECT doc_id, doc_id FROM documents\n"
+        + "      UNION\n"
+        + "      SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node\n"
+        + "    )\n"
+        + "    SELECT CAST(node AS BIGINT) AS doc_id,\n"
+        + "           CAST(min(label) AS BIGINT) AS cluster_id\n"
+        + "    FROM reach GROUP BY node\n"
+    )
+
+
+@query(
+    "dedup_cc_clusters",
+    _cc_oracle_sql(),
+    note="Near-dup CLUSTERS (not just pairs): MinHash-LSH candidate edges → "
+         "distributed connected components by min-label propagation "
+         "(2 shuffles/iteration, converges in O(component diameter); "
+         "localCheckpoint bounds lineage). Every doc gets a cluster_id — "
+         "the canonical keep-one-per-cluster LLM dedup output. Oracle: "
+         "recursive-CTE transitive closure over the identical edge set.",
+)
+def dedup_cc_clusters(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(docs, hash_family="md5")
+    cc = dedup.connected_components(pairs, nodes=docs.select("doc_id"))
+    return cc.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+def _ivf_topk_oracle_sql() -> str:
+    cos_ec = (
+        "list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * "
+        "sqrt(list_dot_product(c.cv, c.cv)))"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e
+          WHERE vec_id IN {_IVF_FIXED_CENTROIDS}),
+    scored_cells AS (
+      SELECT e.vec_id, e.v, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {cos_ec} DESC, c.cid) AS rn
+      FROM e CROSS JOIN c
+    ),
+    assigned AS (SELECT vec_id, v, cid AS cell FROM scored_cells WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, v AS q_vec, cid AS cell
+               FROM scored_cells WHERE vec_id < 10 AND rn <= 2),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             round(list_dot_product(p.q_vec, a.v) /
+                   (sqrt(list_dot_product(p.q_vec, p.q_vec)) *
+                    sqrt(list_dot_product(a.v, a.v))), 6) AS cosine
+      FROM probes p JOIN assigned a
+        ON p.cell = a.cell AND p.query_id <> a.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS BIGINT)
+             AS rank
+    FROM cand QUALIFY rank <= 5
+    """
+
+
+@query(
+    "ann_ivf_topk_fixed",
+    _ivf_topk_oracle_sql(),
+    note="IVF probe SEARCH (completes the IVF pair with ivf_assign_fixed): "
+         "each query scores only the corpus vectors in its nprobe=2 nearest "
+         "cells of 4 pinned centroids. Corpus cells map-side; probe join is "
+         "a broadcast equi-join on cell — at rest the corpus is partitioned "
+         "by ivf_cell so the probe prunes at the source. Oracle-checked "
+         "bit-for-bit; trained-centroid path shares the code.",
+)
+def ann_ivf_topk_fixed(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter(F.col("vec_id").isin(*_IVF_FIXED_CENTROIDS))
+        .orderBy("vec_id")
+        .collect()
+    )
+    centroids = [[float(x) for x in r["embedding"]] for r in cent_rows]
+    probe_queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(emb, probe_queries, centroids, nprobe=2, k=5)
+
+
 # =========================================================================
 # contract surface
 # =========================================================================
@@ -2120,6 +2440,13 @@ _FRONT = [
     "q12_priority_lineclass",
     "q19_disjunctive_brand_revenue",
     "token_count_bpe",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q22_idle_customer_balance",
+    "quality_filter_gopher",
+    "dedup_cc_clusters",
+    "ann_ivf_topk_fixed",
 ]
 _TAIL = [
     # s5/j2/j4/cdc_merge are exercised end-to-end by the golden byte-diff

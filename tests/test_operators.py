@@ -92,6 +92,52 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     assert recall >= 0.4
 
 
+def test_connected_components_clusters(spark):
+    # chain 1-2-3 (one component), pair 10-11, isolated node 20
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 20]], "doc_id long")
+    cc = {
+        r.node: r.cluster_id
+        for r in dedup.connected_components(edges, nodes).collect()
+    }
+    assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # path graph 0-1-…-9: worst-case diameter for min-label propagation
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+    )
+    rows = dedup.connected_components(edges).collect()
+    assert len(rows) == 10
+    assert {r.cluster_id for r in rows} == {0}
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    from py_etl_spark.schemas import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    centroids = similarity.ivf_train(emb, k=4, iters=2)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk_bruteforce(emb, queries, k=5).collect()
+    }
+    approx_rows = similarity.ivf_topk(emb, queries, centroids, nprobe=2, k=5).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in approx_rows}
+    # nprobe=2 of 4 cells ⇒ each query scores ~half the corpus; recall@5
+    # must beat random selection by a wide margin
+    assert len(exact & approx) / len(exact) >= 0.5
+    # every query got a full top-k and ranks are 1..k
+    by_q = {}
+    for r in approx_rows:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
+
+
 def test_ngram_jaccard(spark):
     pairs = {
         (r.id_a, r.id_b): r.jaccard
