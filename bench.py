@@ -44,6 +44,11 @@ HEADLINE = [
     "o2_case_insensitive_sort",
     "a5_partition_boundaries",
     "ivf_assign_fixed",
+    # round 2, second batch:
+    "q13_order_count_distribution",
+    "quality_filter_gopher",
+    "dedup_cc_clusters",
+    "ann_ivf_topk_fixed",
 ]
 
 

@@ -258,7 +258,10 @@ def connected_components(
         edges.select(
             F.col(dst).cast("long").alias("node"), F.col(src).cast("long").alias("nbr")
         )
-    )
+    ).localCheckpoint(eager=True)
+    # ^ materialized once: edges are typically the output of an expensive
+    # candidate pipeline (LSH banding); without the checkpoint every
+    # iteration's action would re-run that whole lineage.
     if nodes is None:
         labels = (
             und.select("node").distinct().select("node", F.col("node").alias("label"))

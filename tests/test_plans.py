@@ -167,3 +167,55 @@ def test_token_count_stays_jvm_side(spark):
     # regexp tokenization must not fall back to a Python worker
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert shuffle_count(df) == 1  # the 20-key groupBy only
+
+
+def test_q13_preaggregates_orders_before_outer_join(spark):
+    df = Q.REGISTRY["q13_order_count_distribution"].fn(spark, SF_MED)
+    # orders-per-custkey agg + join + distribution agg: bounded shuffles,
+    # and the raw order rows never shuffle un-aggregated (partial count
+    # runs map-side before the custkey exchange)
+    assert shuffle_count(df) <= 4
+    assert single_partition_exchange_count(df) == 0
+
+
+def test_q15_scalar_max_broadcasts(spark):
+    df = Q.REGISTRY["q15_top_supplier"].fn(spark, SF_MED)
+    # 1-row max aggregate and the supplier dim both broadcast back onto
+    # the revenue view — no second lineitem scan shuffle
+    assert broadcast_join_count(df) >= 2
+    assert has_pushed_filters(df, "l_shipdate")
+
+
+def test_q17_part_prune_before_avg(spark):
+    df = Q.REGISTRY["q17_small_quantity_revenue"].fn(spark, SF_MED)
+    # brand/type filter reaches the part scan; both the part prune and the
+    # per-part threshold join broadcast
+    assert has_pushed_filters(df, "p_brand")
+    assert broadcast_join_count(df) >= 2
+
+
+def test_q22_pushes_date_and_broadcasts_scalar(spark):
+    df = Q.REGISTRY["q22_idle_customer_balance"].fn(spark, SF_MED)
+    assert has_pushed_filters(df, "o_orderdate")
+    assert broadcast_join_count(df) >= 1  # 1-row avg via broadcast NLJ
+
+
+def test_quality_filter_is_mapside_only(spark):
+    from py_etl_spark.plans import executed_plan
+
+    df = Q.REGISTRY["quality_filter_gopher"].fn(spark, SF_MED)
+    plan = executed_plan(df)
+    assert shuffle_count(df) == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivf_topk_no_cartesian_no_corpus_shuffle(spark):
+    from py_etl_spark.plans import executed_plan
+
+    df = Q.REGISTRY["ann_ivf_topk_fixed"].fn(spark, SF_MED)
+    plan = executed_plan(df)
+    # candidate selection is a broadcast equi-join on cell — never a
+    # cross product; the only exchange is the top-k window on query_id
+    assert "CartesianProduct" not in plan
+    assert broadcast_join_count(df) >= 1
+    assert shuffle_count(df) <= 1

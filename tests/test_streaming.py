@@ -228,3 +228,50 @@ def test_streaming_sessionize_matches_batch_query(spark):
         for r in Q.REGISTRY["sessionize_events"].fn(spark, SF_SMALL).collect()
     }
     assert got == want
+
+
+def test_streaming_exact_dedup_first_occurrence_wins(spark):
+    """Streaming exact dedup: cross-micro-batch duplicates are dropped
+    within the watermark horizon, first arrival wins — the streaming
+    counterpart of dedup.exact_duplicates (state bounded by watermark)."""
+    import time as _time
+
+    from py_etl_spark.streaming.dedup_stream import exact_dedup_stream
+
+    tmp = tempfile.mkdtemp()
+    src = os.path.join(tmp, "src")
+    schema = "doc_id long, text string, ts timestamp"
+    b1 = spark.createDataFrame(
+        [(1, "alpha text", "2024-01-01 00:00:00"),
+         (2, "beta text", "2024-01-01 00:00:01")],
+        "doc_id long, text string, ts string",
+    ).select("doc_id", "text", F.to_timestamp("ts").alias("ts"))
+    b1.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b1"))
+    _time.sleep(1.1)  # file source orders triggers by mtime
+    b2 = spark.createDataFrame(
+        [(3, "alpha text", "2024-01-01 00:00:02"),   # cross-batch dup of 1
+         (4, "gamma text", "2024-01-01 00:00:03"),
+         (5, "beta text", "2024-01-01 00:00:04")],   # cross-batch dup of 2
+        "doc_id long, text string, ts string",
+    ).select("doc_id", "text", F.to_timestamp("ts").alias("ts"))
+    b2.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = (
+        exact_dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert q.exception() is None
+    rows = spark.table("dedup_out").collect()
+    assert {r.doc_id for r in rows} == {1, 2, 4}
+    # fingerprints unique and carried through for the batch-sweep join
+    assert len({r.fingerprint for r in rows}) == 3
