@@ -2403,6 +2403,166 @@ def ann_ivf_topk_fixed(spark, sf_dir):
     return similarity.ivf_topk(emb, probe_queries, centroids, nprobe=2, k=5)
 
 
+@query(
+    "q21_last_shipper",
+    """
+    WITH per_order AS (
+      SELECT l_orderkey AS ok, max(l_shipdate) AS max_ship,
+             count(DISTINCT l_suppkey) AS n_supp
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT s_name, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS numwait
+    FROM lineitem
+    JOIN per_order ON l_orderkey = ok
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE l_shipdate = max_ship AND n_supp > 1
+    GROUP BY s_name
+    """,
+    note="TPC-H Q21 shape (shipdate for receipt/commit: source lacks those "
+         "columns): the EXISTS (another supplier in the order) and NOT "
+         "EXISTS (anyone shipping later) pair decorrelated into ONE "
+         "per-order aggregate joined back — two correlated subqueries "
+         "become a single orderkey shuffle that AQE reuses for the join; "
+         "supplier dim broadcast.",
+)
+def q21_last_shipper(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("max_ship"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+    ).withColumnRenamed("l_orderkey", "ok")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        li.join(per_order, li.l_orderkey == per_order.ok)
+        .filter((F.col("l_shipdate") == F.col("max_ship")) & (F.col("n_supp") > 1))
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").cast("long").alias("numwait"))
+    )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_URL_RE = r"https?://[^\s,]+"
+
+
+@query(
+    "pii_scrub_stats",
+    f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text ||
+               CASE WHEN doc_id % 5 = 0
+                    THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com'
+                    ELSE '' END ||
+               CASE WHEN doc_id % 7 = 0
+                    THEN ' see https://docs.example.com/d/'
+                         || CAST(doc_id AS VARCHAR)
+                    ELSE '' END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_URL_RE}')) AS BIGINT) AS n_urls,
+           md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_URL_RE}', '<URL>', 'g')) AS scrubbed_md5
+    FROM aug
+    """,
+    note="LLM-pipeline PII scrub: email/URL detection counts + redacted-"
+         "text fingerprint, entirely JVM-side regex (no Python). The "
+         "synthetic corpus carries no PII, so deterministic spans are "
+         "injected in-query (same expression both engines) — the oracle "
+         "checks real extraction and replacement, not vacuous zeros. "
+         "Map-side only: zero shuffles at any scale.",
+)
+def pii_scrub_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" see https://docs.example.com/d/"),
+                F.col("doc_id").cast("string"),
+            ),
+        ).otherwise(""),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"), _URL_RE, "<URL>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(_URL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_urls"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+@query(
+    "range_join_followup_events",
+    """
+    SELECT s.event_id, CAST(count(e.event_id) AS BIGINT) AS n_follow
+    FROM events s JOIN events e
+      ON e.user_id = s.user_id
+     AND e.ts >  s.ts
+     AND e.ts <= s.ts + INTERVAL 1 HOUR
+    WHERE s.event_type = 'signup'
+    GROUP BY s.event_id
+    """,
+    note="RANGE JOIN (banded): follow-up events within 1 h of each signup. "
+         "A naive theta-join on the time inequality is a per-user cross "
+         "product; instead both sides are bucketed into epoch-hours — the "
+         "anchor explodes to the (at most 2) buckets its window touches, "
+         "the probe maps to exactly 1 — and the join becomes an equi-join "
+         "on (user_id, hour_bucket) with the exact interval as a residual "
+         "filter. Each follower lands in one anchor bucket, so no dedup "
+         "is needed. This is the standard Spark banding pattern for "
+         "point-in-interval joins at scale.",
+)
+def range_join_followup_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    hb = lambda c: F.floor(F.unix_timestamp(c) / 3600)  # noqa: E731
+    anchors = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("anchor_id"),
+            F.col("user_id").alias("a_user"),
+            F.col("ts").alias("a_ts"),
+        )
+        .withColumn("hbucket", F.explode(F.array(hb(F.col("a_ts")), hb(F.col("a_ts")) + 1)))
+    )
+    probes = ev.select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    ).withColumn("hbucket", hb(F.col("p_ts")))
+    joined = anchors.join(
+        probes,
+        (F.col("a_user") == F.col("p_user"))
+        & (anchors.hbucket == probes.hbucket)
+        & (F.col("p_ts") > F.col("a_ts"))
+        & (F.col("p_ts") <= F.col("a_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    return joined.groupBy(F.col("anchor_id").alias("event_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_follow")
+    )
+
+
 # =========================================================================
 # contract surface
 # =========================================================================
@@ -2447,6 +2607,9 @@ _FRONT = [
     "quality_filter_gopher",
     "dedup_cc_clusters",
     "ann_ivf_topk_fixed",
+    "q21_last_shipper",
+    "pii_scrub_stats",
+    "range_join_followup_events",
 ]
 _TAIL = [
     # s5/j2/j4/cdc_merge are exercised end-to-end by the golden byte-diff

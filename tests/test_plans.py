@@ -219,3 +219,31 @@ def test_ivf_topk_no_cartesian_no_corpus_shuffle(spark):
     assert "CartesianProduct" not in plan
     assert broadcast_join_count(df) >= 1
     assert shuffle_count(df) <= 1
+
+
+def test_q21_single_orderkey_shuffle_family(spark):
+    df = Q.REGISTRY["q21_last_shipper"].fn(spark, SF_MED)
+    # per-order agg + join back share the orderkey partitioning; supplier
+    # broadcasts; nothing funnels to one partition
+    assert broadcast_join_count(df) >= 1
+    assert single_partition_exchange_count(df) == 0
+
+
+def test_pii_scrub_mapside_no_python(spark):
+    from py_etl_spark.plans import executed_plan
+
+    df = Q.REGISTRY["pii_scrub_stats"].fn(spark, SF_MED)
+    plan = executed_plan(df)
+    assert shuffle_count(df) == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_range_join_is_banded_equi_join(spark):
+    from py_etl_spark.plans import executed_plan
+
+    df = Q.REGISTRY["range_join_followup_events"].fn(spark, SF_MED)
+    plan = executed_plan(df)
+    # the hour-bucket banding must make this a hash/merge EQUI join — a
+    # theta-only join would appear as BroadcastNestedLoopJoin or cartesian
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
