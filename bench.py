@@ -49,6 +49,9 @@ HEADLINE = [
     "quality_filter_gopher",
     "dedup_cc_clusters",
     "ann_ivf_topk_fixed",
+    "q8_market_share",
+    "q21_last_shipper",
+    "range_join_followup_events",
 ]
 
 

@@ -1,0 +1,58 @@
+"""Skew mitigation: salted joins for hot keys.
+
+AQE's skew-join splitting (`spark.sql.adaptive.skewJoin`, on by default in
+:func:`py_etl_spark.session.get_spark`) handles sort-merge skew at runtime
+by splitting oversized partitions. Salting is the *static* complement for
+the cases AQE can't fix: a shuffled join where one key holds so many rows
+that even a split partition re-concentrates on the same reducer key, and
+pre-aggregations keyed by a hot value.
+
+``salted_join`` joins a skewed fact against a dimension by
+
+1. salting the fact side with a DETERMINISTIC salt derived from a unique
+   column (``xxhash64(row_key) % salt_factor`` — never ``rand()``, which
+   breaks retry/replay determinism and the engine's oracle checks), and
+2. exploding the dimension ``salt_factor``× (one copy per salt value),
+
+so a key carrying N rows spreads over ``salt_factor`` reducer keys. The
+dimension grows by the factor — keep it broadcast-small or the factor
+modest. Results are row-identical to the unsalted join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "__salt"
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_from: str,
+    salt_factor: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join ``fact ⋈ dim`` with the fact side spread over
+    ``salt_factor`` sub-keys per join key.
+
+    ``salt_from``: a fact column with high cardinality (ideally unique —
+    e.g. the fact PK) hashed to derive the deterministic salt.
+    """
+    salted_fact = fact.withColumn(
+        SALT_COL, F.pmod(F.xxhash64(F.col(salt_from)), F.lit(salt_factor)).cast("int")
+    )
+    salted_dim = dim.withColumn(
+        SALT_COL,
+        F.explode(F.array(*[F.lit(i) for i in range(salt_factor)])),
+    )
+    out = salted_fact.join(
+        salted_dim,
+        (salted_fact[fact_key] == salted_dim[dim_key])
+        & (salted_fact[SALT_COL] == salted_dim[SALT_COL]),
+        how,
+    )
+    return out.drop(SALT_COL)

@@ -2563,6 +2563,256 @@ def range_join_followup_events(spark, sf_dir):
     )
 
 
+@query(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 4) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+        AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                            AND TIMESTAMP '1996-12-31 00:00:00'
+    ) allnations
+    GROUP BY o_year
+    """,
+    note="TPC-H Q8 shape: 8-way snowflake + ratio-of-conditional-sums per "
+         "year. All five dims broadcast; only the three fact joins "
+         "(lineitem⋈orders⋈customer) shuffle, then one 2-group agg.",
+)
+def q8_market_share(spark, sf_dir):
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("n1_key"))
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.lit("1995-01-01 00:00:00").cast("timestamp"),
+            F.lit("1996-12-31 00:00:00").cast("timestamp"),
+        )
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rows = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n2), sup.s_nationkey == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("volume"),
+            "nation",
+        )
+    )
+    return rows.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(0.0))
+            / F.sum("volume"),
+            4,
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type NOT IN ('PROMO', 'ECONOMY')
+      AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0.0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    note="TPC-H Q16 shape (lineitem as the part↔supplier bridge; acctbal "
+         "for the complaints predicate): distinct-supplier counts per part "
+         "attribute triple, excluded suppliers dropped with a broadcast "
+         "left-anti join (keys are non-null, so NOT IN ≡ anti-join). "
+         "countDistinct expands to a two-phase partial-distinct aggregate — "
+         "no row ever shuffles twice.",
+)
+def q16_supplier_part_counts(spark, sf_dir):
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").isin("PROMO", "ECONOMY")
+        & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_sup = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0.0
+    ).select("s_suppkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad_sup), li.l_suppkey == bad_sup.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q20_heavy_part_suppliers",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'red%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_suppkey
+      HAVING sum(l_quantity) > 50
+    )
+    """,
+    note="TPC-H Q20 shape: nested semi-join chain — parts by name prefix "
+         "(broadcast), per-supplier shipped-quantity HAVING aggregate, "
+         "then a left-semi join into supplier. The IN-subquery never "
+         "materializes as a distinct set: the semi join consumes the "
+         "aggregate directly.",
+)
+def q20_heavy_part_suppliers(spark, sf_dir):
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red%")
+    ).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    # heavy is bounded by |suppliers| (an aggregate per supplier) —
+    # dimension-sized, so broadcast explicitly rather than waiting for AQE
+    # to discover the post-agg size at runtime.
+    return sup.join(F.broadcast(heavy), sup.s_suppkey == heavy.l_suppkey, "left_semi")
+
+
+@query(
+    "skew_salted_join_orders",
+    """
+    SELECT o_orderkey, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    """,
+    note="Skew-salted join (operators/skew.salted_join): the fact side is "
+         "spread over 8 deterministic sub-keys (xxhash64 of the PK, never "
+         "rand()) and the dimension replicated 8x, so a hot customer key "
+         "occupies 8 reducers instead of 1. Result-identical to the plain "
+         "join — which is exactly what the oracle checks.",
+)
+def skew_salted_join_orders(spark, sf_dir):
+    from py_etl_spark.operators.skew import salted_join
+
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")
+    ).select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    return salted_join(
+        orders, cust, "o_custkey", "c_custkey", salt_from="o_orderkey",
+        salt_factor=8,
+    ).select("o_orderkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "profile_orders_table",
+    """
+    SELECT CAST(count(*) AS BIGINT)                      AS n_rows,
+           CAST(count(DISTINCT o_custkey) AS BIGINT)     AS custkey_distinct,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS status_distinct,
+           CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)                               AS priority_nulls,
+           CAST(min(o_orderkey) AS BIGINT)               AS orderkey_min,
+           CAST(max(o_orderkey) AS BIGINT)               AS orderkey_max,
+           round(min(o_totalprice), 2)                   AS totalprice_min,
+           round(max(o_totalprice), 2)                   AS totalprice_max,
+           CAST(epoch(min(o_orderdate)) AS BIGINT)       AS orderdate_min_s,
+           CAST(epoch(max(o_orderdate)) AS BIGINT)       AS orderdate_max_s
+    FROM orders
+    """,
+    note="Table profiling (the stats face of the reference's schema "
+         "introspection, ldaptest.py schema action): row count, per-column "
+         "distincts / null counts / ranges in ONE pass — every aggregate "
+         "is partial map-side, one final 1-row reduce. The pattern scans "
+         "100 TB exactly once regardless of how many columns are profiled.",
+)
+def profile_orders_table(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("o_custkey").cast("long").alias("custkey_distinct"),
+        F.countDistinct("o_orderstatus").cast("long").alias("status_distinct"),
+        F.sum(F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("priority_nulls"),
+        F.min("o_orderkey").cast("long").alias("orderkey_min"),
+        F.max("o_orderkey").cast("long").alias("orderkey_max"),
+        F.round(F.min("o_totalprice"), 2).alias("totalprice_min"),
+        F.round(F.max("o_totalprice"), 2).alias("totalprice_max"),
+        F.unix_timestamp(F.min("o_orderdate")).cast("long").alias("orderdate_min_s"),
+        F.unix_timestamp(F.max("o_orderdate")).cast("long").alias("orderdate_max_s"),
+    )
+
+
+@query(
+    "a9_price_histogram",
+    """
+    SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(l_extendedprice), 2) AS lo,
+           round(max(l_extendedprice), 2) AS hi
+    FROM lineitem GROUP BY 1
+    """,
+    note="Fixed-width histogram (profiling / data-quality family): bucket "
+         "assignment is a map-side floor expression, the distribution is "
+         "one partial-agg shuffle on the bucket id — the distributed "
+         "histogram pattern (never a driver-side value pull).",
+)
+def a9_price_histogram(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn(
+            "bucket", F.floor(F.col("l_extendedprice") / 5000.0).cast("long")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        )
+    )
+
+
 # =========================================================================
 # contract surface
 # =========================================================================
@@ -2610,6 +2860,12 @@ _FRONT = [
     "q21_last_shipper",
     "pii_scrub_stats",
     "range_join_followup_events",
+    "q8_market_share",
+    "q16_supplier_part_counts",
+    "q20_heavy_part_suppliers",
+    "profile_orders_table",
+    "a9_price_histogram",
+    "skew_salted_join_orders",
 ]
 _TAIL = [
     # s5/j2/j4/cdc_merge are exercised end-to-end by the golden byte-diff

@@ -298,3 +298,31 @@ def test_multimodal_features_and_frames(spark):
     frames = frame_sample_plan(media, every_ms=1000)
     vids = media.filter(F.col("kind") == "video").count()
     assert frames.select("media_id").distinct().count() == vids
+
+
+def test_salted_join_matches_plain_join_under_skew(spark):
+    from py_etl_spark.operators.skew import salted_join
+
+    # 90%-hot key 7 plus a tail; dim has one row per key
+    fact = spark.createDataFrame(
+        [(i, 7 if i % 10 else i % 100) for i in range(2000)],
+        "row_id long, k long",
+    )
+    dim = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(100)], "dk long, payload string"
+    )
+    plain = fact.join(dim, fact.k == dim.dk).select("row_id", "k", "payload")
+    salted = salted_join(
+        fact, dim, "k", "dk", salt_from="row_id", salt_factor=8
+    ).select("row_id", "k", "payload")
+    assert salted.count() == plain.count() == 2000
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+    # the salt must be part of the shuffle key: hash partitioning over
+    # (k, __salt) spreads the hot key across salt_factor reducers
+    from py_etl_spark.plans import executed_plan
+
+    plan = executed_plan(
+        salted_join(fact, dim, "k", "dk", salt_from="row_id", salt_factor=8)
+    )
+    assert "__salt" in plan

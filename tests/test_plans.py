@@ -247,3 +247,24 @@ def test_range_join_is_banded_equi_join(spark):
     # theta-only join would appear as BroadcastNestedLoopJoin or cartesian
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q8_broadcasts_all_dims(spark):
+    df = Q.REGISTRY["q8_market_share"].fn(spark, SF_MED)
+    # part, n1(region⋈nation), supplier, n2 all broadcast; only the fact
+    # joins shuffle
+    assert broadcast_join_count(df) >= 4
+    assert has_pushed_filters(df, "o_orderdate")
+
+
+def test_q16_anti_join_broadcasts_and_two_phase_distinct(spark):
+    df = Q.REGISTRY["q16_supplier_part_counts"].fn(spark, SF_MED)
+    assert broadcast_join_count(df) >= 2  # excluded suppliers + part dim
+    assert shuffle_count(df) <= 2         # partial-distinct, then final agg
+    assert has_pushed_filters(df, "p_brand")
+
+
+def test_q20_semi_join_consumes_aggregate(spark):
+    df = Q.REGISTRY["q20_heavy_part_suppliers"].fn(spark, SF_MED)
+    assert broadcast_join_count(df) >= 2  # part prefix set + heavy-supplier set
+    assert single_partition_exchange_count(df) == 0
