@@ -52,6 +52,8 @@ HEADLINE = [
     "q8_market_share",
     "q21_last_shipper",
     "range_join_followup_events",
+    "q9_product_profit",
+    "doc_winnow_fingerprints",
 ]
 
 
@@ -78,6 +80,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # the headline list GROWS each round (14 in r01, 27 in r02,
+                # 29 now) — compare totals across rounds per-query or via
+                # this normalized mean, not raw totals
+                "n_queries": len(timings),
+                "mean_sec_per_query": round(total / max(len(timings), 1), 3),
             }
         )
     )

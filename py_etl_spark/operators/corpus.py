@@ -1,0 +1,139 @@
+"""Corpus curation ops for training-data pipelines: deterministic splits,
+token-budget quotas, benchmark decontamination.
+
+These are the operations that sit between "raw deduped documents" and "a
+training mix" at 100 TB. All three are pure DataFrame ops, shuffle-minimal,
+and — critically for a distributed pipeline — DETERMINISTIC: re-running a
+failed stage, replaying a lineage, or recomputing on a different cluster
+layout yields byte-identical assignments. That is why every random-looking
+choice here is a hash of a stable key (the md5-prefix portable family, same
+as MinHash/winnowing), never ``rand()``/``sample()``:
+
+- ``rand()`` breaks task-retry determinism (a retried task re-draws),
+- seeded per-partition RNGs break under repartitioning,
+- hash(key) is stable under both, and any engine can reproduce it.
+
+Reference scope: the reference engine has none of these; they belong to the
+LLM-training-data operator family the brief adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single punctuation.
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _hash_bucket(key_col, buckets: int):
+    """Deterministic, engine-portable bucket in [0, buckets): first 8 hex
+    chars of md5(key) as an integer, mod buckets."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(key_col.cast("string")), 1, 8), 16, 10).cast("long"),
+        F.lit(buckets),
+    )
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    splits: dict[str, int] | None = None,
+) -> DataFrame:
+    """Assign every row to a named split by hashing its id.
+
+    ``splits`` maps name → percentage (must sum to 100); default
+    train/val/test 80/10/10. Map-side only — no shuffle, no sampling
+    nondeterminism, and the same row lands in the same split on any
+    cluster, any day, any engine that can compute md5.
+    """
+    splits = splits or {"train": 80, "val": 10, "test": 10}
+    if sum(splits.values()) != 100:
+        raise ValueError("split percentages must sum to 100")
+    bucket = _hash_bucket(F.col(id_col), 100)
+    expr = None
+    hi = 0
+    last = list(splits)[-1]
+    for name, pct in splits.items():
+        hi += pct
+        cond = bucket < hi
+        branch = F.lit(name)
+        expr = (
+            F.when(cond, branch) if expr is None else expr.when(cond, branch)
+        )
+        if name == last:
+            expr = expr.otherwise(branch)
+    return df.withColumn("split", expr)
+
+
+def token_budget_quota(
+    df: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cap each group at ``budget`` tokens, keeping a deterministic
+    hash-ordered prefix of its documents.
+
+    The per-source mixing-ratio op: order each group's docs by
+    md5(id) (an unbiased deterministic shuffle), take the running token
+    sum, and keep every doc that STARTS under the budget (so each group
+    may overshoot by at most one document — the standard greedy quota).
+
+    One shuffle (the per-group window); token counting is a JVM regex.
+    Groups are independent, so 100 TB with thousands of sources spreads
+    across the cluster; a single gigantic source is bounded by its own
+    budget scan and can be pre-salted upstream if one group dominates.
+    Output adds ``n_tokens`` and ``cum_tokens``.
+    """
+    ntok = F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0)))
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(h, id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df.withColumn("n_tokens", ntok.cast("long")).withColumn(
+        "cum_tokens", F.sum("n_tokens").over(w).cast("long")
+    )
+    return out.filter(F.col("cum_tokens") - F.col("n_tokens") < budget)
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """Flag corpus documents sharing any word ``shingle_k``-gram with a
+    benchmark/eval set (training-set decontamination).
+
+    Returns ``(id_col, n_hits)`` — corpus docs with >= 1 contaminated
+    shingle and how many DISTINCT benchmark shingles they contain. Join the
+    result back anti-style to drop them.
+
+    Scale shape: eval benchmarks are tiny next to a 100 TB corpus, so the
+    benchmark's distinct shingle set BROADCASTS and the corpus side never
+    shuffles its text — gram explosion is map-side, the broadcast hash join
+    is map-side, and the only exchange is the per-doc hit count keyed by
+    doc id. If the "benchmark" is itself huge, swap the broadcast for an
+    equi-join on the shingle hash (same plan as LSH bucket joins).
+    """
+    from py_etl_spark.operators.dedup import exploded_shingles
+
+    bench_sh = (
+        exploded_shingles(benchmark, text_col, id_col, shingle_k)
+        .select("shingle")
+        .distinct()
+    )
+    corpus_sh = exploded_shingles(corpus, text_col, id_col, shingle_k)
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.countDistinct("shingle").cast("long").alias("n_hits"))
+    )

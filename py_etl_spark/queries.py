@@ -2813,6 +2813,153 @@ def a9_price_histogram(spark, sf_dir):
     )
 
 
+@query(
+    "q9_product_profit",
+    """
+    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - 0.1 * p_retailprice * l_quantity AS amount
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%gear%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+    note="TPC-H Q9 shape (p_retailprice stands in for ps_supplycost — no "
+         "partsupp table in this dataset): name-substring part filter, "
+         "5-way join, per-nation-year profit. part/supplier/nation "
+         "broadcast; only lineitem⋈orders shuffles, then one small agg.",
+)
+def q9_product_profit(spark, sf_dir):
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%gear%")
+    ).select("p_partkey", "p_retailprice")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+    )
+
+
+@query(
+    "q11_important_stock",
+    """
+    WITH val AS (
+      SELECT l_partkey,
+             sum(l_extendedprice * (1 - l_discount)) AS raw_value
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, round(raw_value, 2) AS value
+    FROM val
+    WHERE round(raw_value, 2) > (SELECT round(sum(raw_value) * 0.002, 2)
+                                 FROM val)
+    """,
+    note="TPC-H Q11 shape (lineitem value per part for one nation's "
+         "suppliers — no partsupp table): group-by + HAVING against a "
+         "global scalar subquery. The scalar is the same part-keyed "
+         "aggregate re-reduced to one row and broadcast; both comparison "
+         "sides are rounded so the FP-order-sensitive threshold is "
+         "engine-portable.",
+)
+def q11_important_stock(spark, sf_dir):
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    val = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "raw_value"
+            )
+        )
+    )
+    # scalar threshold: the part-keyed aggregate re-reduced to one row,
+    # then broadcast — never a driver collect
+    thresh = val.agg(F.round(F.sum("raw_value") * 0.002, 2).alias("__t"))
+    return (
+        val.join(F.broadcast(thresh), F.round(F.col("raw_value"), 2) > F.col("__t"))
+        .select("l_partkey", F.round("raw_value", 2).alias("value"))
+    )
+
+
+@query(
+    "doc_winnow_fingerprints",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, n,
+             unnest(range(1, length(n) - 6)) AS p
+      FROM norm WHERE length(n) >= 8
+    ), hashed AS (
+      SELECT doc_id, p,
+             ('0x' || substr(md5(substr(n, CAST(p AS INTEGER), 8)), 1, 8))::BIGINT AS h
+      FROM pos
+    ), winmin AS (
+      SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM hashed
+    ), fps AS (SELECT DISTINCT doc_id, fp FROM winmin)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)  AS n_fps,
+           CAST(sum(fp) AS BIGINT)   AS fp_checksum,
+           CAST(min(fp) AS BIGINT)   AS fp_min,
+           CAST(max(fp) AS BIGINT)   AS fp_max
+    FROM fps GROUP BY doc_id
+    """,
+    note="Winnowing document fingerprints (MOSS rolling k-gram hash, k=8 "
+         "w=4, operators/fingerprint.py): char-gram explode + md5-portable "
+         "hash + per-doc window min + distinct, summarized per doc. One "
+         "shuffle (doc partition), reused by window, distinct, and "
+         "aggregate alike.",
+)
+def doc_winnow_fingerprints(spark, sf_dir):
+    from py_etl_spark.operators.fingerprint import fingerprint_profile
+
+    return fingerprint_profile(
+        _t(spark, sf_dir, "documents"), k=8, w=4, hash_family="md5"
+    )
+
+
 # =========================================================================
 # contract surface
 # =========================================================================
@@ -2866,6 +3013,9 @@ _FRONT = [
     "profile_orders_table",
     "a9_price_histogram",
     "skew_salted_join_orders",
+    "q9_product_profit",
+    "q11_important_stock",
+    "doc_winnow_fingerprints",
 ]
 _TAIL = [
     # s5/j2/j4/cdc_merge are exercised end-to-end by the golden byte-diff

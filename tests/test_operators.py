@@ -326,3 +326,34 @@ def test_salted_join_matches_plain_join_under_skew(spark):
         salted_join(fact, dim, "k", "dk", salt_from="row_id", salt_factor=8)
     )
     assert "__salt" in plan
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    from py_etl_spark.operators.fingerprint import (
+        shared_fingerprint_pairs,
+        winnow_fingerprints,
+    )
+
+    k, w = 8, 4
+    shared = "the quick brown fox jumps over the lazy dog near the river"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha text one {shared} tail piece"),
+            (2, f"completely different preamble {shared} and an ending"),
+            (3, "unrelated document about spark physical plans and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    # winnowing guarantee: a shared substring of length >= k+w-1 yields at
+    # least one common fingerprint for the pair that shares it
+    pairs = shared_fingerprint_pairs(
+        docs, k=k, w=w, min_shared=1, hash_family="md5"
+    ).collect()
+    keys = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in keys
+    # fingerprint density: winnowing keeps far fewer than one fp per gram
+    fps = winnow_fingerprints(docs, k=k, w=w, hash_family="md5")
+    per_doc = {r.doc_id: r.n for r in fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    for did, n in per_doc.items():
+        assert 0 < n < 60  # docs are ~60 grams; window-4 min keeps ~1/2

@@ -268,3 +268,27 @@ def test_q20_semi_join_consumes_aggregate(spark):
     df = Q.REGISTRY["q20_heavy_part_suppliers"].fn(spark, SF_MED)
     assert broadcast_join_count(df) >= 2  # part prefix set + heavy-supplier set
     assert single_partition_exchange_count(df) == 0
+
+
+def test_q9_broadcasts_all_dims_one_fact_shuffle(spark):
+    df = Q.REGISTRY["q9_product_profit"].fn(spark, SF_MED)
+    # part, supplier, nation broadcast; only lineitem⋈orders + agg shuffle
+    assert broadcast_join_count(df) >= 3
+    assert shuffle_count(df) <= 2
+    assert has_pushed_filters(df, "p_name")
+
+
+def test_q11_scalar_threshold_broadcasts(spark):
+    df = Q.REGISTRY["q11_important_stock"].fn(spark, SF_MED)
+    # nation→supplier dim and the 1-row threshold both broadcast; the
+    # scalar never forces the part-keyed aggregate to one partition
+    assert broadcast_join_count(df) >= 3
+    assert single_partition_exchange_count(df) == 0
+
+
+def test_winnow_fingerprints_single_shuffle(spark):
+    df = Q.REGISTRY["doc_winnow_fingerprints"].fn(spark, SF_MED)
+    # gram explode + hash are map-side; the doc_id window partitioning is
+    # reused by the distinct AND the per-doc aggregate — exactly 1 Exchange
+    assert shuffle_count(df) == 1
+    assert single_partition_exchange_count(df) == 0
