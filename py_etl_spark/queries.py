@@ -2960,6 +2960,114 @@ def doc_winnow_fingerprints(spark, sf_dir):
     )
 
 
+@query(
+    "corpus_split_deterministic",
+    """
+    SELECT CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT)    AS docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM (
+      SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 100 AS b,
+             n_chars
+      FROM documents
+    )
+    GROUP BY 1
+    """,
+    note="Deterministic train/val/test split (operators/corpus."
+         "deterministic_split, 80/10/10): md5(id) mod 100 — map-side, no "
+         "rand(), stable under task retry and repartitioning, reproducible "
+         "by any engine. The query summarizes per-split doc/char counts "
+         "(one small agg shuffle); the op itself is shuffle-free.",
+)
+def corpus_split_deterministic(spark, sf_dir):
+    from py_etl_spark.operators.corpus import deterministic_split
+
+    docs = deterministic_split(_t(spark, sf_dir, "documents"))
+    return docs.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@query(
+    "corpus_token_budget_quota",
+    f"""
+    WITH t AS (
+      SELECT source, doc_id,
+             CAST(len(regexp_extract_all(text, '{_BPE_TOKEN_RE}')) AS BIGINT)
+               AS n_tokens,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM documents
+    ), c AS (
+      SELECT source, doc_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT source, doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+    FROM c WHERE cum - n_tokens < 800
+    """,
+    note="Per-source token-budget quota (operators/corpus."
+         "token_budget_quota, 800 tokens/source): docs ordered by md5(id) "
+         "— a deterministic unbiased shuffle — running BPE-regex token sum "
+         "per source, keep docs starting under budget. One window shuffle "
+         "on the group key; groups are independent across the cluster.",
+)
+def corpus_token_budget_quota(spark, sf_dir):
+    from py_etl_spark.operators.corpus import token_budget_quota
+
+    return token_budget_quota(
+        _t(spark, sf_dir, "documents"), budget=800
+    ).select("source", "doc_id", "n_tokens", "cum_tokens")
+
+
+@query(
+    "corpus_decontaminate_vs_benchmark",
+    """
+    WITH raw AS (
+      SELECT doc_id, source,
+             string_split_regex(trim(regexp_replace(lower(trim(text)),
+                 '[^a-z0-9\\s]', ' ', 'g')), '\\s+') AS toks
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, source, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos
+      FROM raw
+    ), sh AS (
+      SELECT doc_id, source,
+             concat_ws(' ', tok, lead(tok,1) OVER w, lead(tok,2) OVER w)
+               AS shingle
+      FROM (SELECT doc_id, source, tok, pos,
+                   count(*) OVER (PARTITION BY doc_id) AS n FROM toks)
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY pos <= n - 2 OR (n < 3 AND pos = 1)
+    ), bench AS (
+      SELECT DISTINCT shingle FROM sh WHERE source = 'src0'
+    ), corp AS (
+      SELECT doc_id, shingle FROM sh WHERE source <> 'src0'
+    )
+    SELECT doc_id, CAST(count(DISTINCT c.shingle) AS BIGINT) AS n_hits
+    FROM corp c JOIN bench b USING (shingle)
+    GROUP BY doc_id
+    """,
+    note="Benchmark decontamination (operators/corpus.decontaminate): "
+         "corpus docs sharing any word 3-gram with the eval set (source="
+         "src0 stands in as the benchmark). The benchmark's distinct "
+         "shingles BROADCAST — the 100 TB corpus side never shuffles its "
+         "text; the only exchange is the per-doc hit count.",
+)
+def corpus_decontaminate_vs_benchmark(spark, sf_dir):
+    from py_etl_spark.operators.corpus import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    corp = docs.filter(F.col("source") != "src0")
+    return decontaminate(corp, bench)
+
+
 # =========================================================================
 # contract surface
 # =========================================================================
@@ -3016,6 +3124,9 @@ _FRONT = [
     "q9_product_profit",
     "q11_important_stock",
     "doc_winnow_fingerprints",
+    "corpus_split_deterministic",
+    "corpus_token_budget_quota",
+    "corpus_decontaminate_vs_benchmark",
 ]
 _TAIL = [
     # s5/j2/j4/cdc_merge are exercised end-to-end by the golden byte-diff

@@ -357,3 +357,51 @@ def test_winnowing_shared_substring_guarantee(spark):
         F.count(F.lit(1)).alias("n")).collect()}
     for did, n in per_doc.items():
         assert 0 < n < 60  # docs are ~60 grams; window-4 min keeps ~1/2
+
+
+def test_deterministic_split_stability_and_proportions(spark):
+    from py_etl_spark.operators.corpus import deterministic_split
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    s1 = deterministic_split(df, id_col="doc_id")
+    counts = {r.split: r.n for r in
+              s1.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.75 < counts["train"] / 5000 < 0.85
+    # stable under repartitioning: identical assignment row-for-row
+    s2 = deterministic_split(df.repartition(13), id_col="doc_id")
+    assert s1.exceptAll(s2).count() == 0 and s2.exceptAll(s1).count() == 0
+
+
+def test_token_budget_quota_caps_each_group(spark):
+    from py_etl_spark.operators.corpus import token_budget_quota
+
+    rows = [(i, f"g{i % 3}", "tok " * (10 + i % 7)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    kept = token_budget_quota(df, budget=50)
+    for r in kept.groupBy("source").agg(
+        F.max("cum_tokens").alias("mx"), F.max("n_tokens").alias("mxd")
+    ).collect():
+        # greedy quota: overshoot bounded by one document
+        assert r.mx < 50 + r.mxd
+    # every kept doc started under budget
+    assert kept.filter(F.col("cum_tokens") - F.col("n_tokens") >= 50).count() == 0
+
+
+def test_decontaminate_flags_overlap_only(spark):
+    from py_etl_spark.operators.corpus import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the secret benchmark answer is forty two")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "my training doc leaks the secret benchmark answer here"),
+            (2, "a perfectly clean document about spark joins"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = {r.doc_id: r.n_hits for r in decontaminate(corpus, bench).collect()}
+    assert 1 in hits and hits[1] >= 1
+    assert 2 not in hits

@@ -292,3 +292,26 @@ def test_winnow_fingerprints_single_shuffle(spark):
     # reused by the distinct AND the per-doc aggregate — exactly 1 Exchange
     assert shuffle_count(df) == 1
     assert single_partition_exchange_count(df) == 0
+
+
+def test_split_op_is_shuffle_free(spark):
+    from py_etl_spark.operators.corpus import deterministic_split
+    from py_etl_spark.schemas import load_table
+
+    df = deterministic_split(load_table(spark, SF_MED, "documents"))
+    assert shuffle_count(df) == 0  # pure map-side hash bucketing
+
+
+def test_quota_single_window_shuffle(spark):
+    df = Q.REGISTRY["corpus_token_budget_quota"].fn(spark, SF_MED)
+    assert shuffle_count(df) == 1
+    assert single_partition_exchange_count(df) == 0
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    df = Q.REGISTRY["corpus_decontaminate_vs_benchmark"].fn(spark, SF_MED)
+    # the benchmark shingle set broadcasts; the corpus text never shuffles
+    # (its only exchanges are doc_id-keyed: shingle window + hit count)
+    assert broadcast_join_count(df) >= 1
+    assert shuffle_count(df) <= 3
+    assert single_partition_exchange_count(df) == 0
