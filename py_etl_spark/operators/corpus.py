@@ -102,6 +102,56 @@ def token_budget_quota(
     return out.filter(F.col("cum_tokens") - F.col("n_tokens") < budget)
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into fixed-size token chunks (training-example
+    packing's first half; the second half — packing chunks into context
+    windows — is a groupBy on ``split``/shard).
+
+    Output: ``(id_col, chunk_id, n_chunk_tokens, chunk)`` with
+    ``chunk = the i-th run of chunk_tokens tokens re-joined by spaces``.
+
+    Entirely MAP-SIDE: tokenize (JVM regex) → explode one chunk index per
+    ``chunk_tokens`` tokens → slice. No shuffle, no Python — chunking a
+    100 TB corpus is embarrassingly parallel and this plan keeps it that
+    way. The per-doc token array lives only inside one task's row scope,
+    so memory is bounded by the largest single document, not the corpus.
+    """
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
+    n = F.size(toks)
+    n_chunks = F.ceil(n / F.lit(float(chunk_tokens))).cast("int")
+    out = (
+        df.select(
+            F.col(id_col),
+            toks.alias("__toks"),
+            F.explode(
+                F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+            ).alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.slice(
+                F.col("__toks"),
+                F.col("chunk_id") * chunk_tokens + 1,
+                F.lit(chunk_tokens),
+            ).alias("__chunk_toks"),
+        )
+        .filter(F.size("__chunk_toks") > 0)
+        .select(
+            id_col,
+            "chunk_id",
+            F.size("__chunk_toks").cast("long").alias("n_chunk_tokens"),
+            F.concat_ws(" ", F.col("__chunk_toks")).alias("chunk"),
+        )
+    )
+    return out
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -405,3 +405,43 @@ def test_decontaminate_flags_overlap_only(spark):
     hits = {r.doc_id: r.n_hits for r in decontaminate(corpus, bench).collect()}
     assert 1 in hits and hits[1] >= 1
     assert 2 not in hits
+
+
+def test_chunking_partitions_all_tokens(spark):
+    from py_etl_spark.operators.corpus import TOKEN_RE, chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "tok " * 120),         # 120 tokens -> chunks of 50/50/20
+            (2, "exactly " * 50),      # one full chunk
+            (3, "short text"),
+            (4, ""),                   # no tokens -> no chunks
+        ],
+        "doc_id long, text string",
+    )
+    ch = chunk_documents(docs, chunk_tokens=50)
+    rows = ch.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert sorted(len(c.chunk.split()) for c in by_doc[1]) == [20, 50, 50]
+    assert [c.n_chunk_tokens for c in by_doc[2]] == [50]
+    assert by_doc[3][0].chunk == "short text"
+    assert 4 not in by_doc
+    # partition property: chunk token counts sum to the doc token count
+    n_src = docs.select(
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), F.lit(0))).alias("n")
+    ).agg(F.sum("n")).first()[0]
+    assert sum(r.n_chunk_tokens for r in rows) == n_src
+
+
+def test_hopping_window_multiplicity(spark):
+    from py_etl_spark.schemas import load_table
+    from tests.conftest import SF_MED
+
+    import py_etl_spark.queries as Q
+
+    n_events = load_table(spark, SF_MED, "events").count()
+    agg = Q.REGISTRY["st_hopping_window_agg"].fn(spark, SF_MED)
+    # 1h window / 15min hop: every event belongs to exactly 4 windows
+    assert agg.agg(F.sum("n")).first()[0] == 4 * n_events

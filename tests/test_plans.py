@@ -284,6 +284,12 @@ def test_q11_scalar_threshold_broadcasts(spark):
     # scalar never forces the part-keyed aggregate to one partition
     assert broadcast_join_count(df) >= 3
     assert single_partition_exchange_count(df) == 0
+    # both branches (output + threshold) hang off the same part-keyed
+    # aggregate: AQE must reuse that exchange so lineitem scans ONCE
+    from py_etl_spark.plans import executed_plan
+
+    df.collect()
+    assert "ReusedExchange" in executed_plan(df)
 
 
 def test_winnow_fingerprints_single_shuffle(spark):
@@ -315,3 +321,8 @@ def test_decontaminate_broadcasts_benchmark(spark):
     assert broadcast_join_count(df) >= 1
     assert shuffle_count(df) <= 3
     assert single_partition_exchange_count(df) == 0
+
+
+def test_chunking_is_map_side_only(spark):
+    df = Q.REGISTRY["corpus_chunk_tokens"].fn(spark, SF_MED)
+    assert shuffle_count(df) == 0  # tokenize + explode + slice: no exchange

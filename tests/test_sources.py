@@ -76,3 +76,23 @@ def test_csv_sink_roundtrip(spark):
     back = spark.read.csv(out, sep=";", header=True)
     assert back.count() == users.count()
     assert back.filter(F.col("benutzername") == "caesar1").count() == 1
+
+
+def test_jsonl_quarantine_routes_corrupt_lines(spark, tmp_path):
+    import json as _json
+
+    from py_etl_spark.sources.jsonl_io import read_jsonl, route_corrupt
+
+    p = tmp_path / "in.jsonl"
+    lines = [
+        _json.dumps({"doc_id": 1, "text": "good line"}),
+        '{"doc_id": 2, "text": "broken',          # truncated JSON
+        _json.dumps({"doc_id": 3, "text": "quote \" and\nnewline"}),
+    ]
+    p.write_text("\n".join(lines) + "\n", encoding="utf-8")
+    df = read_jsonl(spark, str(p), "doc_id long, text string", quarantine=True)
+    good, bad = route_corrupt(df)
+    assert {r.doc_id for r in good.collect()} == {1, 3}
+    assert bad.count() == 1
+    # escaping survives: the embedded quote and newline come back intact
+    assert good.filter(F.col("doc_id") == 3).first().text == 'quote " and\nnewline'
