@@ -3131,7 +3131,12 @@ def jsonl_roundtrip_documents(spark, sf_dir):
     "st_hopping_window_agg",
     """
     WITH e AS (
-      SELECT epoch(time_bucket(INTERVAL 15 MINUTE, ts)) AS b, event_type
+      -- epoch() returns DOUBLE in DuckDB; CAST immediately so every
+      -- downstream expression (and the final window_start_ms) is BIGINT,
+      -- matching Spark's unix_millis. Sibling st_tumbling_window_agg uses
+      -- epoch_ms() for the same reason.
+      SELECT CAST(epoch(time_bucket(INTERVAL 15 MINUTE, ts)) AS BIGINT) AS b,
+             event_type
       FROM events
     ), w AS (
       SELECT unnest([b - 2700, b - 1800, b - 900, b]) AS ws, event_type

@@ -25,6 +25,7 @@ code addresses local disk in tests and HDFS/S3A on a cluster.
 from __future__ import annotations
 
 import json
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -80,20 +81,45 @@ class VersionedState:
         versions = self._list_versions()
         return versions[-1] if versions else None
 
-    def _write_manifest(self, version: int, meta: dict | None) -> None:
+    def _write_manifest(self, version: int, path: str, meta: dict | None) -> None:
         payload = json.dumps(
-            {"version": version, "path": self._data_path(version), "meta": meta or {}}
+            {"version": version, "path": path, "meta": meta or {}}
         ).encode()
         p = self._Path(f"{self.root}/_manifest/{version:020d}.json")
-        out = self._fs.create(p, False)  # fail if a commit raced us
+        out = self._fs.create(p, False)  # create-exclusive: the commit arbiter
         try:
             out.write(bytearray(payload))
         finally:
             out.close()
 
+    def _read_manifest(self, version: int) -> dict:
+        p = self._Path(f"{self.root}/_manifest/{version:020d}.json")
+        stream = self._fs.open(p)
+        try:
+            chunks = []
+            buf = bytearray(4096)
+            while True:
+                n = stream.read(buf)
+                if n <= 0:
+                    break
+                chunks.append(bytes(buf[:n]))
+            return json.loads(b"".join(chunks).decode())
+        finally:
+            stream.close()
+
     # -- data -------------------------------------------------------------
 
     def _data_path(self, version: int) -> str:
+        """Resolve a committed version's data directory via its manifest.
+
+        Pre-multi-writer layouts stored data at ``v=<n>`` with no manifest
+        ``path`` field; fall back to that for backward compatibility."""
+        try:
+            path = self._read_manifest(version).get("path")
+            if path:
+                return path
+        except Exception:
+            pass
         return f"{self.root}/v={version}"
 
     def exists(self) -> bool:
@@ -117,15 +143,47 @@ class VersionedState:
             )
         return self.spark.read.parquet(self._data_path(version))
 
-    def commit(self, df: DataFrame, meta: dict | None = None) -> int:
-        """Publish ``df`` as the next version. Fully distributed write to a
-        fresh directory; the manifest append is the commit point."""
+    def commit(self, df: DataFrame, meta: dict | None = None,
+               max_retries: int = 16) -> int:
+        """Publish ``df`` as the next version. Multi-writer safe:
+
+        1. the data lands in a writer-UNIQUE directory
+           ``v=<n>-<token>`` (two racing writers can never interleave
+           files in one directory);
+        2. the create-exclusive manifest append is the single commit
+           arbiter — exactly one writer wins version ``n``;
+        3. a loser re-reads ``current_version()``, bumps, and re-attempts
+           the manifest pointing at the SAME already-written data
+           directory (the retry is manifest-only — the distributed write
+           is never repeated). Its version prefix in the dir name is then
+           stale, which is fine: readers resolve paths through the
+           manifest, never by constructing the dir name.
+
+        A crash between (1) and (2) leaves an unreferenced data dir that
+        ``_gc`` reclaims once its version prefix falls behind the GC
+        retention window.
+        """
         v = (self.current_version() or 0) + 1 if self.exists() else 0
+        data_path = f"{self.root}/v={v}-{uuid.uuid4().hex[:8]}"
         writer = df.write.mode("errorifexists")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
-        writer.parquet(self._data_path(v))
-        self._write_manifest(v, meta)
+        writer.parquet(data_path)
+        for _ in range(max_retries):
+            try:
+                self._write_manifest(v, data_path, meta)
+                break
+            except Exception:
+                cur = self.current_version()
+                nxt = (cur + 1) if cur is not None else 0
+                if nxt <= v:  # manifest create failed for a non-race reason
+                    raise
+                v = nxt
+        else:
+            raise RuntimeError(
+                f"commit lost {max_retries} consecutive manifest races under "
+                f"{self.root}"
+            )
         self._gc()
         return v
 
@@ -133,10 +191,36 @@ class VersionedState:
         """Drop versions older than the newest ``keep_versions`` (manifest
         entry first, then data — a reader that already resolved an old
         manifest may still be scanning; keeping one spare version covers
-        in-flight reads)."""
+        in-flight reads). Also reclaims orphan data dirs from crashed
+        commits, but ONLY those whose version prefix is older than the
+        oldest retained manifest — an in-flight writer's dir always
+        carries a prefix >= current+1, so it can never be swept."""
         versions = self._list_versions()
+        retained = versions[-self.keep_versions:]
         for v in versions[: -self.keep_versions]:
+            path = self._data_path(v)
             self._fs.delete(
                 self._Path(f"{self.root}/_manifest/{v:020d}.json"), False
             )
-            self._fs.delete(self._Path(self._data_path(v)), True)
+            self._fs.delete(self._Path(path), True)
+        if not retained:
+            return
+        live = set()
+        for v in retained:
+            try:
+                live.add(self._Path(self._data_path(v)).getName())
+            except Exception:
+                pass
+        root = self._Path(self.root)
+        for st in self._fs.listStatus(root):
+            name = st.getPath().getName()
+            if not st.isDirectory() or not name.startswith("v="):
+                continue
+            if name in live:
+                continue
+            try:
+                prefix = int(name[2:].split("-", 1)[0])
+            except ValueError:
+                continue
+            if prefix < retained[0]:
+                self._fs.delete(st.getPath(), True)

@@ -77,8 +77,9 @@ def test_versioned_state_store_commit_gc_and_no_driver_materialization(spark):
         store.commit(spark.range(5 + i).withColumnRenamed("id", "k"), {"batch_id": i})
     assert store.current_version() == 3
     assert store.read().count() == 8
+    # data dirs are v=<n>-<token> (writer-unique); GC keeps the newest 2
     vdirs = sorted(d for d in os.listdir(os.path.join(tmp, "st")) if d.startswith("v="))
-    assert vdirs == ["v=2", "v=3"]
+    assert sorted(int(d[2:].split("-", 1)[0]) for d in vdirs) == [2, 3]
 
     # the batch kernel must never round-trip state rows through the driver
     src = inspect.getsource(CdcStreamDriver.process_batch)
@@ -120,6 +121,40 @@ def test_versioned_state_time_travel(spark):
 
     with _pytest.raises(FileNotFoundError):
         store.read(version=9)
+
+
+def test_versioned_state_multi_writer_race(spark):
+    """Two committers racing for the same version: the manifest
+    create-exclusive is the arbiter; the loser retries manifest-only with a
+    bumped version pointing at its already-written data dir. Both commits
+    land (v=n, v=n+1) and no data is lost."""
+    from py_etl_spark.streaming.state_store import VersionedState
+
+    tmp = tempfile.mkdtemp()
+    root = os.path.join(tmp, "st")
+    a = VersionedState(spark, root, partition_by=(), keep_versions=4)
+    b = VersionedState(spark, root, partition_by=(), keep_versions=4)
+    a.commit(spark.range(3).withColumnRenamed("id", "k"))  # base v=0
+
+    df_a = spark.range(5).withColumn("w", F.lit("a"))
+    df_b = spark.range(7).withColumn("w", F.lit("b"))
+    orig = a._write_manifest
+    injected = []
+
+    def racing(version, path, meta):
+        if not injected:  # B sneaks in and wins this version
+            injected.append(b.commit(df_b))
+        orig(version, path, meta)
+
+    a._write_manifest = racing
+    va = a.commit(df_a)
+    assert injected == [1]          # B won v=1 mid-race
+    assert va == 2                  # A retried and landed next
+    assert a.versions() == [0, 1, 2]
+    assert a.read(version=1).count() == 7
+    assert {r.w for r in a.read(version=1).collect()} == {"b"}
+    assert a.read(version=2).count() == 5
+    assert {r.w for r in a.read(version=2).collect()} == {"a"}
 
 
 def test_spark_sql_surface_matches_dataframe_api(spark):
@@ -220,6 +255,75 @@ def test_streaming_sessionize_matches_batch_query(spark):
     got = {
         (r.user_id, r.session_id): (r.n_events, r.session_start_ms)
         for r in spark.table("sess_out").collect()
+    }
+    import py_etl_spark.queries as Q
+
+    want = {
+        (r.user_id, r.session_id): (r.n_events, r.session_start_ms)
+        for r in Q.REGISTRY["sessionize_events"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == want
+
+
+def test_streaming_sessionize_checkpoint_restart(spark):
+    """ST1/ST13 end-to-end: kill the sessionizing query after batch 1,
+    start a NEW query from the same checkpointLocation, and assert the
+    restored state store (open sessions + watermark) carries across the
+    restart — the final output must equal the batch oracle query exactly,
+    which is only possible if no open-session state was lost between the
+    two query incarnations."""
+    from py_etl_spark.schemas import load_table
+    from py_etl_spark.streaming.sessionize import sessionize_stream
+    from tests.conftest import SF_SMALL
+
+    events = load_table(spark, SF_SMALL, "events").select("user_id", "ts", "event_id")
+    tmp = tempfile.mkdtemp()
+    src = os.path.join(tmp, "src")
+    out = os.path.join(tmp, "out")
+    ckpt = os.path.join(tmp, "ckpt")
+    events.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b1"))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+        )
+        q = (
+            sessionize_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        assert q.exception() is None
+
+    # incarnation 1: events only — open sessions stay in the state store,
+    # which the availableNow termination persists to the checkpoint
+    run_once()
+
+    # between incarnations: the closing sentinels arrive (same construction
+    # as the parity test: one shared far-future ts per user, so every real
+    # session closes and no sentinel session is ever emitted)
+    global_max = events.agg(F.max("ts")).first()[0]
+    sentinels = (
+        events.select("user_id")
+        .distinct()
+        .withColumn("ts", F.lit(global_max) + F.expr("INTERVAL 2 DAYS"))
+        .withColumn("event_id", F.lit(-1).cast("long"))
+        .select("user_id", "ts", "event_id")
+    )
+    sentinels.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b2"))
+
+    # incarnation 2: a brand-new query object resumes from the checkpoint
+    run_once()
+
+    got = {
+        (r.user_id, r.session_id): (r.n_events, r.session_start_ms)
+        for r in spark.read.parquet(out).collect()
     }
     import py_etl_spark.queries as Q
 

@@ -28,7 +28,14 @@ from py_etl_spark.session import get_spark
 
 
 def canon(v) -> str:
-    """Canonical string form of a value for hashing (engine-agnostic)."""
+    """Canonical string form of a value for hashing (engine-agnostic).
+
+    STRICT: floats are never folded to ints. The r02 driver run proved the
+    external gate distinguishes 1577834100000.0 (DuckDB DOUBLE from
+    ``epoch()``) from 1577834100000 (Spark BIGINT) — an earlier folding
+    branch here masked exactly that mismatch (st_hopping_window_agg, the
+    only red row of r02). Oracles must CAST to the type Spark emits.
+    """
     if v is None:
         return "∅"
     if isinstance(v, bool):
@@ -36,8 +43,6 @@ def canon(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
         return repr(v)
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon(x) for x in v) + "]"
