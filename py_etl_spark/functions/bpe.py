@@ -1,0 +1,315 @@
+"""Real merges-table BPE tokenizer behind the token-accounting seam.
+
+``corpus.token_budget_quota`` / ``corpus.chunk_documents`` count tokens with
+a BPE-style *pre-tokenizer* regex (corpus.TOKEN_RE). That is honest for
+rough budgeting but can drift >20% vs an actual trained tokenizer on a real
+training mix. This module adds the missing half: a pure-Python, GPT-2-style
+merges-table BPE encoder
+
+- loadable from the public GPT-2 ``merges.txt`` format
+  (``#version`` header, then one ``left right`` pair per line, rank =
+  line order),
+- applied distributed via Arrow-batched ``mapInPandas`` — the merges
+  table is a small driver-side object captured in the UDF closure and
+  shipped once per executor (broadcast semantics), NEVER per row; the
+  hot loop is per-pre-token with an LRU cache, so a 100 TB corpus pays
+  the Python cost only once per distinct word per batch,
+- and wired back into the corpus ops: ``token_budget_quota(...,
+  n_tokens_col=...)`` accepts the precomputed BPE counts.
+
+Algorithm: the classic min-rank-first loop (identical to the public GPT-2
+``bpe()`` reference): repeatedly find the lowest-rank adjacent pair present
+in the word, merge ALL its occurrences left-to-right, repeat until no
+known pair remains. Pre-tokenization uses the same ``TOKEN_RE`` family as
+corpus.py so the two counters are interchangeable.
+
+Oracle strategy (queries.bpe_token_count_fixed): for a LAYERED merges
+table — every pair's members are produced only by strictly earlier-rank
+merges — min-rank-first is equivalent to sequentially replaying the merges
+in rank order, and each replay step is exactly SQL ``replace(word_with_
+space_separated_symbols, 'a b', 'ab')``. DuckDB can therefore reproduce
+the token count exactly; tests/test_bpe.py proves the equivalence over the
+whole corpus vocabulary.
+
+Reference scope: the reference engine has no tokenizer; this belongs to
+the LLM-training-data operator family (reference need: the token counts
+feeding corpus quotas/chunking, py_etl_spark/operators/corpus.py:90,124).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Same pre-token family as corpus.TOKEN_RE: letter runs | digit runs |
+# single punctuation. Whitespace never enters a pre-token, so BPE merges
+# cannot cross word boundaries.
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# ---------------------------------------------------------------------------
+# The fixed demo merges table (layered => SQL-replayable, see module doc).
+# Layer 1 merges single chars; layer 2+ pairs may include earlier outputs.
+# This is the table behind the oracle query; production use loads a real
+# trained merges.txt via BPETokenizer.from_merges_file.
+# ---------------------------------------------------------------------------
+FIXED_MERGES: list[tuple[str, str]] = [
+    # layer 1: char + char
+    ("t", "h"),
+    ("i", "n"),
+    ("a", "n"),
+    ("e", "r"),
+    ("r", "o"),
+    ("o", "w"),
+    ("s", "c"),
+    ("c", "h"),
+    ("a", "s"),
+    ("o", "r"),
+    ("a", "l"),
+    ("u", "e"),
+    ("s", "t"),
+    ("a", "t"),
+    ("l", "u"),
+    ("e", "y"),
+    # layer 2: uses layer-1 outputs (every member produced earlier or a char)
+    ("th", "e"),
+    ("r", "ow"),
+    ("sc", "an"),
+    ("h", "as"),
+    ("j", "o"),
+    ("in", "e"),
+    ("b", "at"),
+    ("v", "al"),
+    ("d", "at"),
+    # layer 3
+    ("jo", "in"),
+    ("bat", "ch"),
+    ("val", "ue"),
+    ("dat", "a"),
+]
+
+
+class BPETokenizer:
+    """Byte-pair-encoding tokenizer from an ordered merges table.
+
+    ``merges`` is an ordered list of (left, right) symbol pairs; earlier =
+    higher priority, exactly the public GPT-2 ``merges.txt`` convention.
+    """
+
+    def __init__(self, merges: list[tuple[str, str]]):
+        self.ranks: dict[tuple[str, str], int] = {
+            tuple(p): i for i, p in enumerate(merges)
+        }
+        self._token_re = re.compile(TOKEN_RE)
+        # per-instance cache: distinct-word memoization is the whole
+        # performance story for natural-language corpora (Zipf). A plain
+        # dict (not functools.lru_cache) so the tokenizer pickles into
+        # mapInPandas closures; bounded to keep executor memory flat.
+        self._cache: dict[str, tuple[str, ...]] = {}
+
+    def _bpe(self, pretoken: str) -> tuple[str, ...]:
+        cached = self._cache.get(pretoken)
+        if cached is None:
+            cached = self._bpe_uncached(pretoken)
+            if len(self._cache) < 65536:
+                self._cache[pretoken] = cached
+        return cached
+
+    @classmethod
+    def from_merges_file(cls, path: str) -> "BPETokenizer":
+        """Load the public GPT-2 ``merges.txt`` format: optional
+        ``#version: ...`` first line, then one ``left right`` pair per
+        line; blank lines ignored; rank = file order."""
+        merges: list[tuple[str, str]] = []
+        with open(path, encoding="utf-8") as fh:
+            for i, line in enumerate(fh):
+                line = line.rstrip("\n")
+                if not line or (i == 0 and line.startswith("#")):
+                    continue
+                left, sep, right = line.partition(" ")
+                if not sep:
+                    raise ValueError(f"malformed merges line: {line!r}")
+                merges.append((left, right))
+        return cls(merges)
+
+    def _bpe_uncached(self, pretoken: str) -> tuple[str, ...]:
+        word = tuple(pretoken)
+        while len(word) > 1:
+            pairs = set(zip(word, word[1:]))
+            best = min(
+                pairs, key=lambda p: self.ranks.get(p, float("inf"))
+            )
+            if best not in self.ranks:
+                break
+            # merge ALL occurrences of `best`, left to right
+            merged: list[str] = []
+            i = 0
+            while i < len(word):
+                if (
+                    i < len(word) - 1
+                    and word[i] == best[0]
+                    and word[i + 1] == best[1]
+                ):
+                    merged.append(word[i] + word[i + 1])
+                    i += 2
+                else:
+                    merged.append(word[i])
+                    i += 1
+            word = tuple(merged)
+        return word
+
+    def pretokenize(self, text: str) -> list[str]:
+        return self._token_re.findall(text or "")
+
+    def tokenize(self, text: str) -> list[str]:
+        out: list[str] = []
+        for pre in self.pretokenize(text):
+            out.extend(self._bpe(pre))
+        return out
+
+    def count(self, text: str) -> int:
+        n = 0
+        for pre in self.pretokenize(text):
+            n += len(self._bpe(pre))
+        return n
+
+    # ---- SQL replay (oracle double-entry bookkeeping) -------------------
+    #
+    # Symbol representation: every symbol is wrapped \x02sym\x03. Distinct
+    # begin/end delimiters make whole-symbol matching structural:
+    #   - a merge pattern \x02a\x03\x02b\x03 can only match at a symbol
+    #     start (\x02 appears nowhere else), must cover symbol `a` exactly
+    #     (the \x03\x02 seam), and must end at `b`'s end — so 'ro'+'w' can
+    #     never be hit by the ('o','w') rule, and 'a'+'bc' never by
+    #     ('a','b');
+    #   - adjacent matches share NO characters (unlike a single space
+    #     separator, where replace() consuming the shared boundary skips
+    #     every other occurrence in runs like 'a a a a').
+    # Token count = number of \x02 delimiters remaining after replay.
+    _SB, _SE = "\x02", "\x03"
+
+    def replay_sql(self, col_expr: str) -> str:
+        """DuckDB expression computing this tokenizer's token COUNT for one
+        pre-token string ``col_expr`` by sequential merge replay
+        (replace() in rank order over delimiter-wrapped symbols).
+
+        Valid only for LAYERED tables (see module doc); tests assert
+        equivalence with the Python encoder over the corpus vocabulary.
+        The text must not contain \\x02/\\x03 (control chars; asserted in
+        tests for the oracle corpus).
+        """
+        sb, se = "\\x02", "\\x03"
+        expr = f"regexp_replace({col_expr}, '(.)', e'{sb}\\\\1{se}', 'g')"
+        for left, right in self.ranks:  # dict preserves insertion order
+            pat = f"e'{sb}{left}{se}{sb}{right}{se}'"
+            rep = f"e'{sb}{left}{right}{se}'"
+            expr = f"replace({expr}, {pat}, {rep})"
+        return f"(length({expr}) - length(replace({expr}, e'{sb}', '')))"
+
+    def replay_python(self, pretoken: str) -> list[str]:
+        """Python mirror of replay_sql's algorithm (sequential rank-order
+        replace over delimiter-wrapped symbols) — used by tests to prove
+        the SQL replay equals the min-rank-first encoder."""
+        s = "".join(self._SB + c + self._SE for c in pretoken)
+        for left, right in self.ranks:
+            s = s.replace(
+                self._SB + left + self._SE + self._SB + right + self._SE,
+                self._SB + left + right + self._SE,
+            )
+        return [
+            t.rstrip(self._SE) for t in s.split(self._SB) if t
+        ]
+
+
+def with_bpe_token_counts(
+    df: DataFrame,
+    tokenizer: BPETokenizer,
+    text_col: str = "text",
+    out_col: str = "n_tokens",
+) -> DataFrame:
+    """Append ``out_col`` = exact BPE token count of ``text_col``.
+
+    Arrow-batched ``mapInPandas``: the tokenizer (a dict of merge ranks —
+    KBs even for a 50k-merge GPT-2 table) rides the task closure to each
+    executor once; rows never move, no shuffle. The result df is a drop-in
+    upstream for ``corpus.token_budget_quota(..., n_tokens_col=out_col)``.
+    """
+    schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, T.LongType(), False)]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [
+                tokenizer.count(t) for t in pdf[text_col].fillna("")
+            ]
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def bpe_chunk_documents(
+    df: DataFrame,
+    tokenizer: BPETokenizer,
+    chunk_tokens: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``corpus.chunk_documents`` with EXACT BPE boundaries: split each doc
+    into runs of ``chunk_tokens`` BPE tokens.
+
+    Output matches chunk_documents: ``(id_col, chunk_id, n_chunk_tokens,
+    chunk)``. Chunk text is reconstructed by concatenating the BPE token
+    strings, inserting a single space at pre-token boundaries (the corpus
+    pre-token family never contains whitespace, so this is lossless up to
+    whitespace normalization — same contract as chunk_documents'
+    ``concat_ws``). Entirely map-side; memory bounded by the largest doc.
+    """
+    schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("chunk_id", T.LongType(), False),
+            T.StructField("n_chunk_tokens", T.LongType(), False),
+            T.StructField("chunk", T.StringType(), False),
+        ]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, cids, ns, chunks = [], [], [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col].fillna("")):
+                # (pretoken_index, token) pairs so chunk text can restore
+                # the space between pre-tokens even when a chunk splits
+                # one pre-token's tokens from the next's.
+                toks: list[tuple[int, str]] = []
+                for wi, pre in enumerate(tokenizer.pretokenize(text)):
+                    toks.extend((wi, t) for t in tokenizer._bpe(pre))
+                for ci in range(0, len(toks), chunk_tokens):
+                    part = toks[ci : ci + chunk_tokens]
+                    buf: list[str] = []
+                    prev_wi = part[0][0]
+                    for wi, t in part:
+                        if wi != prev_wi:
+                            buf.append(" ")
+                            prev_wi = wi
+                        buf.append(t)
+                    ids.append(rid)
+                    cids.append(ci // chunk_tokens)
+                    ns.append(len(part))
+                    chunks.append("".join(buf))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
+                    "chunk_id": pd.Series(cids, dtype="int64"),
+                    "n_chunk_tokens": pd.Series(ns, dtype="int64"),
+                    "chunk": pd.Series(chunks, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=schema)

@@ -72,6 +72,7 @@ def token_budget_quota(
     group_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Cap each group at ``budget`` tokens, keeping a deterministic
     hash-ordered prefix of its documents.
@@ -81,13 +82,22 @@ def token_budget_quota(
     sum, and keep every doc that STARTS under the budget (so each group
     may overshoot by at most one document — the standard greedy quota).
 
-    One shuffle (the per-group window); token counting is a JVM regex.
+    One shuffle (the per-group window); token counting is a JVM regex by
+    default. Pass ``n_tokens_col`` to budget on a PRECOMPUTED count
+    instead — e.g. exact BPE counts from
+    ``functions.bpe.with_bpe_token_counts`` — making the quota honest
+    against a real tokenizer while the window plan stays identical.
     Groups are independent, so 100 TB with thousands of sources spreads
     across the cluster; a single gigantic source is bounded by its own
     budget scan and can be pre-salted upstream if one group dominates.
     Output adds ``n_tokens`` and ``cum_tokens``.
     """
-    ntok = F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0)))
+    if n_tokens_col is not None:
+        ntok = F.col(n_tokens_col)
+    else:
+        ntok = F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
+        )
     h = F.conv(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
     ).cast("long")

@@ -197,19 +197,38 @@ _NANO_TS_COLS = {"events": ["ts"]}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one synthetic star-schema table (columnar parquet scan)."""
+    """Read one synthetic star-schema table (columnar parquet scan).
+
+    Timestamp normalization: the generator has produced ``events.ts`` as
+    TIMESTAMP(NANOS) (one round) and as naive TIMESTAMP(µs,
+    isAdjustedToUTC=false) (another) — the latter surfaces as
+    TIMESTAMP_NTZ under Spark 4's default inference. Every query treats
+    ``ts`` as an instant (unix_millis, window(), casts), and the DuckDB
+    oracle reads the same bytes as naive-UTC, so both forms normalize to
+    TimestampType holding the stored value as a UTC instant.
+    """
     # The caller may hand us a session built without our factory (the
     # external driver does). Timestamp rendering must match the UTC-naive
     # oracle, and TIMESTAMP(NANOS) parquet needs nanosAsLong or the scan
-    # itself throws PARQUET_TYPE_ILLEGAL. Both are runtime-settable.
+    # itself throws PARQUET_TYPE_ILLEGAL. All three confs are
+    # runtime-settable.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name in _NANO_TS_COLS:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Naive-µs parquet must land as LTZ (stored micros = UTC instant),
+        # not NTZ, so unix_millis/window() resolve and are tz-independent.
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _NANO_TS_COLS.get(name, []):
-        if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
+        if c not in df.columns:
+            continue
+        if isinstance(df.schema[c].dataType, T.LongType):
             # integer div — float division would lose precision on ~1e18 ns
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif isinstance(df.schema[c].dataType, T.TimestampNTZType):
+            # Fallback if a future Spark drops the inference conf: with the
+            # session tz pinned UTC above, NTZ→LTZ cast is naive-as-UTC.
+            df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
     return df
 
 
