@@ -94,16 +94,19 @@ class VersionedState:
 
     def _read_manifest(self, version: int) -> dict:
         p = self._Path(f"{self.root}/_manifest/{version:020d}.json")
+        # py4j passes primitive arrays BY VALUE: a Java-side
+        # ``read(byte[])`` fills a copy the Python caller never sees. Read
+        # through the no-arg single-byte overload instead — manifests are
+        # ~100 bytes, so the per-call overhead is irrelevant.
         stream = self._fs.open(p)
         try:
-            chunks = []
-            buf = bytearray(4096)
+            data = bytearray()
             while True:
-                n = stream.read(buf)
-                if n <= 0:
+                b = stream.read()
+                if b < 0:
                     break
-                chunks.append(bytes(buf[:n]))
-            return json.loads(b"".join(chunks).decode())
+                data.append(b)
+            return json.loads(bytes(data).decode())
         finally:
             stream.close()
 
@@ -113,14 +116,35 @@ class VersionedState:
         """Resolve a committed version's data directory via its manifest.
 
         Pre-multi-writer layouts stored data at ``v=<n>`` with no manifest
-        ``path`` field; fall back to that for backward compatibility."""
+        ``path`` field; fall back to that, then to a ``v=<n>-*`` directory
+        listing, for backward compatibility. Unlike the earlier silent
+        fallback, an unreadable manifest is surfaced loudly — a read bug
+        here must not reappear downstream as a phantom PATH_NOT_FOUND."""
+        manifest_err: Exception | None = None
+        path = None
         try:
             path = self._read_manifest(version).get("path")
-            if path:
-                return path
-        except Exception:
-            pass
-        return f"{self.root}/v={version}"
+        except Exception as exc:  # noqa: BLE001 - rethrown below if no fallback
+            manifest_err = exc
+        if path:
+            return path
+        legacy = f"{self.root}/v={version}"
+        if self._fs.exists(self._Path(legacy)):
+            return legacy
+        prefix = f"v={version}-"
+        candidates = [
+            st.getPath().toString()
+            for st in self._fs.listStatus(self._Path(self.root))
+            if st.isDirectory() and st.getPath().getName().startswith(prefix)
+        ]
+        if len(candidates) == 1:
+            return candidates[0]
+        raise RuntimeError(
+            f"cannot resolve data path for version {version} under "
+            f"{self.root}: manifest "
+            f"{'unreadable: ' + repr(manifest_err) if manifest_err else 'has no path field'}, "
+            f"no legacy v={version} dir, {len(candidates)} v={version}-* candidates"
+        )
 
     def exists(self) -> bool:
         return self.current_version() is not None
@@ -152,19 +176,24 @@ class VersionedState:
            files in one directory);
         2. the create-exclusive manifest append is the single commit
            arbiter — exactly one writer wins version ``n``;
-        3. a loser re-reads ``current_version()``, bumps, and re-attempts
-           the manifest pointing at the SAME already-written data
-           directory (the retry is manifest-only — the distributed write
-           is never repeated). Its version prefix in the dir name is then
-           stale, which is fine: readers resolve paths through the
-           manifest, never by constructing the dir name.
+        3. a loser re-reads ``current_version()``, bumps, RENAMES its
+           data directory to carry the new attempt's version prefix (a
+           cheap same-filesystem metadata op on its writer-private dir),
+           and re-attempts the manifest pointing at the renamed directory.
+           The retry is manifest+rename only — the distributed write is
+           never repeated. Re-stamping the prefix keeps the dir ahead of
+           every competitor's GC horizon: ``_gc`` only sweeps ``v=<n>-*``
+           dirs whose prefix fell BEHIND the oldest retained manifest, so
+           even a writer that loses ``keep_versions + k`` consecutive
+           races cannot have its data swept before its manifest lands.
 
         A crash between (1) and (2) leaves an unreferenced data dir that
         ``_gc`` reclaims once its version prefix falls behind the GC
         retention window.
         """
         v = (self.current_version() or 0) + 1 if self.exists() else 0
-        data_path = f"{self.root}/v={v}-{uuid.uuid4().hex[:8]}"
+        token = uuid.uuid4().hex[:8]
+        data_path = f"{self.root}/v={v}-{token}"
         writer = df.write.mode("errorifexists")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
@@ -179,6 +208,9 @@ class VersionedState:
                 if nxt <= v:  # manifest create failed for a non-race reason
                     raise
                 v = nxt
+                restamped = f"{self.root}/v={v}-{token}"
+                if self._fs.rename(self._Path(data_path), self._Path(restamped)):
+                    data_path = restamped
         else:
             raise RuntimeError(
                 f"commit lost {max_retries} consecutive manifest races under "

@@ -157,6 +157,43 @@ def test_versioned_state_multi_writer_race(spark):
     assert {r.w for r in a.read(version=2).collect()} == {"a"}
 
 
+def test_versioned_state_multi_race_loser_survives_gc(spark):
+    """A writer losing ``keep_versions + 1`` consecutive manifest races must
+    still commit with readable data. Each retry re-stamps the loser's data
+    dir with the new attempt's version prefix, so a competitor's orphan GC
+    (which sweeps ``v=<n>-*`` dirs whose prefix fell behind the oldest
+    retained manifest) can never reclaim it mid-race. Before the re-stamp
+    fix the dir kept its first attempt's prefix and was swept on the
+    competitor's third commit, leaving a manifest pointing at deleted
+    data."""
+    from py_etl_spark.streaming.state_store import VersionedState
+
+    tmp = tempfile.mkdtemp()
+    root = os.path.join(tmp, "st")
+    a = VersionedState(spark, root, partition_by=(), keep_versions=2)
+    b = VersionedState(spark, root, partition_by=(), keep_versions=2)
+    a.commit(spark.range(3).withColumnRenamed("id", "k"))  # base v=0
+
+    df_a = spark.range(5).withColumn("w", F.lit("a"))
+    orig = a._write_manifest
+    losses = []
+
+    def racing(version, path, meta):
+        if len(losses) < 3:  # B wins keep_versions + 1 races in a row
+            losses.append(
+                b.commit(spark.range(2).withColumn("w", F.lit("b")))
+            )
+        orig(version, path, meta)
+
+    a._write_manifest = racing
+    va = a.commit(df_a)
+    assert losses == [1, 2, 3]
+    assert va == 4
+    got = a.read(version=va)
+    assert got.count() == 5
+    assert {r.w for r in got.collect()} == {"a"}
+
+
 def test_spark_sql_surface_matches_dataframe_api(spark):
     from py_etl_spark.schemas import register_star_views
     from tests.conftest import SF_MED
