@@ -10,10 +10,11 @@ merges-table BPE encoder
   (``#version`` header, then one ``left right`` pair per line, rank =
   line order),
 - applied distributed via Arrow-batched ``mapInPandas`` — the merges
-  table is a small driver-side object captured in the UDF closure and
-  shipped once per executor (broadcast semantics), NEVER per row; the
-  hot loop is per-pre-token with an LRU cache, so a 100 TB corpus pays
-  the Python cost only once per distinct word per batch,
+  table is a small driver-side object captured in the UDF closure
+  (serialized once into the task binary; Spark deserializes it per task,
+  never per row); the hot loop is per-pre-token with a memo cache, so
+  each task pays the Python cost once per distinct word it sees (Zipf
+  makes that a small fraction of rows),
 - and wired back into the corpus ops: ``token_budget_quota(...,
   n_tokens_col=...)`` accepts the precomputed BPE counts.
 
@@ -191,28 +192,49 @@ class BPETokenizer:
     # Token count = number of \x02 delimiters remaining after replay.
     _SB, _SE = "\x02", "\x03"
 
+    @staticmethod
+    def _sql_symbol(sym: str) -> str:
+        """Escape a merge symbol for interpolation into a DuckDB ``e'...'``
+        literal. Control characters are rejected outright — \\x02/\\x03
+        would collide with the structural delimiters, and the rest have no
+        business in a merges table."""
+        if any(ord(c) < 0x20 or ord(c) == 0x7F for c in sym):
+            raise ValueError(
+                f"merge symbol contains a control character: {sym!r}"
+            )
+        return sym.replace("\\", "\\\\").replace("'", "\\'")
+
     def replay_sql(self, col_expr: str) -> str:
         """DuckDB expression computing this tokenizer's token COUNT for one
         pre-token string ``col_expr`` by sequential merge replay
         (replace() in rank order over delimiter-wrapped symbols).
 
-        Valid only for LAYERED tables (see module doc); tests assert
-        equivalence with the Python encoder over the corpus vocabulary.
-        The text must not contain \\x02/\\x03 (control chars; asserted in
-        tests for the oracle corpus).
+        Valid only for LAYERED tables (see module doc); tests/test_bpe.py
+        asserts equivalence with the Python encoder over the corpus
+        vocabulary. Robustness: merge symbols are escaped (and control
+        chars rejected) before interpolation into the SQL literal, and
+        \\x02/\\x03 in the INPUT are remapped to \\x01 up front — a lone
+        non-alnum char is always a single-char pre-token contributing
+        exactly one token on both sides (no merge symbol may contain
+        control chars), so the remap is count-preserving rather than
+        delimiter-corrupting.
         """
         sb, se = "\\x02", "\\x03"
-        expr = f"regexp_replace({col_expr}, '(.)', e'{sb}\\\\1{se}', 'g')"
+        src = f"regexp_replace({col_expr}, e'[{sb}{se}]', e'\\x01', 'g')"
+        expr = f"regexp_replace({src}, '(.)', e'{sb}\\\\1{se}', 'g')"
         for left, right in self.ranks:  # dict preserves insertion order
-            pat = f"e'{sb}{left}{se}{sb}{right}{se}'"
-            rep = f"e'{sb}{left}{right}{se}'"
+            l, r = self._sql_symbol(left), self._sql_symbol(right)
+            pat = f"e'{sb}{l}{se}{sb}{r}{se}'"
+            rep = f"e'{sb}{l}{r}{se}'"
             expr = f"replace({expr}, {pat}, {rep})"
         return f"(length({expr}) - length(replace({expr}, e'{sb}', '')))"
 
     def replay_python(self, pretoken: str) -> list[str]:
         """Python mirror of replay_sql's algorithm (sequential rank-order
-        replace over delimiter-wrapped symbols) — used by tests to prove
-        the SQL replay equals the min-rank-first encoder."""
+        replace over delimiter-wrapped symbols, including the \\x02/\\x03
+        input remap) — used by tests to prove the SQL replay equals the
+        min-rank-first encoder."""
+        pretoken = pretoken.replace(self._SB, "\x01").replace(self._SE, "\x01")
         s = "".join(self._SB + c + self._SE for c in pretoken)
         for left, right in self.ranks:
             s = s.replace(
