@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # BPE-ish pre-tokenizer: letter runs | digit runs | single punctuation.
 TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -119,8 +120,8 @@ def chunk_documents(
     text_col: str = "text",
 ) -> DataFrame:
     """Split each document into fixed-size token chunks (training-example
-    packing's first half; the second half — packing chunks into context
-    windows — is a groupBy on ``split``/shard).
+    packing's first half; ``pack_chunks`` below assembles the chunks into
+    fixed-budget context-window examples).
 
     Output: ``(id_col, chunk_id, n_chunk_tokens, chunk)`` with
     ``chunk = the i-th run of chunk_tokens tokens re-joined by spaces``.
@@ -160,6 +161,80 @@ def chunk_documents(
         )
     )
     return out
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    context_tokens: int,
+    num_shards: int = 64,
+    id_col: str = "doc_id",
+    chunk_id_col: str = "chunk_id",
+    n_col: str = "n_chunk_tokens",
+) -> DataFrame:
+    """Pack ``chunk_documents`` / ``bpe_chunk_documents`` output into
+    fixed-budget training examples (the second half of example packing —
+    closes the IOU in ``chunk_documents``'s docstring).
+
+    Sequential greedy (next-fit) packing: within a shard, walk the chunks
+    in deterministic hash order — ``(md5-prefix(doc id), doc id, chunk
+    id)``, the same portable ordering family as ``token_budget_quota``, so
+    a doc's chunks stay adjacent and in order — and append each chunk to
+    the current example unless that would push it past ``context_tokens``,
+    in which case a new example starts. Every example is ≤ the budget
+    (an oversized single chunk — impossible when ``chunk_tokens <=
+    context_tokens`` upstream — becomes a singleton example: it cannot be
+    split here), every chunk lands in exactly one example, and the
+    assignment is a pure function of (doc id, chunk id, sizes) — stable
+    under repartitioning, task retry, and cluster layout.
+
+    Scale shape: one shuffle (hash-partition by shard), then the packing
+    walk is per-shard-local inside ``applyInPandas`` — O(rows) with O(1)
+    state, no driver materialization. ``num_shards`` bounds per-task
+    group size; at 100 TB raise it so each shard's chunk metadata fits a
+    task (the walk only needs ids + sizes + text, the same rows it
+    returns). Examples are keyed (shard, example_id) — globally unique
+    without any cross-shard coordination.
+
+    Output: the input columns plus ``shard`` and ``example_id``.
+    """
+    import pandas as pd
+
+    out_schema = T.StructType(
+        chunks.schema.fields
+        + [
+            T.StructField("shard", T.IntegerType(), False),
+            T.StructField("example_id", T.LongType(), False),
+        ]
+    )
+    in_cols = [f.name for f in chunks.schema.fields]
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            ["__h", id_col, chunk_id_col], kind="mergesort"
+        ).reset_index(drop=True)
+        ex_ids = []
+        ex, fill = 0, 0
+        for i, s in enumerate(pdf[n_col]):
+            if i == 0:
+                fill = s
+            elif fill + s <= context_tokens:
+                fill += s
+            else:
+                ex += 1
+                fill = s
+            ex_ids.append(ex)
+        pdf["example_id"] = pd.Series(ex_ids, dtype="int64")
+        return pdf[in_cols + ["shard", "example_id"]]
+
+    prepared = chunks.withColumn(
+        "shard", _hash_bucket(F.col(id_col), num_shards).cast("int")
+    ).withColumn(
+        "__h",
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long"),
+    )
+    return prepared.groupBy("shard").applyInPandas(pack, schema=out_schema)
 
 
 def decontaminate(

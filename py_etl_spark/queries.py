@@ -3153,6 +3153,62 @@ def corpus_chunk_tokens(spark, sf_dir):
 
 
 @query(
+    "corpus_pack_examples",
+    f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, regexp_extract_all(text, '{_BPE_TOKEN_RE}') AS toks,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM documents
+    ), c AS (
+      SELECT doc_id, h,
+             unnest(range(0, greatest(CAST(ceil(len(toks) / 50.0) AS BIGINT),
+                                      1))) AS chunk_id,
+             toks
+      FROM t
+    ), ch AS (
+      SELECT doc_id, h, chunk_id,
+             len(list_slice(toks, chunk_id * 50 + 1, chunk_id * 50 + 50)) AS n
+      FROM c
+      WHERE len(list_slice(toks, chunk_id * 50 + 1, chunk_id * 50 + 50)) > 0
+    ), ordered AS (
+      SELECT CAST(h % 8 AS INTEGER) AS shard, doc_id, chunk_id, n,
+             row_number() OVER (PARTITION BY h % 8
+                                ORDER BY h, doc_id, chunk_id) AS rn
+      FROM ch
+    ), packed AS (
+      SELECT shard, doc_id, chunk_id, n, rn,
+             CAST(0 AS BIGINT) AS example_id, n AS fill
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.shard, o.doc_id, o.chunk_id, o.n, o.rn,
+             CASE WHEN p.fill + o.n <= 200
+                  THEN p.example_id ELSE p.example_id + 1 END,
+             CASE WHEN p.fill + o.n <= 200 THEN p.fill + o.n ELSE o.n END
+      FROM packed p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1
+    )
+    SELECT shard, doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(n AS BIGINT) AS n_chunk_tokens, example_id
+    FROM packed
+    """,
+    note="Context-window packing (operators/corpus.pack_chunks): greedy "
+         "next-fit of 50-token chunks into 200-token examples, walked in "
+         "deterministic md5-hash order within hash shards. One shuffle "
+         "(shard partition), O(1)-state walk per shard in applyInPandas — "
+         "no driver materialization, example ids unique per (shard, "
+         "example_id) with zero cross-shard coordination. The oracle "
+         "replays the identical walk as a DuckDB recursive CTE (one row "
+         "per shard per step).",
+)
+def corpus_pack_examples(spark, sf_dir):
+    from py_etl_spark.operators.corpus import chunk_documents, pack_chunks
+
+    chunks = chunk_documents(_t(spark, sf_dir, "documents"), chunk_tokens=50)
+    return pack_chunks(chunks, context_tokens=200, num_shards=8).select(
+        "shard", "doc_id", "chunk_id", "n_chunk_tokens", "example_id"
+    )
+
+
+@query(
     "jsonl_roundtrip_documents",
     """
     SELECT doc_id, text, lang, source, n_chars FROM documents

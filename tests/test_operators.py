@@ -435,6 +435,47 @@ def test_chunking_partitions_all_tokens(spark):
     assert sum(r.n_chunk_tokens for r in rows) == n_src
 
 
+def test_pack_chunks_budget_exactly_once_and_repartition_stable(spark):
+    from py_etl_spark.operators.corpus import chunk_documents, pack_chunks
+
+    docs = spark.createDataFrame(
+        [(i, f"word{i} " * (17 + (i * 13) % 90)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    chunks = chunk_documents(docs, chunk_tokens=25)
+    budget = 60
+    packed = pack_chunks(chunks, context_tokens=budget, num_shards=4)
+    rows = packed.collect()
+
+    # every chunk exactly once
+    assert sorted((r.doc_id, r.chunk_id) for r in rows) == sorted(
+        (r.doc_id, r.chunk_id) for r in chunks.collect()
+    )
+    # every example within budget (chunk_tokens <= budget, so no
+    # oversized-singleton escape hatch is exercised)
+    fills: dict[tuple, int] = {}
+    for r in rows:
+        fills[(r.shard, r.example_id)] = (
+            fills.get((r.shard, r.example_id), 0) + r.n_chunk_tokens
+        )
+    assert all(v <= budget for v in fills.values())
+    # greedy: an example closes only because the NEXT chunk would not fit,
+    # so no two consecutive examples in a shard could have been merged
+    by_shard: dict[int, dict[int, int]] = {}
+    for (shard, ex), v in fills.items():
+        by_shard.setdefault(shard, {})[ex] = v
+    for exs in by_shard.values():
+        assert sorted(exs) == list(range(len(exs)))  # dense ids from 0
+
+    # deterministic under a different input layout
+    rows2 = pack_chunks(
+        chunks.repartition(13), context_tokens=budget, num_shards=4
+    ).collect()
+    assert sorted(
+        (r.shard, r.doc_id, r.chunk_id, r.example_id) for r in rows2
+    ) == sorted((r.shard, r.doc_id, r.chunk_id, r.example_id) for r in rows)
+
+
 def test_hopping_window_multiplicity(spark):
     from py_etl_spark.schemas import load_table
     from tests.conftest import SF_MED

@@ -326,3 +326,11 @@ def test_decontaminate_broadcasts_benchmark(spark):
 def test_chunking_is_map_side_only(spark):
     df = Q.REGISTRY["corpus_chunk_tokens"].fn(spark, SF_MED)
     assert shuffle_count(df) == 0  # tokenize + explode + slice: no exchange
+
+
+def test_pack_examples_single_shard_shuffle(spark):
+    df = Q.REGISTRY["corpus_pack_examples"].fn(spark, SF_MED)
+    # chunking is map-side; packing costs exactly one exchange (hash
+    # partition by shard) feeding the applyInPandas walk
+    assert shuffle_count(df) == 1
+    assert single_partition_exchange_count(df) == 0
