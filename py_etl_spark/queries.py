@@ -3279,75 +3279,31 @@ def st_hopping_window_agg(spark, sf_dir):
 # The external driver checks registry entries in dict order and caps its
 # list at 50. Emit the registry in an explicit priority order so the cap
 # lands on queries whose correctness is independently evidenced elsewhere:
-#   _FRONT (r03 rotation, 43): st_hopping_window_agg (fixed oracle — the
-#           only red row of r02) first, then the four queries whose
-#           implementation changed in r02 after their last driver row
-#           (a5, o2, cdc_merge, st_tumbling), then the 38 remaining
-#           queries whose last driver-green row is r01;
-#   middle: everything NOT in _FRONT/_TAIL, decorator order — new r03
-#           queries land here, inside the 50-slot window (43 + 7 free);
-#   _TAIL (49): every query with a green r02 driver row — freshest
-#           evidence, cheapest to cede to the window cap.
+#   _FRONT (r04 rotation, 50): the new corpus_pack_examples and
+#           bpe_token_count_fixed (its replay oracle was hardened this
+#           round) first, then the 43 queries whose latest driver-green
+#           row is r02, then 5 historically-fragile r03 entries
+#           (window/rank/merge family) to keep them under rotation;
+#   middle: everything NOT in _FRONT/_TAIL, decorator order — new r04
+#           queries land here if added after this rotation;
+#   _TAIL (44): the remaining queries with a fresh green r03 driver row —
+#           freshest evidence, cheapest to cede to the window cap.
 # tools/check_correctness.py runs the FULL registry regardless (committed
 # as CORRECTNESS_FULL_r*.json).
 _FRONT = [
-    "st_hopping_window_agg",
-    "a5_partition_boundaries",
-    "o2_case_insensitive_sort",
-    "cdc_merge_scd1",
-    "st_tumbling_window_agg",
-    "s3_point_lookup",
-    "s4_sorted_limit",
-    "s7_scope_scan",
-    "p4_status_filter",
-    "p5_watermark_filter",
-    "p6_keyset_semi_join",
-    "p12_first_n_per_group",
-    "a1_count_by_group",
-    "a2_watermark_running_max",
-    "a4_duplicate_key_detection",
-    "a7_pending_work_exists",
-    "e1_set_difference",
-    "e2_set_intersection",
-    "dedup_exact_groups",
-    "text_stats",
-    "lang_id_heuristic",
-    "dedup_minhash_portable_small",
-    "ann_cosine_topk",
-    "q6_forecast_revenue",
-    "q14_promo_revenue_share",
-    "q18_large_volume_customers",
-    "json_props_extract",
-    "a8_distinct_and_percentile",
-    "s5_csv_roundtrip",
-    "j2_event_entity_lookup",
-    "j4_sorted_merge_tree_compare",
-    "s10_tree_ancestors",
-    "p3_rename_convert_projection",
-    "p10_validity_routing",
-    "j1_snapshot_reconcile_outer",
-    "j3_two_key_fallback_join",
-    "j7_anti_join_guard",
-    "a3_last_writer_wins",
-    "cdc_tombstone_lifecycle",
-    "f_date_number_suite",
-    "f_string_suite",
-    "f_hash_fingerprint",
-    "w2_retry_escalation",
-]
-_TAIL = [
-    "e5_unpivot_metrics",
-    "g1_rollup",
-    "g2_cube",
-    "g3_pivot",
-    "sessionize_events",
-    "asof_latest_order_at_shipdate",
-    "ngram_jaccard_allpairs_small",
-    "embedding_near_dup",
-    "anonymize_email_domains",
+    "corpus_pack_examples",
+    "bpe_token_count_fixed",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "s1_full_scan_projection",
+    "s2_keyset_range_scan",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_lsh",
+    "ngram_jaccard_allpairs_small",
+    "embedding_near_dup",
+    "anonymize_email_domains",
     "q2_min_cost_supplier",
     "q4_order_priority_exists",
     "q10_returned_revenue",
@@ -3369,9 +3325,9 @@ _TAIL = [
     "q8_market_share",
     "q16_supplier_part_counts",
     "q20_heavy_part_suppliers",
+    "skew_salted_join_orders",
     "profile_orders_table",
     "a9_price_histogram",
-    "skew_salted_join_orders",
     "q9_product_profit",
     "q11_important_stock",
     "doc_winnow_fingerprints",
@@ -3380,11 +3336,57 @@ _TAIL = [
     "corpus_decontaminate_vs_benchmark",
     "corpus_chunk_tokens",
     "jsonl_roundtrip_documents",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "s1_full_scan_projection",
-    "s2_keyset_range_scan",
+    "st_hopping_window_agg",
+    "a5_partition_boundaries",
+    "o2_case_insensitive_sort",
+    "cdc_merge_scd1",
+    "st_tumbling_window_agg",
+]
+_TAIL = [
+    "s3_point_lookup",
+    "s4_sorted_limit",
+    "s5_csv_roundtrip",
+    "s7_scope_scan",
+    "s10_tree_ancestors",
+    "p3_rename_convert_projection",
+    "p4_status_filter",
+    "p5_watermark_filter",
+    "p6_keyset_semi_join",
+    "p10_validity_routing",
+    "p12_first_n_per_group",
+    "j1_snapshot_reconcile_outer",
+    "j2_event_entity_lookup",
+    "j3_two_key_fallback_join",
+    "j4_sorted_merge_tree_compare",
+    "j7_anti_join_guard",
+    "a1_count_by_group",
+    "a2_watermark_running_max",
+    "a3_last_writer_wins",
+    "a4_duplicate_key_detection",
+    "a7_pending_work_exists",
+    "w2_retry_escalation",
+    "e1_set_difference",
+    "e2_set_intersection",
+    "f_string_suite",
+    "f_date_number_suite",
+    "f_hash_fingerprint",
+    "cdc_tombstone_lifecycle",
+    "dedup_exact_groups",
+    "text_stats",
+    "lang_id_heuristic",
+    "dedup_minhash_portable_small",
+    "ann_cosine_topk",
+    "q6_forecast_revenue",
+    "q14_promo_revenue_share",
+    "q18_large_volume_customers",
+    "json_props_extract",
+    "a8_distinct_and_percentile",
+    "e5_unpivot_metrics",
+    "g1_rollup",
+    "g2_cube",
+    "g3_pivot",
+    "sessionize_events",
+    "asof_latest_order_at_shipdate",
 ]
 
 

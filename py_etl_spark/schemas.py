@@ -211,13 +211,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # external driver does). Timestamp rendering must match the UTC-naive
     # oracle, and TIMESTAMP(NANOS) parquet needs nanosAsLong or the scan
     # itself throws PARQUET_TYPE_ILLEGAL. All three confs are
-    # runtime-settable.
+    # runtime-settable, and all three are set UNCONDITIONALLY so schema
+    # inference never depends on which table a session happened to load
+    # first (the factory also sets them at build time — this is the
+    # belt-and-suspenders for foreign sessions).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if name in _NANO_TS_COLS:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # Naive-µs parquet must land as LTZ (stored micros = UTC instant),
-        # not NTZ, so unix_millis/window() resolve and are tz-independent.
-        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Naive-µs parquet must land as LTZ (stored micros = UTC instant),
+    # not NTZ, so unix_millis/window() resolve and are tz-independent.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _NANO_TS_COLS.get(name, []):
         if c not in df.columns:

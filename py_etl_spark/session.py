@@ -52,6 +52,11 @@ def get_spark(
         # Some sources write TIMESTAMP(NANOS) parquet, which Spark's reader
         # rejects; read as raw nanos long and let loaders convert to µs.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Naive-µs parquet lands as LTZ (stored micros = UTC instant), not
+        # NTZ, so unix_millis()/window() work on ANY timestamp read under
+        # this session — even parquet read outside schemas.load_table.
+        # Session-level invariant: all timestamp ingest is naive-as-UTC.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

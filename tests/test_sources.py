@@ -96,3 +96,20 @@ def test_jsonl_quarantine_routes_corrupt_lines(spark, tmp_path):
     assert bad.count() == 1
     # escaping survives: the embedded quote and newline come back intact
     assert good.filter(F.col("doc_id") == 3).first().text == 'quote " and\nnewline'
+
+
+def test_factory_session_timestamp_invariant_outside_load_table(spark):
+    """Session-level NTZ guard: parquet timestamps read by a BARE
+    spark.read.parquet (bypassing schemas.load_table) under the factory
+    session must never surface as TIMESTAMP_NTZ, and instant functions
+    like unix_millis must work on them — the crash family that NTZ
+    inference caused can only be prevented structurally at the session."""
+    from pyspark.sql import types as T
+    from tests.conftest import SF_MED
+
+    df = spark.read.parquet(f"{SF_MED}/events.parquet")
+    t = df.schema["ts"].dataType
+    assert not isinstance(t, T.TimestampNTZType), t
+    if isinstance(t, T.TimestampType):
+        rows = df.select(F.unix_millis("ts").alias("ms")).limit(5).collect()
+        assert all(r.ms is not None for r in rows)
