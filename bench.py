@@ -3,10 +3,24 @@
 
 Prints exactly ONE JSON line:
   {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <float>}
+   "queries": {name: sec, ...}, "sf": <float>, ...}
 
-Each query is fully materialized via the no-op sink (forces the whole plan,
-no driver collect). Set SPARK_GRAFT_CPUS to bound parallelism.
+Noise posture (the r03 lesson: single samples on a busy 32-way box swing
+>2x run-to-run): every query runs SPARK_GRAFT_BENCH_REPS times (default
+3); "queries"/"value" report the per-query MIN (the least-interference
+estimate of the plan's true cost) and "queries_median" the median, so a
+real regression separates from scheduler noise.
+
+Scale block: when benchmarking sf0.1, a 10x replica (~sf1) is
+materialized once under /tmp by unioning 10 key-offset copies of each
+table — offsets keep join fan-outs realistic instead of creating 10-deep
+duplicate keys — and a scale-sensitive subset of the headline queries
+runs there (content-dedup queries are excluded: text replicas would
+quadratically inflate their candidate pairs, measuring data pathology
+rather than plan cost). Disable with SPARK_GRAFT_SF1=0.
+
+Each query is fully materialized via the no-op sink (forces the whole
+plan, no driver collect). Set SPARK_GRAFT_CPUS to bound parallelism.
 """
 
 from __future__ import annotations
@@ -14,6 +28,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -54,40 +69,139 @@ HEADLINE = [
     "range_join_followup_events",
     "q9_product_profit",
     "doc_winnow_fingerprints",
+    # round 4 additions:
+    "bpe_token_count_fixed",
+    "corpus_pack_examples",
 ]
+
+# Scale-sensitive subset for the 10x block: joins, window aggs, Python
+# seams. No content-dedup (replicated text measures pathology, not plan).
+SF1_SUBSET = [
+    "q1_pricing_summary",
+    "q9_product_profit",
+    "q18_large_volume_customers",
+    "cdc_merge_scd1",
+    "st_tumbling_window_agg",
+    "sessionize_events",
+    "j2_event_entity_lookup",
+    "text_stats",
+    "quality_filter_gopher",
+    "ann_cosine_topk",
+    "corpus_pack_examples",
+]
+
+# key columns to offset per replica copy so FK relationships replicate
+# without creating 10-deep duplicate keys (which would inflate join
+# fan-outs quadratically instead of scaling them linearly)
+_KEY_COLS = {
+    "region": [],
+    "nation": [],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+_COPIES = 10
+_OFFSET = 100_000_000
+
+
+def _build_sf1_replica(spark, src_dir: str, dst_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    from py_etl_spark.schemas import load_table
+
+    for name, keys in _KEY_COLS.items():
+        out = os.path.join(dst_dir, f"{name}.parquet")
+        if os.path.exists(out):
+            continue
+        base = load_table(spark, src_dir, name)
+        if not keys:  # tiny dims: copy once
+            base.write.mode("overwrite").parquet(out)
+            continue
+        parts = []
+        for i in range(_COPIES):
+            c = base
+            for k in keys:
+                c = c.withColumn(k, F.col(k) + F.lit(i * _OFFSET))
+            parts.append(c)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        df.write.mode("overwrite").parquet(out)
+
+
+def _run_block(qs, names, sf_dir: str, reps: int, spark):
+    mins: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    for name in names:
+        samples = []
+        for _ in range(reps):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            samples.append(time.time() - t0)
+        mins[name] = round(min(samples), 3)
+        medians[name] = round(statistics.median(samples), 3)
+    return mins, medians
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark("bench")
 
     qs = Q.queries()
-    timings: dict[str, float] = {}
     # warm the JVM/codegen paths once with a trivial action
     spark.range(1).count()
-    for name in HEADLINE:
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                # the headline list GROWS each round (14 in r01, 27 in r02,
-                # 29 now) — compare totals across rounds per-query or via
-                # this normalized mean, not raw totals
-                "n_queries": len(timings),
-                "mean_sec_per_query": round(total / max(len(timings), 1), 3),
-            }
+    mins, medians = _run_block(qs, HEADLINE, sf_dir, reps, spark)
+    total = round(sum(mins.values()), 3)
+
+    result = {
+        "metric": "headline_query_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": mins,
+        "queries_median": medians,
+        "reps": reps,
+        "sf": sf,
+        # the headline list GROWS each round (14 in r01, 27 in r02, 29 in
+        # r03, 31 now) — compare totals across rounds per-query or via
+        # this normalized mean, not raw totals
+        "n_queries": len(mins),
+        "mean_sec_per_query": round(total / max(len(mins), 1), 3),
+    }
+
+    if sf == 0.1 and os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        sf1_dir = os.environ.get(
+            "SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1"
         )
-    )
+        t0 = time.time()
+        os.makedirs(sf1_dir, exist_ok=True)
+        _build_sf1_replica(spark, sf_dir, sf1_dir)
+        build_sec = round(time.time() - t0, 3)
+        sf1_reps = max(2, reps - 1)
+        s_mins, s_medians = _run_block(
+            qs, SF1_SUBSET, sf1_dir, sf1_reps, spark
+        )
+        result["sf1"] = {
+            "sf": 1.0,
+            "dir": sf1_dir,
+            "note": "10x key-offset replica of sf0.1 (built once, "
+                    f"{build_sec}s); scale-sensitive headline subset",
+            "reps": sf1_reps,
+            "queries": s_mins,
+            "queries_median": s_medians,
+            "total": round(sum(s_mins.values()), 3),
+        }
+
+    print(json.dumps(result))
     spark.stop()
 
 
