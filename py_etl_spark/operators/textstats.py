@@ -1,10 +1,11 @@
 """Text-analysis operators for training-data pipelines.
 
 All pure Column expressions (JVM-side, codegen'd) — language-ID heuristic,
-quality scoring, token counting, document fingerprinting. Designed for
-100 TB-scale corpora: no UDFs, no shuffles; every operator is a narrow
-projection that runs map-side over the scan, so it parallelizes linearly
-with input splits.
+quality scoring, token counting, document fingerprinting — except
+``repetition_metrics``, which is an Arrow ``mapInPandas`` pass (see its
+docstring for why Python wins there). Designed for 100 TB-scale corpora:
+no shuffles; every operator runs map-side over the scan, so it
+parallelizes linearly with input splits.
 """
 
 from __future__ import annotations
@@ -84,6 +85,81 @@ def fingerprint_md5(text: Column) -> Column:
     """Exact-dup fingerprint: md5 of whitespace-normalized lowercase text."""
     norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     return F.md5(norm)
+
+
+def repetition_metrics(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition signals (the Gopher-family rep filters):
+    for n in (2, 3, 4), the count of the most frequent token n-gram
+    (``rep{n}_top``), the number of n-gram INSTANCES belonging to grams
+    occurring ≥2 times (``rep{n}_dup``), the total instance count
+    (``rep{n}_total`` = max(tokens - n + 1, 0)), and the derived
+    ``_frac`` ratios. High top/dup fractions flag boilerplate and
+    degenerate repetition that length/punct heuristics miss.
+
+    Per-doc metrics need no cross-row data, so this is a ZERO-shuffle
+    Arrow ``mapInPandas`` pass — a Python ``Counter`` per doc is O(tokens)
+    where the pure-Column alternative (filter-count per gram over the
+    gram array) is O(tokens²) per doc; at 100 TB the linear map-side pass
+    wins and parallelizes with input splits. Integer counts are exact, so
+    the DuckDB oracle compares integers — no float-hash fragility.
+    Tokenization is the corpus TOKEN_RE family (same as the token-count
+    and chunking ops).
+    """
+    import re
+    from collections import Counter
+    from typing import Iterator
+
+    from pyspark.sql import types as T
+
+    from py_etl_spark.operators.corpus import TOKEN_RE
+
+    ns = (2, 3, 4)
+    fields = [df.schema[id_col]]
+    for n in ns:
+        fields += [
+            T.StructField(f"rep{n}_top", T.LongType(), False),
+            T.StructField(f"rep{n}_dup", T.LongType(), False),
+            T.StructField(f"rep{n}_total", T.LongType(), False),
+            T.StructField(f"rep{n}_top_frac", T.DoubleType(), False),
+            T.StructField(f"rep{n}_dup_frac", T.DoubleType(), False),
+        ]
+    schema = T.StructType(fields)
+    token_re = re.compile(TOKEN_RE)
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            cols: dict[str, list] = {f.name: [] for f in fields[1:]}
+            for text in pdf[text_col].fillna(""):
+                toks = token_re.findall(text)
+                for n in ns:
+                    grams = Counter(
+                        " ".join(toks[i : i + n])
+                        for i in range(len(toks) - n + 1)
+                    )
+                    total = max(len(toks) - n + 1, 0)
+                    top = max(grams.values(), default=0)
+                    dup = sum(c for c in grams.values() if c > 1)
+                    cols[f"rep{n}_top"].append(top)
+                    cols[f"rep{n}_dup"].append(dup)
+                    cols[f"rep{n}_total"].append(total)
+                    cols[f"rep{n}_top_frac"].append(
+                        top / total if total else 0.0
+                    )
+                    cols[f"rep{n}_dup_frac"].append(
+                        dup / total if total else 0.0
+                    )
+            out = {id_col: pdf[id_col]}
+            for k, v in cols.items():
+                out[k] = pd.Series(
+                    v, dtype="float64" if k.endswith("_frac") else "int64"
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=schema)
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -39,6 +39,10 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+# BPE-ish pre-tokenizer family (same as operators/corpus.TOKEN_RE);
+# interpolated into several oracle SQL strings below.
+_BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
 
 def query(name: str, oracle: str | None, note: str = ""):
     def deco(fn: QueryFn) -> QueryFn:
@@ -1074,6 +1078,69 @@ def lang_id_heuristic(spark, sf_dir):
     )
 
 
+def _rep_gram_cte(n: int) -> str:
+    """Per-n CTE pair: explode token n-grams, then per-doc top/dup/total
+    instance counts (mirrors textstats.repetition_metrics exactly)."""
+    return f"""
+    g{n} AS (
+      SELECT doc_id, g, count(*) AS c FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(len(toks) - {n} + 2, 1)),
+                 i -> array_to_string(list_slice(toks, i, i + {n} - 1), ' ')
+               )) AS g
+        FROM rep_t) GROUP BY doc_id, g
+    ), a{n} AS (
+      SELECT doc_id, max(c) AS top{n},
+             sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup{n},
+             sum(c) AS total{n}
+      FROM g{n} GROUP BY doc_id
+    )"""
+
+
+@query(
+    "quality_repetition_metrics",
+    f"""
+    WITH rep_t AS (
+      SELECT doc_id, regexp_extract_all(text, '{_BPE_TOKEN_RE}') AS toks
+      FROM documents
+    ),{_rep_gram_cte(2)},{_rep_gram_cte(3)},{_rep_gram_cte(4)}
+    SELECT t.doc_id,
+           CAST(coalesce(a2.top2, 0) AS BIGINT) AS rep2_top,
+           CAST(coalesce(a2.dup2, 0) AS BIGINT) AS rep2_dup,
+           CAST(coalesce(a2.total2, 0) AS BIGINT) AS rep2_total,
+           CAST(coalesce(a3.top3, 0) AS BIGINT) AS rep3_top,
+           CAST(coalesce(a3.dup3, 0) AS BIGINT) AS rep3_dup,
+           CAST(coalesce(a3.total3, 0) AS BIGINT) AS rep3_total,
+           CAST(coalesce(a4.top4, 0) AS BIGINT) AS rep4_top,
+           CAST(coalesce(a4.dup4, 0) AS BIGINT) AS rep4_dup,
+           CAST(coalesce(a4.total4, 0) AS BIGINT) AS rep4_total
+    FROM rep_t t
+    LEFT JOIN a2 USING (doc_id)
+    LEFT JOIN a3 USING (doc_id)
+    LEFT JOIN a4 USING (doc_id)
+    """,
+    note="Gopher-family repetition signals (operators/textstats."
+         "repetition_metrics): per-doc top/duplicate token n-gram instance "
+         "counts for n=2,3,4. Per-doc Counters need no cross-row data, so "
+         "the op is a ZERO-shuffle Arrow mapInPandas pass — O(tokens) per "
+         "doc where pure-Column gram counting is O(tokens^2). Integer "
+         "counts keep the oracle hash float-free.",
+)
+def quality_repetition_metrics(spark, sf_dir):
+    from py_etl_spark.operators.textstats import repetition_metrics
+
+    out = repetition_metrics(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        *[
+            F.col(f"rep{n}_{k}")
+            for n in (2, 3, 4)
+            for k in ("top", "dup", "total")
+        ],
+    )
+
+
 def _shingle_hash_ctes(where: str = "") -> str:
     """Shared DuckDB CTE block: documents → normalized word 3-shingles →
     portable 32-bit md5 base hash (mirrors dedup.exploded_shingles +
@@ -2053,7 +2120,6 @@ def q19_disjunctive_brand_revenue(spark, sf_dir):
     )
 
 
-_BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 @query(
@@ -3293,6 +3359,7 @@ def st_hopping_window_agg(spark, sf_dir):
 _FRONT = [
     "corpus_pack_examples",
     "bpe_token_count_fixed",
+    "quality_repetition_metrics",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -3340,9 +3407,9 @@ _FRONT = [
     "a5_partition_boundaries",
     "o2_case_insensitive_sort",
     "cdc_merge_scd1",
-    "st_tumbling_window_agg",
 ]
 _TAIL = [
+    "st_tumbling_window_agg",
     "s3_point_lookup",
     "s4_sorted_limit",
     "s5_csv_roundtrip",

@@ -486,3 +486,27 @@ def test_hopping_window_multiplicity(spark):
     agg = Q.REGISTRY["st_hopping_window_agg"].fn(spark, SF_MED)
     # 1h window / 15min hop: every event belongs to exactly 4 windows
     assert agg.agg(F.sum("n")).first()[0] == 4 * n_events
+
+
+def test_repetition_metrics_handcrafted_and_edge_cases(spark):
+    from py_etl_spark.operators.textstats import repetition_metrics
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_metrics(df).collect()}
+    r1 = rows[1]
+    # 2-grams of [a b a b a]: {ab:2, ba:2} -> top 2, dup 4 instances, 4 total
+    assert (r1.rep2_top, r1.rep2_dup, r1.rep2_total) == (2, 4, 4)
+    assert r1.rep2_top_frac == 0.5 and r1.rep2_dup_frac == 1.0
+    # 3-grams: {aba:2, bab:1}
+    assert (r1.rep3_top, r1.rep3_dup, r1.rep3_total) == (2, 2, 3)
+    # 4-grams: {abab:1, baba:1}
+    assert (r1.rep4_top, r1.rep4_dup, r1.rep4_total) == (1, 0, 2)
+    # single-token / empty / null docs: no grams at any n
+    for d in (2, 3, 4):
+        r = rows[d]
+        for n in (2, 3, 4):
+            assert r[f"rep{n}_top"] == 0 and r[f"rep{n}_dup"] == 0
+            assert r[f"rep{n}_total"] == 0 and r[f"rep{n}_top_frac"] == 0.0

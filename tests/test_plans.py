@@ -334,3 +334,9 @@ def test_pack_examples_single_shard_shuffle(spark):
     # partition by shard) feeding the applyInPandas walk
     assert shuffle_count(df) == 1
     assert single_partition_exchange_count(df) == 0
+
+
+def test_repetition_metrics_zero_shuffle(spark):
+    df = Q.REGISTRY["quality_repetition_metrics"].fn(spark, SF_MED)
+    # per-doc Counters need no cross-row data: pure map-side mapInPandas
+    assert shuffle_count(df) == 0
