@@ -283,3 +283,36 @@ def ivf_assign(
         best_c = F.when(s > best_s, F.lit(ci).cast("long")).otherwise(best_c)
         best_s = F.when(s > best_s, s).otherwise(best_s)
     return df.select(F.col(id_col), F.col(vec_col), best_c.alias("ivf_cell"))
+
+
+def quantize_embeddings_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale_col: str = "q_scale",
+    out_col: str = "q_vec",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization: ``scale = 127 /
+    max|v|``, ``q_i = clamp(round(v_i * scale), ±127)``; the scale rides
+    along for dequantization (``v ≈ q / scale``).
+
+    The memory/IO lever for ANN at corpus scale: a 1024-dim float32
+    embedding shrinks 4× (4 KiB → 1 KiB), which at 10^10 vectors is the
+    difference between an in-cluster-memory index and one that spills.
+    Dot products on int8 with a per-pair scale correction preserve cosine
+    ranking to ~1e-2, plenty for the candidate-generation stage (exact
+    re-rank reads the float vectors for the survivors only).
+
+    Pure Column higher-order functions — JVM-side, zero shuffle, linear
+    map pass; all arithmetic in double so the DuckDB oracle replays it
+    bit-for-bit. All-zero vectors get scale 0 and an all-zero q_vec.
+    """
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(0.0))
+    q = F.transform(
+        v,
+        lambda x: F.least(
+            F.lit(127), F.greatest(F.lit(-127), F.round(x.cast("double") * scale).cast("int"))
+        ),
+    )
+    return df.withColumn(scale_col, scale).withColumn(out_col, q)

@@ -1326,6 +1326,44 @@ def ann_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk_bruteforce(emb, queries, k=5)
 
 
+@query(
+    "embedding_quantize_int8",
+    """
+    WITH t AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS amax
+      FROM t
+    )
+    SELECT vec_id,
+           round(CASE WHEN amax > 0 THEN 127.0 / amax ELSE 0.0 END, 9)
+             AS q_scale,
+           array_to_string(list_transform(v,
+             x -> CAST(least(127, greatest(-127,
+                    CAST(round(x * (CASE WHEN amax > 0 THEN 127.0 / amax
+                                    ELSE 0.0 END)) AS BIGINT))) AS BIGINT)
+           ), ',') AS q_vec
+    FROM s
+    """,
+    note="Symmetric per-vector int8 scalar quantization (operators/"
+         "similarity.quantize_embeddings_int8): scale = 127/max|v|, "
+         "elements clamp-rounded to ±127 — the 4x memory/IO lever for ANN "
+         "indexes at corpus scale (candidate generation on int8, exact "
+         "re-rank on survivors' floats). Pure Column HOFs, zero shuffle; "
+         "all arithmetic in double so DuckDB replays it bit-for-bit.",
+)
+def embedding_quantize_int8(spark, sf_dir):
+    q = similarity.quantize_embeddings_int8(
+        _t(spark, sf_dir, "embeddings")
+    )
+    return q.select(
+        "vec_id",
+        F.round(F.col("q_scale"), 9).alias("q_scale"),
+        F.concat_ws(",", F.col("q_vec").cast("array<string>")).alias("q_vec"),
+    )
+
+
 def _ann_lsh_oracle_sql() -> str:
     """Cross-engine oracle for hyperplane-LSH top-k: the seeded INTEGER
     hyperplanes are embedded as literal arrays, so DuckDB reproduces the
@@ -3360,6 +3398,7 @@ _FRONT = [
     "corpus_pack_examples",
     "bpe_token_count_fixed",
     "quality_repetition_metrics",
+    "embedding_quantize_int8",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -3406,9 +3445,9 @@ _FRONT = [
     "st_hopping_window_agg",
     "a5_partition_boundaries",
     "o2_case_insensitive_sort",
-    "cdc_merge_scd1",
 ]
 _TAIL = [
+    "cdc_merge_scd1",
     "st_tumbling_window_agg",
     "s3_point_lookup",
     "s4_sorted_limit",

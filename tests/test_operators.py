@@ -510,3 +510,26 @@ def test_repetition_metrics_handcrafted_and_edge_cases(spark):
         for n in (2, 3, 4):
             assert r[f"rep{n}_top"] == 0 and r[f"rep{n}_dup"] == 0
             assert r[f"rep{n}_total"] == 0 and r[f"rep{n}_top_frac"] == 0.0
+
+
+def test_quantize_embeddings_int8_fidelity(spark):
+    import math
+
+    from py_etl_spark.schemas import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings").limit(50)
+    rows = similarity.quantize_embeddings_int8(emb).collect()
+    assert rows
+    for r in rows:
+        assert all(abs(x) <= 127 for x in r.q_vec)
+        if r.q_scale == 0:
+            assert all(x == 0 for x in r.q_vec)
+            continue
+        v = [float(x) for x in r.embedding]
+        dq = [x / r.q_scale for x in r.q_vec]
+        dot = sum(a * b for a, b in zip(v, dq))
+        na = math.sqrt(sum(a * a for a in v))
+        nb = math.sqrt(sum(b * b for b in dq))
+        # int8 quantization must preserve direction almost exactly
+        assert dot / (na * nb) > 0.995

@@ -340,3 +340,8 @@ def test_repetition_metrics_zero_shuffle(spark):
     df = Q.REGISTRY["quality_repetition_metrics"].fn(spark, SF_MED)
     # per-doc Counters need no cross-row data: pure map-side mapInPandas
     assert shuffle_count(df) == 0
+
+
+def test_quantize_int8_zero_shuffle(spark):
+    df = Q.REGISTRY["embedding_quantize_int8"].fn(spark, SF_MED)
+    assert shuffle_count(df) == 0  # pure Column HOFs over the scan
