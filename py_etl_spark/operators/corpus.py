@@ -237,6 +237,49 @@ def pack_chunks(
     return prepared.groupBy("shard").applyInPandas(pack, schema=out_schema)
 
 
+def assemble_examples(
+    packed: DataFrame,
+    id_col: str = "doc_id",
+    chunk_id_col: str = "chunk_id",
+    n_col: str = "n_chunk_tokens",
+    chunk_col: str = "chunk",
+) -> DataFrame:
+    """Emit one row per training example from ``pack_chunks`` output:
+    member chunks concatenated in the packing walk's order — ``(md5-prefix
+    (doc id), doc id, chunk id)``, recomputed here so the assembly order
+    is identical to the assignment order — plus chunk count and token
+    total.
+
+    One shuffle (groupBy the example key). The sort is per-example via
+    ``array_sort`` over collected structs: example sizes are bounded by
+    ``context_tokens``/``chunk_tokens`` chunks, so per-group state is a
+    few KB regardless of corpus size. Output: ``(shard, example_id,
+    n_chunks, example_tokens, example_text)``.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    member = F.struct(
+        h.alias("h"),
+        F.col(id_col).alias("id"),
+        F.col(chunk_id_col).alias("cid"),
+        F.col(chunk_col).alias("chunk"),
+    )
+    return (
+        packed.groupBy("shard", "example_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(n_col).cast("long").alias("example_tokens"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(member)), lambda m: m.chunk
+                ),
+            ).alias("example_text"),
+        )
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

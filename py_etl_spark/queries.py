@@ -3313,6 +3313,70 @@ def corpus_pack_examples(spark, sf_dir):
 
 
 @query(
+    "corpus_assemble_examples",
+    f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, regexp_extract_all(text, '{_BPE_TOKEN_RE}') AS toks,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM documents
+    ), c AS (
+      SELECT doc_id, h,
+             unnest(range(0, greatest(CAST(ceil(len(toks) / 50.0) AS BIGINT),
+                                      1))) AS chunk_id,
+             toks
+      FROM t
+    ), ch AS (
+      SELECT doc_id, h, chunk_id,
+             list_slice(toks, chunk_id * 50 + 1, chunk_id * 50 + 50) AS ct
+      FROM c
+      WHERE len(list_slice(toks, chunk_id * 50 + 1, chunk_id * 50 + 50)) > 0
+    ), ordered AS (
+      SELECT CAST(h % 8 AS INTEGER) AS shard, doc_id, h, chunk_id,
+             len(ct) AS n, array_to_string(ct, ' ') AS chunk,
+             row_number() OVER (PARTITION BY h % 8
+                                ORDER BY h, doc_id, chunk_id) AS rn
+      FROM ch
+    ), packed AS (
+      SELECT shard, doc_id, h, chunk_id, n, chunk, rn,
+             CAST(0 AS BIGINT) AS example_id, n AS fill
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.shard, o.doc_id, o.h, o.chunk_id, o.n, o.chunk, o.rn,
+             CASE WHEN p.fill + o.n <= 200
+                  THEN p.example_id ELSE p.example_id + 1 END,
+             CASE WHEN p.fill + o.n <= 200 THEN p.fill + o.n ELSE o.n END
+      FROM packed p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1
+    )
+    SELECT shard, example_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(n) AS BIGINT) AS example_tokens,
+           string_agg(chunk, ' ' ORDER BY h, doc_id, chunk_id)
+             AS example_text
+    FROM packed GROUP BY shard, example_id
+    """,
+    note="Training-example emission (operators/corpus.assemble_examples): "
+         "pack_chunks assignments aggregated into one row per example — "
+         "member chunks concatenated in the packing walk's hash order, "
+         "chunk count, token total. One groupBy shuffle; per-example sort "
+         "is array_sort over a few KB of collected structs (bounded by "
+         "the context budget), never a global window. Completes the "
+         "chunk -> pack -> emit pipeline.",
+)
+def corpus_assemble_examples(spark, sf_dir):
+    from py_etl_spark.operators.corpus import (
+        assemble_examples,
+        chunk_documents,
+        pack_chunks,
+    )
+
+    chunks = chunk_documents(_t(spark, sf_dir, "documents"), chunk_tokens=50)
+    packed = pack_chunks(chunks, context_tokens=200, num_shards=8)
+    return assemble_examples(packed).select(
+        "shard", "example_id", "n_chunks", "example_tokens", "example_text"
+    )
+
+
+@query(
     "jsonl_roundtrip_documents",
     """
     SELECT doc_id, text, lang, source, n_chars FROM documents
@@ -3399,6 +3463,7 @@ _FRONT = [
     "bpe_token_count_fixed",
     "quality_repetition_metrics",
     "embedding_quantize_int8",
+    "corpus_assemble_examples",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -3444,9 +3509,9 @@ _FRONT = [
     "jsonl_roundtrip_documents",
     "st_hopping_window_agg",
     "a5_partition_boundaries",
-    "o2_case_insensitive_sort",
 ]
 _TAIL = [
+    "o2_case_insensitive_sort",
     "cdc_merge_scd1",
     "st_tumbling_window_agg",
     "s3_point_lookup",

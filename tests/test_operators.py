@@ -533,3 +533,34 @@ def test_quantize_embeddings_int8_fidelity(spark):
         nb = math.sqrt(sum(b * b for b in dq))
         # int8 quantization must preserve direction almost exactly
         assert dot / (na * nb) > 0.995
+
+
+def test_assemble_examples_roundtrip(spark):
+    import re
+
+    from py_etl_spark.operators.corpus import (
+        TOKEN_RE,
+        assemble_examples,
+        chunk_documents,
+        pack_chunks,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"word{i} " * (17 + (i * 13) % 90)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    budget = 60
+    packed = pack_chunks(
+        chunk_documents(docs, chunk_tokens=25), context_tokens=budget,
+        num_shards=4,
+    )
+    rows = assemble_examples(packed).collect()
+    token_re = re.compile(TOKEN_RE)
+    assert rows
+    # token totals within budget and consistent with the assembled text
+    for r in rows:
+        assert r.example_tokens <= budget
+        assert len(token_re.findall(r.example_text)) == r.example_tokens
+    # nothing lost: example token grand total == chunk grand total
+    total_chunks = packed.groupBy().sum("n_chunk_tokens").first()[0]
+    assert sum(r.example_tokens for r in rows) == total_chunks
