@@ -335,3 +335,92 @@ def bpe_chunk_documents(
             )
 
     return df.mapInPandas(run, schema=schema)
+
+
+def bpe_train(
+    df: DataFrame,
+    num_merges: int = 100,
+    text_col: str = "text",
+    max_vocab_words: int = 65536,
+    min_pair_freq: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn a merges table from a corpus (the classic BPE trainer over a
+    word-frequency dictionary, Sennrich-style).
+
+    Scale shape — the two-phase pattern every corpus-statistics trainer
+    here uses (cf. ``similarity.ivf_train`` centroids):
+
+    1. DISTRIBUTED: pre-token frequencies via explode + groupBy (one
+       shuffle over the corpus, combiner-friendly), truncated to the
+       ``max_vocab_words`` most frequent words. Zipf makes this cap
+       nearly lossless (at 100 TB the top 64k words cover the vast
+       majority of tokens) and bounds driver materialization to a small
+       word→count dict — the corpus text itself never reaches the
+       driver.
+    2. DRIVER: the merge loop runs on the compressed word-frequency
+       dict — O(vocab) per merge, independent of corpus size. Ties are
+       broken lexicographically, so training is fully deterministic
+       under repartitioning and retries.
+
+    The learned table is LAYERED BY CONSTRUCTION (every pair member is a
+    char or an earlier merge's output, because words only ever contain
+    symbols produced so far) — i.e. trained tables are always valid for
+    the sequential SQL replay oracle (see module doc).
+
+    Stops early when no remaining pair reaches ``min_pair_freq``.
+    Returns an ordered merges list ready for ``BPETokenizer``.
+    """
+    from collections import Counter
+
+    word_rows = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(TOKEN_RE), F.lit(0)
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .count()
+        .orderBy(F.desc("count"), F.asc("w"))
+        .limit(max_vocab_words)
+        .collect()
+    )
+    word_freqs: dict[tuple[str, ...], int] = {
+        tuple(r.w): int(r["count"]) for r in word_rows
+    }
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pair_counts: Counter = Counter()
+        for word, freq in word_freqs.items():
+            for pair in zip(word, word[1:]):
+                pair_counts[pair] += freq
+        if not pair_counts:
+            break
+        best, best_n = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if best_n < min_pair_freq:
+            break
+        merges.append(best)
+        merged_sym = best[0] + best[1]
+        next_freqs: dict[tuple[str, ...], int] = {}
+        for word, freq in word_freqs.items():
+            out: list[str] = []
+            i = 0
+            while i < len(word):
+                if (
+                    i < len(word) - 1
+                    and word[i] == best[0]
+                    and word[i + 1] == best[1]
+                ):
+                    out.append(merged_sym)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            w2 = tuple(out)
+            next_freqs[w2] = next_freqs.get(w2, 0) + freq
+        word_freqs = next_freqs
+    return merges

@@ -3257,6 +3257,30 @@ def corpus_chunk_tokens(spark, sf_dir):
 
 
 @query(
+    "bpe_train_merges",
+    None,  # iterative trainer — genuinely non-SQL-expressible; the
+    # hand-computed-merges / determinism / layering proofs live in
+    # tests/test_bpe.py (rows-only driver check by design)
+    note="BPE merges-table TRAINING (functions/bpe.bpe_train): "
+         "distributed word-frequency histogram (one combiner-friendly "
+         "shuffle, top-64k cap bounds driver materialization — the ivf_"
+         "train two-phase pattern), then the Sennrich merge loop on the "
+         "compressed dict, O(vocab) per merge regardless of corpus size. "
+         "Deterministic (lexicographic tie-break) under repartition; "
+         "output is layered by construction, so trained tables are valid "
+         "for the sequential SQL replay oracle.",
+)
+def bpe_train_merges(spark, sf_dir):
+    from py_etl_spark.functions.bpe import bpe_train
+
+    merges = bpe_train(_t(spark, sf_dir, "documents"), num_merges=64)
+    return spark.createDataFrame(
+        [(i, lft, r) for i, (lft, r) in enumerate(merges)],
+        "rank long, left string, right string",
+    )
+
+
+@query(
     "corpus_pack_examples",
     f"""
     WITH RECURSIVE t AS (

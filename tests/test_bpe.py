@@ -227,3 +227,60 @@ def test_with_bpe_token_counts_matches_driver_side(spark):
     assert got == {
         doc_id: TOK.count(text or "") for doc_id, text in rows
     }
+
+
+def _sennrich_corpus(spark):
+    # the classic BPE training example: low x5, lower x2, newest x6, widest x3
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    return spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+
+
+def test_bpe_train_hand_computed_merges(spark):
+    from py_etl_spark.functions.bpe import bpe_train
+
+    merges = bpe_train(_sennrich_corpus(spark), num_merges=5)
+    # pair counts round 1: es=9, st=9 (tie -> lexicographic), lo=7, ow=7,
+    # we=8 ... full hand derivation in the git history of this test
+    assert merges == [
+        ("e", "s"),
+        ("es", "t"),
+        ("l", "o"),
+        ("lo", "w"),
+        ("e", "w"),
+    ]
+
+
+def test_bpe_train_deterministic_under_repartition(spark):
+    from py_etl_spark.functions.bpe import bpe_train
+
+    a = bpe_train(_sennrich_corpus(spark), num_merges=8)
+    b = bpe_train(_sennrich_corpus(spark).repartition(7), num_merges=8)
+    assert a == b
+
+
+def test_bpe_train_output_is_layered_and_encodes(spark):
+    from py_etl_spark.functions.bpe import bpe_train
+
+    merges = bpe_train(_sennrich_corpus(spark), num_merges=12)
+    # layered by construction: every member is a char or an earlier output
+    produced: set[str] = set()
+    for left, right in merges:
+        for member in (left, right):
+            assert len(member) == 1 or member in produced, (left, right)
+        produced.add(left + right)
+    tok = BPETokenizer(merges)
+    # trained table compresses its own corpus below char count
+    assert tok.count("newest") < len("newest")
+    # and the trained table is valid for the SQL replay oracle
+    for w in ["low", "lower", "newest", "widest", "lowest"]:
+        assert tok.replay_python(w) == list(tok._bpe_uncached(w)), w
+
+
+def test_bpe_train_min_freq_stop(spark):
+    from py_etl_spark.functions.bpe import bpe_train
+
+    df = spark.createDataFrame([(1, "abc xyz")], "doc_id long, text string")
+    # every pair occurs once < min_pair_freq=2 -> no merges learned
+    assert bpe_train(df, num_merges=10) == []
