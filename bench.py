@@ -110,10 +110,29 @@ _OFFSET = 100_000_000
 
 
 def _build_sf1_replica(spark, src_dir: str, dst_dir: str) -> None:
+    import shutil
+
     from pyspark.sql import functions as F
 
     from py_etl_spark.schemas import load_table
 
+    # cache-bust when the driver regenerates the source data (it did so
+    # mid-round in r03): key the replica on source file mtimes+sizes
+    stamp = json.dumps(
+        {
+            n: [
+                round(os.path.getmtime(p), 3),
+                os.path.getsize(p),
+            ]
+            for n in _KEY_COLS
+            if os.path.exists(p := os.path.join(src_dir, f"{n}.parquet"))
+        },
+        sort_keys=True,
+    )
+    marker = os.path.join(dst_dir, "_source_stamp.json")
+    if os.path.exists(marker) and open(marker).read() != stamp:
+        shutil.rmtree(dst_dir)
+        os.makedirs(dst_dir, exist_ok=True)
     for name, keys in _KEY_COLS.items():
         out = os.path.join(dst_dir, f"{name}.parquet")
         if os.path.exists(out):
@@ -132,6 +151,8 @@ def _build_sf1_replica(spark, src_dir: str, dst_dir: str) -> None:
         for p in parts[1:]:
             df = df.unionByName(p)
         df.write.mode("overwrite").parquet(out)
+    with open(os.path.join(dst_dir, "_source_stamp.json"), "w") as fh:
+        fh.write(stamp)
 
 
 def _run_block(qs, names, sf_dir: str, reps: int, spark):
