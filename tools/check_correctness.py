@@ -99,9 +99,11 @@ def main() -> int:
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             n_rows_only += 1
+            # deliberate rows-only entry (non-SQL-expressible op), NOT a
+            # failure: err stays None so red rows mean real breakage
             records[name] = {"rows_match": None, "schema_match": None,
                              "hash_match": None, "spark_rows": len(srows),
-                             "err": "no_oracle"}
+                             "rows_only": True, "err": None}
             continue
         try:
             res = con.execute(oracles[name])
