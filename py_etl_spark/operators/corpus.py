@@ -163,6 +163,27 @@ def chunk_documents(
     return out
 
 
+def next_fit_pack(sizes: list[int], budget: int) -> list[int]:
+    """The packing walk shared by ``pack_chunks`` and its oracle: greedy
+    next-fit over an ordered size sequence. Returns the example id per
+    position: append to the current example unless that would exceed
+    ``budget``, else open the next one (an item alone above budget gets a
+    singleton example). Factored out so its invariants are property-
+    testable without Spark."""
+    ids: list[int] = []
+    ex, fill = 0, 0
+    for i, s in enumerate(sizes):
+        if i == 0:
+            fill = s
+        elif fill + s <= budget:
+            fill += s
+        else:
+            ex += 1
+            fill = s
+        ids.append(ex)
+    return ids
+
+
 def pack_chunks(
     chunks: DataFrame,
     context_tokens: int,
@@ -212,18 +233,9 @@ def pack_chunks(
         pdf = pdf.sort_values(
             ["__h", id_col, chunk_id_col], kind="mergesort"
         ).reset_index(drop=True)
-        ex_ids = []
-        ex, fill = 0, 0
-        for i, s in enumerate(pdf[n_col]):
-            if i == 0:
-                fill = s
-            elif fill + s <= context_tokens:
-                fill += s
-            else:
-                ex += 1
-                fill = s
-            ex_ids.append(ex)
-        pdf["example_id"] = pd.Series(ex_ids, dtype="int64")
+        pdf["example_id"] = pd.Series(
+            next_fit_pack(list(pdf[n_col]), context_tokens), dtype="int64"
+        )
         return pdf[in_cols + ["shard", "example_id"]]
 
     prepared = chunks.withColumn(

@@ -80,3 +80,38 @@ def test_noop_batch_is_identity(spark):
     noop = state.withColumn(OP_COL, F.lit(OP_UPSERT))
     out = scd1_merge(state, noop, ["k"], MergePolicy(stamp_col="stamp", stamp_value="T9"))
     assert _rows(out) == _rows(state)  # stamps unchanged, values unchanged
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=50), max_size=60),
+    budget=st.integers(min_value=1, max_value=100),
+)
+def test_next_fit_pack_invariants(sizes, budget):
+    """Property-level proof of the packing walk (no Spark): dense ids from
+    0, monotone non-decreasing, every example within budget unless a
+    single oversized item forms a singleton, and greedy maximality (an
+    example only closes because the next item would overflow)."""
+    from py_etl_spark.operators.corpus import next_fit_pack
+
+    ids = next_fit_pack(sizes, budget)
+    assert len(ids) == len(sizes)
+    if not sizes:
+        return
+    assert ids[0] == 0
+    assert all(b - a in (0, 1) for a, b in zip(ids, ids[1:]))  # dense+monotone
+    fills: dict[int, int] = {}
+    members: dict[int, list[int]] = {}
+    for s, ex in zip(sizes, ids):
+        fills[ex] = fills.get(ex, 0) + s
+        members.setdefault(ex, []).append(s)
+    for ex, fill in fills.items():
+        assert fill <= budget or len(members[ex]) == 1  # oversized singleton
+    # greedy maximality: first item of example k+1 would have overflowed k
+    firsts = {ex: m[0] for ex, m in members.items()}
+    for ex in range(1, max(ids) + 1):
+        assert fills[ex - 1] + firsts[ex] > budget

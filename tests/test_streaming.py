@@ -416,3 +416,36 @@ def test_streaming_exact_dedup_first_occurrence_wins(spark):
     assert {r.doc_id for r in rows} == {1, 2, 4}
     # fingerprints unique and carried through for the batch-sweep join
     assert len({r.fingerprint for r in rows}) == 3
+
+
+def test_versioned_state_unresolvable_version_fails_loudly(spark):
+    """An unreadable/corrupt manifest with no recoverable data directory
+    must raise a diagnostic error, never silently resolve to a dead path
+    (the silent fallback is what escalated the r03 manifest-read bug into
+    phantom PATH_NOT_FOUNDs in unrelated modules)."""
+    import pytest
+
+    from py_etl_spark.streaming.state_store import VersionedState
+
+    tmp = tempfile.mkdtemp()
+    root = os.path.join(tmp, "st")
+    st = VersionedState(spark, root, partition_by=())
+    v = st.commit(spark.range(3).withColumnRenamed("id", "k"))
+
+    # corrupt the manifest AND remove the data dir's version prefix so no
+    # fallback (legacy dir, v=<n>-* glob) can resolve it
+    manifest = os.path.join(root, "_manifest", f"{v:020d}.json")
+    with open(manifest, "w") as fh:
+        fh.write("not json")
+    for name in os.listdir(root):
+        if name.startswith(f"v={v}-"):
+            os.rename(
+                os.path.join(root, name), os.path.join(root, "zz_orphan")
+            )
+    with pytest.raises(RuntimeError, match="cannot resolve data path"):
+        st.read()
+
+    # corrupt manifest but an unambiguous v=<n>-* dir: glob fallback works
+    os.rename(os.path.join(root, "zz_orphan"),
+              os.path.join(root, f"v={v}-recovered"))
+    assert st.read().count() == 3
