@@ -56,3 +56,38 @@ def salted_join(
         how,
     )
     return out.drop(SALT_COL)
+
+
+def key_skew_profile(
+    df: DataFrame, key_col: str, top_k: int = 10
+) -> DataFrame:
+    """Diagnose join/agg key skew BEFORE it burns a cluster: the
+    ``top_k`` heaviest keys with row count, share of total rows, and skew
+    factor (count ÷ mean rows per key). A skew factor in the hundreds on
+    a join key is the signal to reach for ``salted_join`` / verify AQE
+    skew splitting; at 100 TB you run this on a sample or a single
+    partition range first.
+
+    Plan: one shuffle (the per-key count), global totals as a broadcast
+    scalar (one-row aggregate cross-joined in — never a window over an
+    unpartitioned frame), and top-k via orderBy+limit which compiles to
+    TakeOrderedAndProject (per-partition top-k + driver merge of k rows).
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("__total"),
+        F.count(F.lit(1)).alias("__nkeys"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            F.col(key_col),
+            F.col("n").cast("long").alias("n_rows"),
+            F.round(F.col("n") / F.col("__total"), 6).alias("share"),
+            F.round(
+                F.col("n") * F.col("__nkeys") / F.col("__total"), 4
+            ).alias("skew_factor"),
+        )
+        .orderBy(F.desc("n_rows"), key_col)
+        .limit(top_k)
+    )

@@ -2899,6 +2899,36 @@ def skew_salted_join_orders(spark, sf_dir):
 
 
 @query(
+    "key_skew_profile_lineitem",
+    """
+    WITH c AS (
+      SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY l_suppkey
+    ), t AS (
+      SELECT sum(n) AS total, count(*) AS nkeys FROM c
+    )
+    SELECT l_suppkey, CAST(n AS BIGINT) AS n_rows,
+           round(CAST(n AS DOUBLE) / total, 6) AS share,
+           round(CAST(n * nkeys AS DOUBLE) / total, 4) AS skew_factor
+    FROM c, t
+    ORDER BY n_rows DESC, l_suppkey LIMIT 10
+    """,
+    note="Key-skew diagnostics (operators/skew.key_skew_profile): top-10 "
+         "heaviest join-key values with row share and skew factor "
+         "(count / mean-per-key) — the pre-flight check that tells you "
+         "when to reach for salted_join or verify AQE skew splitting. "
+         "One shuffle (per-key count); totals ride a broadcast scalar "
+         "cross join, never an unpartitioned window; top-k compiles to "
+         "TakeOrderedAndProject.",
+)
+def key_skew_profile_lineitem(spark, sf_dir):
+    from py_etl_spark.operators.skew import key_skew_profile
+
+    return key_skew_profile(
+        _t(spark, sf_dir, "lineitem"), "l_suppkey", top_k=10
+    )
+
+
+@query(
     "profile_orders_table",
     """
     SELECT CAST(count(*) AS BIGINT)                      AS n_rows,
@@ -3257,6 +3287,44 @@ def corpus_chunk_tokens(spark, sf_dir):
 
 
 @query(
+    "corpus_mix_report",
+    f"""
+    WITH s AS (
+      SELECT source,
+             CAST(len(regexp_extract_all(text, '{_BPE_TOKEN_RE}')) AS BIGINT)
+               AS n_tokens,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 100 AS b
+      FROM documents
+    )
+    SELECT source,
+           CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM s GROUP BY 1, 2
+    """,
+    note="Training-mix report: docs and token totals per (source, split) "
+         "after the deterministic md5-bucket split — the dashboard number "
+         "a mixture-weighted pretraining run is steered by. Map-side "
+         "split + token count, one group-by shuffle over (source, split) "
+         "pairs.",
+)
+def corpus_mix_report(spark, sf_dir):
+    from py_etl_spark.operators.corpus import TOKEN_RE, deterministic_split
+
+    docs = deterministic_split(_t(spark, sf_dir, "documents"))
+    ntok = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))
+    )
+    return docs.groupBy("source", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("docs"),
+        F.sum(ntok).cast("long").alias("total_tokens"),
+    )
+
+
+@query(
     "bpe_train_merges",
     None,  # iterative trainer — genuinely non-SQL-expressible; the
     # hand-computed-merges / determinism / layering proofs live in
@@ -3488,6 +3556,8 @@ _FRONT = [
     "quality_repetition_metrics",
     "embedding_quantize_int8",
     "corpus_assemble_examples",
+    "key_skew_profile_lineitem",
+    "corpus_mix_report",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -3531,10 +3601,10 @@ _FRONT = [
     "corpus_decontaminate_vs_benchmark",
     "corpus_chunk_tokens",
     "jsonl_roundtrip_documents",
-    "st_hopping_window_agg",
-    "a5_partition_boundaries",
 ]
 _TAIL = [
+    "st_hopping_window_agg",
+    "a5_partition_boundaries",
     "o2_case_insensitive_sort",
     "cdc_merge_scd1",
     "st_tumbling_window_agg",

@@ -345,3 +345,12 @@ def test_repetition_metrics_zero_shuffle(spark):
 def test_quantize_int8_zero_shuffle(spark):
     df = Q.REGISTRY["embedding_quantize_int8"].fn(spark, SF_MED)
     assert shuffle_count(df) == 0  # pure Column HOFs over the scan
+
+
+def test_skew_profile_no_global_window(spark):
+    df = Q.REGISTRY["key_skew_profile_lineitem"].fn(spark, SF_MED)
+    # totals via broadcast scalar, top-k via TakeOrderedAndProject:
+    # nothing funnels all rows into one partition
+    assert node_count(df, "TakeOrderedAndProject") == 1
+    assert node_count(df, "Window") == 0
+    assert single_partition_exchange_count(df) == 0
