@@ -449,3 +449,63 @@ def test_versioned_state_unresolvable_version_fails_loudly(spark):
     os.rename(os.path.join(root, "zz_orphan"),
               os.path.join(root, f"v={v}-recovered"))
     assert st.read().count() == 3
+
+
+def test_streaming_ingest_front_door_routes_channels(spark):
+    """Composed streaming ingest (streaming/ingest.py): JSONL stream ->
+    parse quarantine -> quality gate -> cross-batch exact dedup. Good
+    docs land in the accepted channel exactly once; low-quality and
+    unparseable lines land in the rejected channel with a reason."""
+    import time as _time
+
+    from py_etl_spark.streaming.ingest import (
+        ingest_documents_stream,
+        read_documents_stream,
+    )
+
+    tmp = tempfile.mkdtemp()
+    src = os.path.join(tmp, "in")
+    os.makedirs(src)
+    good = (
+        "spark engines process distributed data with columnar execution "
+        "and vectorized readers across many machines " * 2
+    )
+    with open(os.path.join(src, "a.jsonl"), "w") as fh:
+        fh.write("\n".join([
+            json.dumps({"doc_id": 1, "text": good,
+                        "ts": "2024-01-01 00:00:00"}),
+            json.dumps({"doc_id": 2, "text": "x y",
+                        "ts": "2024-01-01 00:00:01"}),
+            "this is {not valid json",
+        ]))
+    _time.sleep(1.1)  # file source orders triggers by mtime
+    with open(os.path.join(src, "b.jsonl"), "w") as fh:
+        fh.write("\n".join([
+            json.dumps({"doc_id": 3, "text": good,          # dup of 1
+                        "ts": "2024-01-01 00:00:02"}),
+            json.dumps({"doc_id": 4, "text": good + " unique tail",
+                        "ts": "2024-01-01 00:00:03"}),
+        ]))
+
+    stream = read_documents_stream(
+        spark, src, "doc_id long, text string, ts timestamp",
+        max_files_per_trigger=1,
+    )
+    accepted, rejected = ingest_documents_stream(stream)
+    qa = (accepted.writeStream.format("memory").queryName("ing_acc")
+          .outputMode("append").trigger(availableNow=True).start())
+    qr = (rejected.writeStream.format("memory").queryName("ing_rej")
+          .outputMode("append").trigger(availableNow=True).start())
+    qa.awaitTermination(300)
+    qr.awaitTermination(300)
+    assert qa.exception() is None and qr.exception() is None
+
+    acc_rows = spark.table("ing_acc").collect()
+    # doc 3 deduped cross-batch, doc 2 low quality, corrupt line routed
+    assert {r.doc_id for r in acc_rows} == {1, 4}
+    assert all(r.fingerprint for r in acc_rows)
+    reasons = {(r.doc_id, r.reject_reason)
+               for r in spark.table("ing_rej").collect()}
+    assert (2, "low_quality") in reasons
+    assert any(d is None and why == "parse_error" for d, why in reasons)
+    assert len(reasons) == 2
