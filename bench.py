@@ -72,6 +72,10 @@ HEADLINE = [
     # round 4 additions:
     "bpe_token_count_fixed",
     "corpus_pack_examples",
+    "corpus_assemble_examples",
+    "quality_repetition_metrics",
+    "embedding_quantize_int8",
+    "key_skew_profile_lineitem",
 ]
 
 # Scale-sensitive subset for the 10x block: joins, window aggs, Python
@@ -193,7 +197,7 @@ def main() -> None:
         "reps": reps,
         "sf": sf,
         # the headline list GROWS each round (14 in r01, 27 in r02, 29 in
-        # r03, 31 now) — compare totals across rounds per-query or via
+        # r03, 35 now) — compare totals across rounds per-query or via
         # this normalized mean, not raw totals
         "n_queries": len(mins),
         "mean_sec_per_query": round(total / max(len(mins), 1), 3),
