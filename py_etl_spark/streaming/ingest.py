@@ -77,7 +77,11 @@ def ingest_documents_stream(
     pattern).
     """
     parse_failed = F.col(id_col).isNull() & F.col("_raw").isNotNull()
-    quality = quality_score(F.col(text_col))
+    # NULL text must route, not vanish: a NULL quality score fails BOTH a
+    # `>= min` accept filter and a `< min` reject filter, which would
+    # silently drop the row from both channels. Treat missing text as
+    # quality 0 so it lands in the rejected channel with a reason.
+    quality = F.coalesce(quality_score(F.col(text_col)), F.lit(0.0))
 
     rejected = (
         stream.withColumn(

@@ -476,6 +476,7 @@ def test_streaming_ingest_front_door_routes_channels(spark):
                         "ts": "2024-01-01 00:00:00"}),
             json.dumps({"doc_id": 2, "text": "x y",
                         "ts": "2024-01-01 00:00:01"}),
+            json.dumps({"doc_id": 9, "ts": "2024-01-01 00:00:01"}),
             "this is {not valid json",
         ]))
     _time.sleep(1.1)  # file source orders triggers by mtime
@@ -507,5 +508,7 @@ def test_streaming_ingest_front_door_routes_channels(spark):
     reasons = {(r.doc_id, r.reject_reason)
                for r in spark.table("ing_rej").collect()}
     assert (2, "low_quality") in reasons
+    # parsed row with NULL text routes as low_quality, never vanishes
+    assert (9, "low_quality") in reasons
     assert any(d is None and why == "parse_error" for d, why in reasons)
-    assert len(reasons) == 2
+    assert len(reasons) == 3
