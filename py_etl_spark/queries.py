@@ -1364,6 +1364,59 @@ def embedding_quantize_int8(spark, sf_dir):
     )
 
 
+def _int8_qv_sql() -> str:
+    """Shared CTE block: embeddings → int8-quantized DOUBLE lists
+    (mirrors similarity.quantize_embeddings_int8 exactly)."""
+    return """
+    WITH t AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+               AS amax
+      FROM embeddings
+    ), qz AS (
+      SELECT vec_id,
+             list_transform(v, x -> CAST(least(127, greatest(-127,
+               CAST(round(x * (CASE WHEN amax > 0 THEN 127.0 / amax
+                               ELSE 0.0 END)) AS BIGINT))) AS DOUBLE)) AS qv
+      FROM t
+    )"""
+
+
+@query(
+    "ann_cosine_topk_int8",
+    f"""{_int8_qv_sql()},
+    q AS (SELECT vec_id AS query_id, qv AS qq FROM qz WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.qq, c.qv) /
+               (sqrt(list_dot_product(q.qq, q.qq)) *
+                sqrt(list_dot_product(c.qv, c.qv))) AS raw
+      FROM q JOIN qz c ON q.query_id <> c.vec_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, raw,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY raw DESC, neighbor_id)
+                  AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(raw, 6) AS cosine_i8, rank
+    FROM ranked WHERE rank <= 5
+    """,
+    note="Quantized candidate generation (operators/similarity."
+         "cosine_topk_int8): top-k cosine scored entirely on int8 vectors "
+         "— the 4x-cheaper first stage whose survivors get the exact "
+         "float re-rank. Integer dot products are exact in doubles, so "
+         "the score (and the rank order, tie-broken on neighbor id) is "
+         "bit-reproducible across engines. Broadcast probes, no corpus "
+         "shuffle, one top-k exchange keyed by query id.",
+)
+def ann_cosine_topk_int8(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_int8(
+        emb, emb.filter(F.col("vec_id") < 10), k=5
+    )
+
+
 def _ann_lsh_oracle_sql() -> str:
     """Cross-engine oracle for hyperplane-LSH top-k: the seeded INTEGER
     hyperplanes are embedded as literal arrays, so DuckDB reproduces the
@@ -3558,6 +3611,7 @@ _FRONT = [
     "corpus_assemble_examples",
     "key_skew_profile_lineitem",
     "corpus_mix_report",
+    "ann_cosine_topk_int8",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -3600,9 +3654,9 @@ _FRONT = [
     "corpus_token_budget_quota",
     "corpus_decontaminate_vs_benchmark",
     "corpus_chunk_tokens",
-    "jsonl_roundtrip_documents",
 ]
 _TAIL = [
+    "jsonl_roundtrip_documents",
     "st_hopping_window_agg",
     "a5_partition_boundaries",
     "o2_case_insensitive_sort",

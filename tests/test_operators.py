@@ -564,3 +564,22 @@ def test_assemble_examples_roundtrip(spark):
     # nothing lost: example token grand total == chunk grand total
     total_chunks = packed.groupBy().sum("n_chunk_tokens").first()[0]
     assert sum(r.example_tokens for r in rows) == total_chunks
+
+
+def test_cosine_topk_int8_recall_vs_float(spark):
+    from py_etl_spark.schemas import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk_bruteforce(emb, queries, k=5).collect()
+    }
+    quant = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk_int8(emb, queries, k=5).collect()
+    }
+    # int8 rounding perturbs cosine by ~1e-2: candidate top-5 must agree
+    # with the float top-5 almost everywhere
+    assert len(exact & quant) / len(exact) >= 0.9
