@@ -354,3 +354,17 @@ def test_skew_profile_no_global_window(spark):
     assert node_count(df, "TakeOrderedAndProject") == 1
     assert node_count(df, "Window") == 0
     assert single_partition_exchange_count(df) == 0
+
+
+def test_assemble_examples_shuffle_budget(spark):
+    df = Q.REGISTRY["corpus_assemble_examples"].fn(spark, SF_MED)
+    # chunking map-side + pack shard exchange + example groupBy: <=2
+    assert shuffle_count(df) <= 2
+    assert single_partition_exchange_count(df) == 0
+
+
+def test_mix_report_single_shuffle(spark):
+    df = Q.REGISTRY["corpus_mix_report"].fn(spark, SF_MED)
+    # split + token count map-side; only the (source, split) groupBy moves
+    assert shuffle_count(df) == 1
+    assert single_partition_exchange_count(df) == 0
