@@ -284,3 +284,32 @@ def test_bpe_train_min_freq_stop(spark):
     df = spark.createDataFrame([(1, "abc xyz")], "doc_id long, text string")
     # every pair occurs once < min_pair_freq=2 -> no merges learned
     assert bpe_train(df, num_merges=10) == []
+
+
+def test_replay_equals_encoder_for_random_layered_tables():
+    """The oracle's validity claim quantified over TABLES, not just
+    FIXED_MERGES: for any LAYERED merges table (every pair member a char
+    or an earlier output), sequential rank-order replay must equal the
+    min-rank-first encoder on every word. Generate random layered tables
+    and fuzz words over each."""
+    rng = random.Random(0x1A7E)
+    for trial in range(30):
+        alphabet = list("abcde")[: rng.randrange(2, 6)]
+        symbols = list(alphabet)
+        merges: list[tuple[str, str]] = []
+        seen_pairs: set[tuple[str, str]] = set()
+        for _ in range(rng.randrange(3, 18)):
+            pair = (rng.choice(symbols), rng.choice(symbols))
+            if pair in seen_pairs:
+                continue
+            seen_pairs.add(pair)
+            merges.append(pair)
+            symbols.append(pair[0] + pair[1])  # layered by construction
+        tok = BPETokenizer(merges)
+        for _ in range(120):
+            word = "".join(
+                rng.choice(alphabet) for _ in range(rng.randrange(0, 12))
+            )
+            assert tok.replay_python(word) == list(
+                tok._bpe_uncached(word)
+            ), (trial, merges, word)
