@@ -362,3 +362,54 @@ def cosine_topk_int8(
     if round_to is not None:
         out = out.withColumn("cosine_i8", F.round("cosine_i8", round_to))
     return out
+
+
+def cosine_topk_twostage(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    candidate_k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """The production ANN shape: int8 candidate generation (stage 1,
+    scans the 4x-smaller quantized vectors) followed by exact float
+    re-ranking of the ``candidate_k`` survivors (stage 2, reads full
+    vectors for only ``candidate_k * |queries|`` rows).
+
+    Stage 2's join drives off the BROADCAST candidate list, so the
+    corpus is never shuffled in either stage; the only exchanges are the
+    two per-query top-k windows over (id, id, score) triples.
+    """
+    cands = cosine_topk_int8(
+        corpus, queries, k=candidate_k,
+        id_col=id_col, vec_col=vec_col, round_to=None,
+    ).select("query_id", "neighbor_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(cands), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("q_vec"), F.col("c_vec"))
+             / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))
+             ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+    if round_to is not None:
+        out = out.withColumn("cosine", F.round("cosine", round_to))
+    return out

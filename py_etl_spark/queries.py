@@ -1417,6 +1417,56 @@ def ann_cosine_topk_int8(spark, sf_dir):
     )
 
 
+@query(
+    "ann_cosine_topk_twostage",
+    f"""{_int8_qv_sql()},
+    q8 AS (SELECT vec_id AS query_id, qv AS qq FROM qz WHERE vec_id < 10),
+    s1 AS (
+      SELECT q8.query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q8.qq, c.qv) /
+               (sqrt(list_dot_product(q8.qq, q8.qq)) *
+                sqrt(list_dot_product(c.qv, c.qv))) AS raw8
+      FROM q8 JOIN qz c ON q8.query_id <> c.vec_id
+    ), cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY raw8 DESC, neighbor_id) AS r
+        FROM s1) WHERE r <= 20
+    ), e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s2 AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             list_dot_product(eq.v, en.v) /
+               (sqrt(list_dot_product(eq.v, eq.v)) *
+                sqrt(list_dot_product(en.v, en.v))) AS raw
+      FROM cand
+      JOIN e eq ON eq.vec_id = cand.query_id
+      JOIN e en ON en.vec_id = cand.neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, raw,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY raw DESC, neighbor_id)
+                  AS BIGINT) AS rank
+      FROM s2
+    )
+    SELECT query_id, neighbor_id, round(raw, 6) AS cosine, rank
+    FROM ranked WHERE rank <= 5
+    """,
+    note="Two-stage ANN (operators/similarity.cosine_topk_twostage): "
+         "int8 candidate generation (4x-smaller scan) -> exact float "
+         "re-rank of the 20 survivors per query. The corpus never "
+         "shuffles in either stage — stage 2 drives off the broadcast "
+         "candidate list; full vectors are read for only 20 x |queries| "
+         "rows. Bit-reproducible end to end (both stage formulas proven "
+         "individually by their own oracles).",
+)
+def ann_cosine_topk_twostage(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_twostage(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, candidate_k=20
+    )
+
+
 def _ann_lsh_oracle_sql() -> str:
     """Cross-engine oracle for hyperplane-LSH top-k: the seeded INTEGER
     hyperplanes are embedded as literal arrays, so DuckDB reproduces the

@@ -583,3 +583,24 @@ def test_cosine_topk_int8_recall_vs_float(spark):
     # int8 rounding perturbs cosine by ~1e-2: candidate top-5 must agree
     # with the float top-5 almost everywhere
     assert len(exact & quant) / len(exact) >= 0.9
+
+
+def test_cosine_topk_twostage_matches_bruteforce(spark):
+    from py_etl_spark.schemas import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk_bruteforce(emb, queries, k=5).collect()
+    }
+    two = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk_twostage(
+            emb, queries, k=5, candidate_k=20
+        ).collect()
+    }
+    # with 20 candidates the exact re-rank recovers the float top-5
+    # unless int8 rounding pushed a true neighbor below rank 20
+    assert len(exact & two) / len(exact) >= 0.9
