@@ -423,3 +423,83 @@ def simhash_candidates(
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
         .distinct()
     )
+
+
+def segment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    segment_words: int = 10,
+    max_occurrences: int = 1,
+) -> DataFrame:
+    """Corpus-wide duplicated-segment removal (the CCNet/RefinedWeb
+    line-level dedup, generalized to corpora without line structure).
+
+    Web-pipeline line dedup drops every LINE that repeats across the
+    corpus (boilerplate navigation, cookie banners, license headers)
+    while keeping the documents themselves. Here a "segment" is a fixed
+    run of ``segment_words`` whitespace tokens — for line-structured text,
+    split on newlines upstream and pass ``segment_words`` large enough to
+    keep each line whole.
+
+    A segment occurring more than ``max_occurrences`` times corpus-wide is
+    removed from EVERY document; the survivors are re-joined in original
+    order. Output: ``(id_col, n_segments, n_kept, text_dedup)``.
+
+    Plan (2 shuffles — the semantic minimum for "count globally, then
+    reassemble per doc"):
+      1. segmentation is map-side (whitespace split → explode block index
+         → slice), memory bounded by the largest single document;
+      2. the corpus-wide occurrence count is a window over the segment
+         text — ONE shuffle keyed on the segment, with per-row counts
+         attached in place (an agg+join-back would spend a second shuffle
+         on the same key);
+      3. reassembly groups by doc id — the second shuffle — collecting
+         surviving ``(seg_idx, seg)`` structs and re-joining in index
+         order; duplicated segments are dropped by the collect's
+         null-skip, so kept/total counts ride the same aggregate.
+    At 100 TB the window key can be swapped for ``md5(seg)`` to sort
+    16-byte fingerprints instead of raw strings; the shuffle payload
+    (which must carry the segment text for reassembly either way) is
+    unchanged, so this keeps the portable plain-text key the DuckDB
+    oracle can reproduce verbatim.
+    """
+    from pyspark.sql import Window as W
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_segs = F.ceil(F.size(toks) / F.lit(float(segment_words))).cast("int")
+    segs = (
+        df.select(
+            F.col(id_col),
+            toks.alias("__toks"),
+            F.explode(
+                F.sequence(F.lit(0), F.greatest(n_segs - 1, F.lit(0)))
+            ).alias("seg_idx"),
+        )
+        .select(
+            id_col,
+            F.col("seg_idx").cast("long").alias("seg_idx"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("__toks"),
+                    F.col("seg_idx") * segment_words + 1,
+                    F.lit(segment_words),
+                ),
+            ).alias("seg"),
+        )
+        .filter(F.col("seg") != "")
+    )
+    occ = F.count(F.lit(1)).over(W.partitionBy("seg"))
+    kept = F.when(F.col("__occ") <= max_occurrences, F.struct("seg_idx", "seg"))
+    return (
+        segs.withColumn("__occ", occ)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.count(kept).alias("n_kept"),
+            F.concat_ws(
+                " ", F.array_sort(F.collect_list(kept)).getField("seg")
+            ).alias("text_dedup"),
+        )
+    )

@@ -1025,6 +1025,43 @@ def dedup_exact_groups(spark, sf_dir):
 
 
 @query(
+    "dedup_segments_corpus",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents
+    ), segs AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+             array_to_string(list_slice(t, i * 5 + 1, i * 5 + 5), ' ') AS seg
+      FROM toks,
+           unnest(range(0, greatest(CAST(ceil(len(t) / 5.0) AS BIGINT), 1)))
+             AS u(i)
+    ), nonempty AS (
+      SELECT * FROM segs WHERE seg <> ''
+    ), counted AS (
+      SELECT *, count(*) OVER (PARTITION BY seg) AS occ FROM nonempty
+    )
+    SELECT doc_id,
+           count(*) AS n_segments,
+           count(*) FILTER (WHERE occ <= 1) AS n_kept,
+           coalesce(
+             string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE occ <= 1),
+             ''
+           ) AS text_dedup
+    FROM counted GROUP BY doc_id
+    """,
+    note="Segment-level corpus dedup (CCNet/RefinedWeb line dedup "
+    "generalized): drop every 5-word segment that repeats corpus-wide, "
+    "reassemble survivors in order (operators/dedup.segment_dedup; "
+    "2 shuffles: window on segment + groupBy doc)",
+)
+def dedup_segments_corpus(spark, sf_dir):
+    return dedup.segment_dedup(
+        _t(spark, sf_dir, "documents"), segment_words=5, max_occurrences=1
+    )
+
+
+@query(
     "text_stats",
     """
     SELECT doc_id,

@@ -604,3 +604,44 @@ def test_cosine_topk_twostage_matches_bruteforce(spark):
     # with 20 candidates the exact re-rank recovers the float top-5
     # unless int8 rounding pushed a true neighbor below rank 20
     assert len(exact & two) / len(exact) >= 0.9
+
+
+def test_segment_dedup_removes_repeated_segments_in_order(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "shared boiler plate one two unique alpha beta"),
+            (2, "shared boiler plate one two other gamma delta"),
+            (3, "totally fresh words here now and then some more"),
+            (4, "shared boiler plate one two"),  # nothing survives
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.segment_dedup(df, segment_words=5, max_occurrences=1).collect()
+    }
+    assert out[1].text_dedup == "unique alpha beta"
+    assert out[2].text_dedup == "other gamma delta"
+    assert (out[1].n_segments, out[1].n_kept) == (2, 1)
+    # doc 3: both segments unique, original text reassembled verbatim
+    assert out[3].text_dedup == "totally fresh words here now and then some more"
+    assert (out[3].n_segments, out[3].n_kept) == (2, 2)
+    # doc 4 loses its only segment but stays in the output with empty text
+    assert out[4].text_dedup == ""
+    assert (out[4].n_segments, out[4].n_kept) == (1, 0)
+
+
+def test_segment_dedup_threshold_and_within_doc_repeat(spark):
+    # occurrences are counted corpus-wide INCLUDING within-doc repeats:
+    # "x y" appears twice in doc 1 alone, so with max_occurrences=2 it
+    # survives nowhere once doc 2 adds a third occurrence.
+    df = spark.createDataFrame(
+        [(1, "x y x y"), (2, "x y"), (3, "p q")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.segment_dedup(df, segment_words=2, max_occurrences=2).collect()
+    }
+    assert out[1].text_dedup == "" and out[2].text_dedup == ""
+    assert out[3].text_dedup == "p q"

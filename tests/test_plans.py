@@ -368,3 +368,13 @@ def test_mix_report_single_shuffle(spark):
     # split + token count map-side; only the (source, split) groupBy moves
     assert shuffle_count(df) == 1
     assert single_partition_exchange_count(df) == 0
+
+
+def test_segment_dedup_two_shuffles_no_python(spark):
+    df = Q.REGISTRY["dedup_segments_corpus"].fn(spark, SF_MED)
+    # semantic minimum: one window shuffle on the segment (corpus-wide
+    # occurrence count) + one groupBy shuffle on doc_id (reassembly)
+    assert shuffle_count(df) == 2
+    assert single_partition_exchange_count(df) == 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan  # JVM-only: split/explode/slice/window/agg
