@@ -136,3 +136,114 @@ def garbage_collect(
     return state.filter(
         ~(F.col(tombstone_col).isNotNull() & (F.col(synced_col) == synced_value))
     )
+
+
+def scd2_history(
+    changes: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    tracked: list[str],
+    tie_breakers: list[str] | None = None,
+) -> DataFrame:
+    """Build a full SCD Type-2 history from a change log.
+
+    SCD1 (:func:`scd1_merge`) keeps only the latest value per key; SCD2
+    keeps every distinct value with its validity interval — the standard
+    warehouse shape for "what did this attribute say at time T?".
+
+    Per key (ordered by ``ts_col`` then ``tie_breakers`` for determinism
+    under duplicate timestamps):
+
+    - consecutive rows whose ``tracked`` columns all match (null-safely)
+      are no-op updates and collapse into the open interval (the same
+      suppression the reference applies per-record, etl.py:1017-1018);
+    - each surviving row opens an interval at its own timestamp and
+      closes at the NEXT survivor's (``valid_to`` null = still current).
+
+    Output: keys + tracked + ``(version, valid_from, valid_to,
+    is_current)``.
+
+    Plan: both windows partition by ``keys`` with the same ordering, and
+    the no-op filter between them preserves distribution and sort order —
+    Spark plans ONE exchange + sort for the whole history build. At
+    100 TB this is the minimum: interval assignment is inherently a
+    per-key ordered pass.
+    """
+    from pyspark.sql import Window as W
+
+    ties = list(tie_breakers or [])
+    w = W.partitionBy(*keys).orderBy(ts_col, *ties)
+    prev_marker = F.lag(F.lit(1)).over(w)
+    changed = prev_marker.isNull()
+    for t in tracked:
+        changed = changed | _is_distinct(F.col(t), F.lag(t).over(w))
+    survivors = changes.select(
+        *keys, ts_col, *ties, *tracked
+    ).withColumn("__chg", changed).filter("__chg").drop("__chg")
+    w2 = W.partitionBy(*keys).orderBy(ts_col, *ties)
+    return survivors.select(
+        *keys,
+        *tracked,
+        F.row_number().over(w2).cast("long").alias("version"),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+    )
+
+
+def scd2_apply(
+    history: DataFrame,
+    batch: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    tracked: list[str],
+) -> DataFrame:
+    """Apply one change batch (≤1 row per key — pre-reduce with
+    last-writer-wins upstream) to an existing SCD2 history.
+
+    Matched keys whose tracked values changed close their open interval at
+    the batch timestamp and gain a new current row (version + 1); unseen
+    keys insert version 1; no-op rows and closed history pass through
+    untouched. Incremental equivalence with :func:`scd2_history` over the
+    concatenated log is asserted in tests.
+
+    Plan: one key-partitioned join against ONLY the ``is_current`` slice;
+    closed intervals are never reshuffled — at 100 TB the write rewrites
+    the thin current partition, not the whole history.
+    """
+    cur = history.filter(F.col("is_current")).alias("s")
+    closed = history.filter(~F.col("is_current"))
+    b = batch.select(
+        *keys, F.col(ts_col).alias("__bts"), *[F.col(t).alias(f"__b_{t}") for t in tracked]
+    ).alias("c")
+    j = cur.join(b, keys, "full_outer")
+    in_b = F.col("__bts").isNotNull()
+    in_s = F.col("valid_from").isNotNull()
+    diff = F.lit(False)
+    for t in tracked:
+        diff = diff | _is_distinct(F.col(f"s.{t}"), F.col(f"__b_{t}"))
+    change = in_b & (~in_s | diff)
+
+    # surviving old rows: untouched when no change; closed out when changed
+    old = j.filter(in_s).select(
+        *keys,
+        *[F.col(f"s.{t}").alias(t) for t in tracked],
+        F.col("version"),
+        F.col("valid_from"),
+        F.when(change, F.col("__bts")).otherwise(F.col("valid_to")).alias("valid_to"),
+        F.when(change, F.lit(False)).otherwise(F.col("is_current")).alias("is_current"),
+    )
+    new = j.filter(change).select(
+        *keys,
+        *[F.col(f"__b_{t}").alias(t) for t in tracked],
+        (F.coalesce(F.col("version"), F.lit(0)) + 1).cast("long").alias("version"),
+        F.col("__bts").alias("valid_from"),
+        F.lit(None).cast(history.schema["valid_to"].dataType).alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    out_cols = closed.columns
+    return (
+        closed.select(*out_cols)
+        .unionByName(old.select(*out_cols))
+        .unionByName(new.select(*out_cols))
+    )

@@ -1006,6 +1006,52 @@ def cdc_tombstone_lifecycle(spark, sf_dir):
     return scd1_merge(state, changes, keys=["uid"], policy=policy)
 
 
+@query(
+    "scd2_history_from_events",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_type, event_id,
+             lag(1) OVER w AS prev_marker,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), survivors AS (
+      SELECT * FROM ordered
+      WHERE prev_marker IS NULL OR event_type IS DISTINCT FROM prev_type
+    )
+    SELECT user_id,
+           event_type,
+           CAST(row_number() OVER w2 AS BIGINT)            AS version,
+           CAST(epoch_ms(ts) AS BIGINT)                    AS valid_from_ms,
+           CAST(epoch_ms(lead(ts) OVER w2) AS BIGINT)      AS valid_to_ms,
+           lead(ts) OVER w2 IS NULL                        AS is_current
+    FROM survivors
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    note="SCD Type-2 history build from a change log "
+    "(operators/merge.scd2_history): per-key no-op suppression, validity "
+    "intervals via lead(), one exchange for both windows",
+)
+def scd2_history_from_events(spark, sf_dir):
+    from py_etl_spark.operators.merge import scd2_history
+
+    hist = scd2_history(
+        _t(spark, sf_dir, "events"),
+        keys=["user_id"],
+        ts_col="ts",
+        tracked=["event_type"],
+        tie_breakers=["event_id"],
+    )
+    return hist.select(
+        "user_id",
+        "event_type",
+        "version",
+        F.unix_millis("valid_from").alias("valid_from_ms"),
+        F.unix_millis("valid_to").alias("valid_to_ms"),
+        "is_current",
+    )
+
+
 # =========================================================================
 # Training-data pipeline: dedup / text analysis / similarity
 # =========================================================================

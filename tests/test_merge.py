@@ -113,3 +113,64 @@ def test_garbage_collect(spark):
     )
     out = garbage_collect(state, "deleted", "synced", "0")
     assert {r.k for r in out.collect()} == {2, 3}
+
+
+def test_scd2_history_intervals_and_noop_suppression(spark):
+    from datetime import datetime
+
+    from py_etl_spark.operators.merge import scd2_history
+
+    t = lambda s: datetime.fromisoformat(s)
+    log = spark.createDataFrame(
+        [
+            (1, t("2024-01-01T00:00:00"), "bronze", 10),
+            (1, t("2024-01-02T00:00:00"), "bronze", 11),  # no-op → collapses
+            (1, t("2024-01-03T00:00:00"), "silver", 12),
+            (1, t("2024-01-04T00:00:00"), "gold", 13),
+            (2, t("2024-01-05T00:00:00"), "bronze", 14),
+        ],
+        "user_id long, ts timestamp, tier string, event_id long",
+    )
+    hist = scd2_history(
+        log, keys=["user_id"], ts_col="ts", tracked=["tier"],
+        tie_breakers=["event_id"],
+    ).collect()
+    u1 = sorted([r for r in hist if r.user_id == 1], key=lambda r: r.version)
+    assert [r.tier for r in u1] == ["bronze", "silver", "gold"]
+    assert u1[0].valid_from == t("2024-01-01T00:00:00")  # no-op kept old open
+    assert u1[0].valid_to == t("2024-01-03T00:00:00")
+    assert u1[1].valid_to == t("2024-01-04T00:00:00")
+    assert u1[2].valid_to is None and u1[2].is_current
+    assert [r.is_current for r in u1] == [False, False, True]
+    (u2,) = [r for r in hist if r.user_id == 2]
+    assert u2.version == 1 and u2.is_current
+
+
+def test_scd2_apply_equals_full_rebuild(spark):
+    from datetime import datetime
+
+    from py_etl_spark.operators.merge import scd2_apply, scd2_history
+
+    t = lambda s: datetime.fromisoformat(s)
+    schema = "user_id long, ts timestamp, tier string, event_id long"
+    log1 = [
+        (1, t("2024-01-01T00:00:00"), "bronze", 1),
+        (1, t("2024-01-03T00:00:00"), "silver", 2),
+        (2, t("2024-01-02T00:00:00"), "bronze", 3),
+    ]
+    # batch: one row per key — key 1 changes, key 2 no-ops, key 3 is new
+    log2 = [
+        (1, t("2024-02-01T00:00:00"), "gold", 4),
+        (2, t("2024-02-01T00:00:00"), "bronze", 5),
+        (3, t("2024-02-01T00:00:00"), "bronze", 6),
+    ]
+    kw = dict(keys=["user_id"], ts_col="ts", tracked=["tier"])
+    base = scd2_history(spark.createDataFrame(log1, schema),
+                        tie_breakers=["event_id"], **kw)
+    applied = scd2_apply(base, spark.createDataFrame(log2, schema), **kw)
+    rebuilt = scd2_history(spark.createDataFrame(log1 + log2, schema),
+                           tie_breakers=["event_id"], **kw)
+    cols = ["user_id", "tier", "version", "valid_from", "valid_to", "is_current"]
+    assert sorted(map(tuple, applied.select(*cols).collect())) == sorted(
+        map(tuple, rebuilt.select(*cols).collect())
+    )

@@ -378,3 +378,11 @@ def test_segment_dedup_two_shuffles_no_python(spark):
     assert single_partition_exchange_count(df) == 0
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan  # JVM-only: split/explode/slice/window/agg
+
+
+def test_scd2_history_single_exchange(spark):
+    df = Q.REGISTRY["scd2_history_from_events"].fn(spark, SF_MED)
+    # no-op filter sits between two identically-partitioned windows, so
+    # Spark plans ONE exchange + sort for the whole history build
+    assert shuffle_count(df) == 1
+    assert single_partition_exchange_count(df) == 0
