@@ -1,0 +1,104 @@
+"""KMV (k-minimum-values) distinct-count sketch: deterministic, mergeable,
+engine-portable.
+
+Spark's native ``approx_count_distinct`` (HyperLogLog++) is the everyday
+answer, but its register layout is engine-private: the estimate can't be
+reproduced by another engine, unioned across separately-built sketches by
+plain SQL, or oracle-checked bit-for-bit. KMV (Bar-Yossef et al. 2002,
+"Counting distinct elements in a data stream") trades a little accuracy for
+exactly those properties:
+
+- the sketch is just the k smallest *distinct* hash values of the column —
+  any engine that can hash and top-k can build, merge, and read it;
+- hashes come from the portable md5-prefix family (same as MinHash /
+  winnowing / deterministic_split), so DuckDB reproduces every value;
+- two sketches merge by "union, re-take k smallest" — associative and
+  idempotent, the shape a 100 TB rollup tree (per-file → per-partition →
+  global) needs;
+- the estimator is deterministic: with the k-th smallest distinct hash at
+  fraction ``kth / 2^60`` of the hash space, est = ``(k-1) / (kth / 2^60)``
+  (and exact when fewer than k distinct values exist).
+
+Relative error is ~``1 / sqrt(k-2)`` (~13 % at k=64); the point here is
+portability + mergeability + determinism, not beating HLL's constants.
+
+Plan: one distinct-aggregate shuffle on (group, hash) — map-side partial
+dedup makes the shuffle per-distinct-value — then a per-group top-k window
+over DISTINCT hashes only, landing on the same grouping keys. The window
+sorts each group's distinct hashes; at extreme per-group cardinality swap
+stage 2 for a per-partition local top-k + re-top-k rollup (the merge
+property above is what makes that refactor safe).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 60-bit hash space: 15 hex chars of md5. Fits a signed long with headroom,
+# and 2^60 is exactly representable in a double, so the estimate's
+# float arithmetic is bit-identical across engines.
+HASH_SPACE = float(1 << 60)
+
+
+def _portable_hash60(col) -> F.Column:
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    col: str,
+    k: int = 64,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-group KMV sketch + distinct-count estimate.
+
+    Output: ``group_cols + (n_kept, kth_hash, estimate, sketch)`` where
+    ``sketch`` is the ascending array of the ≤k smallest distinct hashes
+    (the mergeable state), ``n_kept = len(sketch)`` and ``estimate`` is
+    exact below k.
+    """
+    if k < 3:
+        raise ValueError("k must be ≥ 3 for the KMV estimator")
+    groups = [F.col(g) for g in group_cols]
+    hashed = df.select(
+        *groups, _portable_hash60(F.col(col)).alias("h")
+    ).distinct()
+    w = Window.partitionBy(*[F.col(g) for g in group_cols]).orderBy("h")
+    topk = hashed.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.round(F.lit(float(k - 1)) * F.lit(HASH_SPACE) / F.col("kth_hash"))
+    )
+    return (
+        topk.groupBy(*[F.col(g) for g in group_cols])
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.max("h").alias("kth_hash"),
+            F.array_sort(F.collect_list("h")).alias("sketch"),
+        )
+        .withColumn("estimate", est.cast("long"))
+    )
+
+
+def kmv_merge_sketches(sketches: list[list[int]], k: int) -> list[int]:
+    """Driver-side reference merge: union of sketch arrays, k smallest
+    distinct. Associativity/idempotence of this tiny function is what makes
+    the distributed rollup-tree refactor legitimate; tests pin
+    ``merge(sketch(A), sketch(B)) == sketch(A ∪ B)``."""
+    pool = set()
+    for s in sketches:
+        pool.update(s)
+    return sorted(pool)[:k]
+
+
+def kmv_estimate(sketch: list[int], k: int) -> float:
+    """Estimate from a merged sketch (same formula as the DataFrame path)."""
+    if len(sketch) < k:
+        return float(len(sketch))
+    return round(float(k - 1) * HASH_SPACE / float(sketch[k - 1]))

@@ -1052,6 +1052,43 @@ def scd2_history_from_events(spark, sf_dir):
     )
 
 
+@query(
+    "kmv_distinct_users",
+    """
+    WITH hashed AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM events
+    ), topk AS (
+      SELECT * FROM (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM hashed
+      ) WHERE rn <= 64
+    )
+    SELECT event_type,
+           count(*)    AS n_kept,
+           max(h)      AS kth_hash,
+           CAST(CASE WHEN count(*) < 64 THEN count(*)
+                     ELSE round(63.0 * 1152921504606846976.0 / max(h))
+                END AS BIGINT) AS estimate,
+           array_agg(h ORDER BY h) AS sketch
+    FROM topk GROUP BY event_type
+    """,
+    note="KMV distinct-count sketch (operators/sketch.kmv_distinct): "
+    "portable md5-hash k-minimum-values, mergeable, deterministic "
+    "estimate — the cross-engine/rollup-tree alternative to HLL",
+)
+def kmv_distinct_users(spark, sf_dir):
+    from py_etl_spark.operators.sketch import kmv_distinct
+
+    return kmv_distinct(
+        _t(spark, sf_dir, "events"), col="user_id", k=64,
+        group_cols=("event_type",),
+    )
+
+
 # =========================================================================
 # Training-data pipeline: dedup / text analysis / similarity
 # =========================================================================

@@ -645,3 +645,34 @@ def test_segment_dedup_threshold_and_within_doc_repeat(spark):
     }
     assert out[1].text_dedup == "" and out[2].text_dedup == ""
     assert out[3].text_dedup == "p q"
+
+
+def test_kmv_sketch_accuracy_exact_below_k_and_merge(spark):
+    from py_etl_spark.operators.sketch import (
+        kmv_distinct,
+        kmv_estimate,
+        kmv_merge_sketches,
+    )
+
+    # 2000 distinct values in group "big", 10 in "small" (exact path)
+    rows = [("big", i) for i in range(2000)] * 2 + [
+        ("small", i) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r.g: r for r in kmv_distinct(df, "v", k=64, group_cols=("g",)).collect()}
+    assert out["small"].estimate == 10  # below k → exact
+    assert out["small"].n_kept == 10
+    err = abs(out["big"].estimate - 2000) / 2000
+    assert err < 0.30, f"KMV estimate off by {err:.1%}"
+    assert out["big"].sketch == sorted(out["big"].sketch)
+    assert len(out["big"].sketch) == 64
+
+    # merge property: sketch(A ∪ B) == merge(sketch(A), sketch(B))
+    a = spark.createDataFrame([("g", i) for i in range(1000)], "g string, v long")
+    b = spark.createDataFrame([("g", i) for i in range(500, 1500)], "g string, v long")
+    sa = kmv_distinct(a, "v", k=64, group_cols=("g",)).collect()[0].sketch
+    sb = kmv_distinct(b, "v", k=64, group_cols=("g",)).collect()[0].sketch
+    su = kmv_distinct(a.union(b), "v", k=64, group_cols=("g",)).collect()[0]
+    merged = kmv_merge_sketches([sa, sb], k=64)
+    assert merged == su.sketch
+    assert kmv_estimate(merged, 64) == float(su.estimate)
