@@ -327,3 +327,44 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.countDistinct("shingle").cast("long").alias("n_hits"))
     )
+
+
+def sample_mixture(
+    df: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Mixture-weighted downsampling: keep each row with its source's
+    probability, decided by a hash of the row id — the "20 % of web, 100 %
+    of books" step that turns a curated pool into a training mix.
+
+    Like every sampling choice in this module the decision is
+    ``hash(id, salt)``, never ``rand()``: task retries, repartitioning and
+    re-runs keep the exact same rows, and a different ``salt`` yields an
+    independent draw (the hash is salted so the decision is uncorrelated
+    with ``deterministic_split``'s buckets over the same ids). Rates are
+    quantized to millionths and compared as integers, so any engine
+    computing md5 reproduces the sample bit-for-bit.
+
+    Map-side only: no shuffle, no sampling nondeterminism; the filter
+    composes with scan pruning upstream of any expensive operator.
+    """
+    thresholds = {
+        s: int(round(r * 1_000_000)) for s, r in rates.items()
+    }
+    for s, t in thresholds.items():
+        if not 0 <= t <= 1_000_000:
+            raise ValueError(f"rate for {s!r} outside [0, 1]")
+    bucket = _hash_bucket(
+        F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt)), 1_000_000
+    )
+    thr = None
+    for s, t in thresholds.items():
+        cond = F.when(F.col(source_col) == s, F.lit(t))
+        thr = cond if thr is None else thr.when(F.col(source_col) == s, F.lit(t))
+    default_thr = F.lit(int(round(default_rate * 1_000_000)))
+    thr = default_thr if thr is None else thr.otherwise(default_thr)
+    return df.filter(bucket < thr)

@@ -1089,6 +1089,36 @@ def kmv_distinct_users(spark, sf_dir):
     )
 
 
+@query(
+    "corpus_sample_mixture",
+    """
+    SELECT doc_id, source, lang, n_chars
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8))
+               AS BIGINT) % 1000000
+          < CASE source
+              WHEN 'src0' THEN 1000000
+              WHEN 'src1' THEN  500000
+              WHEN 'src2' THEN  250000
+              ELSE              100000
+            END
+    """,
+    note="Mixture-weighted deterministic sampling "
+    "(operators/corpus.sample_mixture): per-source keep rates via salted "
+    "id-hash thresholds — map-side, zero shuffle, bit-reproducible",
+)
+def corpus_sample_mixture(spark, sf_dir):
+    from py_etl_spark.operators.corpus import sample_mixture
+
+    return sample_mixture(
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", "source", "lang", "n_chars"
+        ),
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.1,
+    )
+
+
 # =========================================================================
 # Training-data pipeline: dedup / text analysis / similarity
 # =========================================================================

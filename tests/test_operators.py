@@ -676,3 +676,30 @@ def test_kmv_sketch_accuracy_exact_below_k_and_merge(spark):
     merged = kmv_merge_sketches([sa, sb], k=64)
     assert merged == su.sketch
     assert kmv_estimate(merged, 64) == float(su.estimate)
+
+
+def test_sample_mixture_deterministic_rates_and_salt_independence(spark):
+    from py_etl_spark.operators.corpus import sample_mixture
+
+    rows = [(i, "web" if i % 2 == 0 else "books") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kw = dict(rates={"web": 0.2, "books": 1.0})
+    kept = sample_mixture(df, **kw)
+    ids1 = sorted(r.doc_id for r in kept.collect())
+    # deterministic: identical under repartitioning and re-run
+    ids2 = sorted(r.doc_id for r in sample_mixture(df.repartition(13), **kw).collect())
+    assert ids1 == ids2
+    by_src = {
+        r.source: r.n for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_src["books"] == 1000          # rate 1.0 keeps everything
+    assert 130 <= by_src["web"] <= 270      # ~200 expected at rate 0.2
+    # a different salt draws an (almost surely) different web subset
+    ids_salt = sorted(
+        r.doc_id
+        for r in sample_mixture(df, rates={"web": 0.2, "books": 1.0}, salt="other").collect()
+    )
+    assert ids_salt != ids1
+    # unknown source falls back to default_rate=0 → dropped entirely
+    extra = spark.createDataFrame([(99999, "junk")], "doc_id long, source string")
+    assert sample_mixture(extra, **kw).count() == 0

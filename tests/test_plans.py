@@ -386,3 +386,9 @@ def test_scd2_history_single_exchange(spark):
     # Spark plans ONE exchange + sort for the whole history build
     assert shuffle_count(df) == 1
     assert single_partition_exchange_count(df) == 0
+
+
+def test_sample_mixture_zero_shuffle_pruned_scan(spark):
+    df = Q.REGISTRY["corpus_sample_mixture"].fn(spark, SF_MED)
+    assert shuffle_count(df) == 0  # pure map-side hash-threshold filter
+    assert set(scan_read_schema(df)) == {"doc_id", "source", "lang", "n_chars"}
