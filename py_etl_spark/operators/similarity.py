@@ -413,3 +413,65 @@ def cosine_topk_twostage(
     if round_to is not None:
         out = out.withColumn("cosine", F.round("cosine", round_to))
     return out
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings, then drop near-identical
+    vectors WITHIN each cluster only.
+
+    Two-stage plan — the whole point is never comparing across clusters:
+
+    1. coarse assignment via :func:`ivf_assign` — map-side argmax over
+       literal centroids, zero shuffle;
+    2. within-cluster pair generation — a self-equi-join on the cell id,
+       so the candidate set is Σ|cell|², not n². With k ≈ √n trained
+       centroids (``ivf_train``) cells stay ~√n and the join is linear-ish;
+       a degenerate cell can be capped with the same window-count guard
+       the LSH buckets use (dedup.minhash_lsh_candidates).
+
+    Drop rule: a vector is dropped when some LOWER-id vector in its cell
+    is within ``threshold`` cosine — deterministic and join-expressible.
+    (Chained near-dups a-b-c may keep a and c; route the pairs through
+    ``dedup.connected_components`` when full transitive grouping is
+    worth the extra iterations.)
+
+    Output: ``(id_col, ivf_cell, is_kept)`` — one row per input vector.
+    """
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        F.col("ivf_cell").alias("cell_a"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        F.col("ivf_cell").alias("cell_b"),
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb"))
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("cell_a") == F.col("cell_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter(cos >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "ivf_cell",
+            F.col("__dup").isNull().alias("is_kept"),
+        )
+    )

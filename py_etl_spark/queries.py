@@ -2251,6 +2251,65 @@ def ivf_assign_fixed(spark, sf_dir):
 
 
 @query(
+    "semantic_dedup_fixed",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e
+          WHERE vec_id IN {_IVF_FIXED_CENTROIDS}),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+             list_dot_product(e.v, c.cv) /
+               (sqrt(list_dot_product(e.v, e.v)) *
+                sqrt(list_dot_product(c.cv, c.cv))) AS cos
+      FROM e CROSS JOIN c
+    ),
+    assigned AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cid) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT pb.vec_id
+      FROM assigned pa
+      JOIN e ea ON ea.vec_id = pa.vec_id
+      JOIN assigned pb ON pb.cell = pa.cell AND pa.vec_id < pb.vec_id
+      JOIN e eb ON eb.vec_id = pb.vec_id
+      WHERE list_dot_product(ea.v, eb.v) /
+              (sqrt(list_dot_product(ea.v, ea.v)) *
+               sqrt(list_dot_product(eb.v, eb.v))) >= 0.45
+    )
+    SELECT a.vec_id, CAST(a.cell AS BIGINT) AS ivf_cell,
+           d.vec_id IS NULL AS is_kept
+    FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+    """,
+    note="SemDeDup-style semantic dedup (operators/similarity."
+         "semantic_dedup): map-side cluster assignment over pinned "
+         "centroids, within-cluster-only cosine pairs (Σ|cell|², never "
+         "n²), deterministic lower-id-wins drop rule",
+)
+def semantic_dedup_fixed(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter(F.col("vec_id").isin(*_IVF_FIXED_CENTROIDS))
+        .orderBy("vec_id")
+        .collect()
+    )
+    centroids = [[float(x) for x in r["embedding"]] for r in cent_rows]
+    cid_of_index = F.array(*[F.lit(int(r["vec_id"])) for r in cent_rows])
+    out = similarity.semantic_dedup(emb, centroids, threshold=0.45)
+    return out.select(
+        "vec_id",
+        F.element_at(cid_of_index, F.col("ivf_cell").cast("int") + 1)
+        .cast("long")
+        .alias("ivf_cell"),
+        "is_kept",
+    )
+
+
+@query(
     "q7_nation_volume",
     """
     SELECT supp_nation, cust_nation, l_year,

@@ -703,3 +703,31 @@ def test_sample_mixture_deterministic_rates_and_salt_independence(spark):
     # unknown source falls back to default_rate=0 → dropped entirely
     extra = spark.createDataFrame([(99999, "junk")], "doc_id long, source string")
     assert sample_mixture(extra, **kw).count() == 0
+
+
+def test_semantic_dedup_drops_within_cluster_only(spark):
+    # two well-separated clusters along axes; b/c near-dup of a, e dup of d
+    rows = [
+        (1, [1.0, 0.0, 0.0]),       # cluster x, keeper
+        (2, [0.99, 0.14, 0.0]),     # ~cos 0.990 with 1 → dropped at τ=0.97
+        (3, [0.7, 0.7, 0.0]),       # cluster x but dissimilar → kept
+        (10, [0.0, 0.0, 1.0]),      # cluster z, keeper
+        (11, [0.0, 0.01, 1.0]),     # near-dup of 10 → dropped
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r.vec_id: r
+        for r in similarity.semantic_dedup(
+            df, centroids=[[1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], threshold=0.97
+        ).collect()
+    }
+    assert {k for k, r in out.items() if r.is_kept} == {1, 3, 10}
+    assert out[2].ivf_cell == 0 and out[11].ivf_cell == 1
+    # cross-cluster near-identical vectors are NOT compared: same vector in
+    # different cells survives in both
+    rows2 = [(1, [1.0, 0.05, 0.0]), (2, [0.05, 1.0, 0.0])]
+    df2 = spark.createDataFrame(rows2, "vec_id long, embedding array<float>")
+    out2 = similarity.semantic_dedup(
+        df2, centroids=[[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], threshold=0.0
+    ).collect()
+    assert all(r.is_kept for r in out2)

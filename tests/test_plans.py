@@ -392,3 +392,11 @@ def test_sample_mixture_zero_shuffle_pruned_scan(spark):
     df = Q.REGISTRY["corpus_sample_mixture"].fn(spark, SF_MED)
     assert shuffle_count(df) == 0  # pure map-side hash-threshold filter
     assert set(scan_read_schema(df)) == {"doc_id", "source", "lang", "n_chars"}
+
+
+def test_semantic_dedup_no_cartesian(spark):
+    df = Q.REGISTRY["semantic_dedup_fixed"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # pair generation must be a cell-id equi-join, never a cross product
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
