@@ -176,3 +176,52 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_guess(t).alias("stat_lang_guess"),
         fingerprint_md5(t).alias("stat_fingerprint"),
     )
+
+
+def quality_score_hashed_linear(
+    df: "DataFrame",
+    weights: list[float],
+    bias: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Model-based quality scoring with a hashing-trick linear classifier —
+    the fastText-shaped filter (Joulin et al. 2016) modern pipelines run
+    over every document (e.g. DCLM's fastText quality gate), reduced to
+    its Spark-native core: mean-pooled bag-of-words logits over a
+    hash-bucketed weight vector.
+
+    ``logit = bias + mean(weights[h(token) mod D])`` with the portable
+    md5-prefix hash, so ANY engine reproduces the score bit-for-bit —
+    the weights are a plan literal (D doubles, broadcast-by-construction),
+    tokens never leave their row, and the whole scorer is zero-shuffle
+    Column HOFs (no Python, no UDF). Swap in real trained weights by
+    passing them; the math is identical.
+
+    The sigmoid is deliberately NOT applied: ``exp()`` rounding is
+    libm-specific, while +,*,/ are IEEE-exact, so the logit (and the
+    ``logit >= 0`` ⟺ ``p >= 0.5`` decision) is cross-engine
+    deterministic. Output: ``(id_col, n_tokens, logit, is_quality)``.
+    """
+    d = len(weights)
+    wlit = F.array(*[F.lit(float(w)) for w in weights])
+    # split('') yields [''] — drop empty tokens so an empty document scores
+    # bias-only with n_tokens=0 instead of hashing the empty string
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    idx = lambda t: F.pmod(
+        F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"), F.lit(d)
+    ).cast("int")
+    ws = F.transform(toks, lambda t: F.element_at(wlit, idx(t) + 1))
+    n = F.size(ws)
+    logit = F.lit(float(bias)) + F.aggregate(
+        ws, F.lit(0.0), lambda acc, v: acc + v
+    ) / F.when(n > 0, n).otherwise(F.lit(1))
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.round(logit, 6).alias("logit"),
+        (logit >= 0).alias("is_quality"),
+    )

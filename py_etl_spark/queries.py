@@ -1119,6 +1119,58 @@ def corpus_sample_mixture(spark, sf_dir):
     )
 
 
+# Deterministic demo weights for the hashed linear quality gate (a real
+# deployment passes trained fastText-style weights; the math is identical).
+_QUALITY_DIM = 64
+_QUALITY_WEIGHTS = [
+    round(((i * 2654435761) % 2000) / 1000.0 - 1.0, 3)
+    for i in range(_QUALITY_DIM)
+]
+_QUALITY_BIAS = 0.25
+
+
+def _quality_linear_oracle() -> str:
+    wlist = ", ".join(repr(w) for w in _QUALITY_WEIGHTS)
+    return f"""
+    WITH scored AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           tok -> tok <> ''),
+               tok -> (CAST([{wlist}] AS DOUBLE[]))[
+                 CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
+                   % {_QUALITY_DIM} + 1]
+             ) AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_tokens,
+           round({_QUALITY_BIAS!r} +
+                 list_reduce(list_prepend(0.0, ws), (a, b) -> a + b)
+                   / greatest(len(ws), 1), 6)  AS logit,
+           ({_QUALITY_BIAS!r} +
+            list_reduce(list_prepend(0.0, ws), (a, b) -> a + b)
+              / greatest(len(ws), 1)) >= 0     AS is_quality
+    FROM scored
+    """
+
+
+@query(
+    "quality_score_hashed_linear",
+    _quality_linear_oracle(),
+    note="Model-based quality gate (textstats.quality_score_hashed_linear):"
+    " fastText-shaped hashing-trick linear classifier, mean-pooled logits "
+    "over a literal weight vector — zero shuffle, no Python, bit-exact "
+    "across engines (sigmoid deliberately omitted: exp() is libm-specific)",
+)
+def quality_score_hashed_linear(spark, sf_dir):
+    return textstats.quality_score_hashed_linear(
+        _t(spark, sf_dir, "documents"),
+        weights=_QUALITY_WEIGHTS,
+        bias=_QUALITY_BIAS,
+    )
+
+
 # =========================================================================
 # Training-data pipeline: dedup / text analysis / similarity
 # =========================================================================

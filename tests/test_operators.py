@@ -731,3 +731,32 @@ def test_semantic_dedup_drops_within_cluster_only(spark):
         df2, centroids=[[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], threshold=0.0
     ).collect()
     assert all(r.is_kept for r in out2)
+
+
+def test_quality_score_hashed_linear_matches_numpy_reference(spark):
+    import hashlib
+
+    w = [0.5, -0.25, 1.0, -1.0]
+    docs = [(1, "good words here"), (2, "bad bad bad"), (3, "")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in textstats.quality_score_hashed_linear(
+            df, weights=w, bias=0.1
+        ).collect()
+    }
+
+    def ref_logit(text):
+        toks = text.strip().lower().split() if text.strip() else []
+        if not toks:
+            return 0.1
+        s = sum(
+            w[int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % len(w)]
+            for t in toks
+        )
+        return 0.1 + s / len(toks)
+
+    for i, text in docs:
+        assert abs(out[i].logit - round(ref_logit(text), 6)) < 1e-9
+        assert out[i].is_quality == (ref_logit(text) >= 0)
+    assert out[3].n_tokens == 0  # empty doc: bias-only logit, no crash

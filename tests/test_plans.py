@@ -400,3 +400,10 @@ def test_semantic_dedup_no_cartesian(spark):
     # pair generation must be a cell-id equi-join, never a cross product
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quality_score_hashed_linear_zero_shuffle(spark):
+    df = Q.REGISTRY["quality_score_hashed_linear"].fn(spark, SF_MED)
+    assert shuffle_count(df) == 0  # literal weights + Column HOFs only
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
