@@ -3858,6 +3858,29 @@ def jsonl_roundtrip_documents(spark, sf_dir):
 
 
 @query(
+    "orc_roundtrip_documents",
+    """
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+    note="ORC source/sink (sources/orc_io.py): documents → zstd ORC → "
+         "schema-explicit read-back; same pushdown/pruning machinery as "
+         "parquet, exercised as a value-preserving roundtrip",
+)
+def orc_roundtrip_documents(spark, sf_dir):
+    from py_etl_spark.sources.orc_io import read_orc, write_orc
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="pyetl_orc_"), "docs_orc")
+    write_orc(docs, path)
+    return read_orc(
+        spark, path,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+@query(
     "st_hopping_window_agg",
     """
     WITH e AS (

@@ -113,3 +113,28 @@ def test_factory_session_timestamp_invariant_outside_load_table(spark):
     if isinstance(t, T.TimestampType):
         rows = df.select(F.unix_millis("ts").alias("ms")).limit(5).collect()
         assert all(r.ms is not None for r in rows)
+
+
+def test_orc_roundtrip_hard_values_and_pushdown(spark):
+    from py_etl_spark.sources.orc_io import read_orc, write_orc
+
+    rows = [
+        (1, "line one\nline two", "en"),
+        (2, 'quotes " and \t tabs', "de"),
+        (3, "unicode: émöji 軌跡 ✓", "ja"),
+        (4, None, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, lang string")
+    path = tempfile.mkdtemp(prefix="orc_test_") + "/t"
+    write_orc(df, path)
+    back = read_orc(spark, path, "id long, text string, lang string")
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+    # predicate pushdown reaches the ORC scan
+    plan = (
+        back.filter(F.col("id") == 3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [" in plan and "id" in plan.split("PushedFilters")[1][:80]
+    # schema-explicit read: a column absent from the files surfaces as NULL
+    wider = read_orc(spark, path, "id long, text string, lang string, extra int")
+    assert all(r.extra is None for r in wider.collect())
