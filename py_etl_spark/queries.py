@@ -3926,26 +3926,40 @@ def st_hopping_window_agg(spark, sf_dir):
 # The external driver checks registry entries in dict order and caps its
 # list at 50. Emit the registry in an explicit priority order so the cap
 # lands on queries whose correctness is independently evidenced elsewhere:
-#   _FRONT (r04 rotation, 50): the new corpus_pack_examples and
-#           bpe_token_count_fixed (its replay oracle was hardened this
-#           round) first, then the 43 queries whose latest driver-green
-#           row is r02, then 5 historically-fragile r03 entries
-#           (window/rank/merge family) to keep them under rotation;
-#   middle: everything NOT in _FRONT/_TAIL, decorator order — new r04
-#           queries land here if added after this rotation;
-#   _TAIL (44): the remaining queries with a fresh green r03 driver row —
+#   _FRONT (r04 late rotation, 50): every query with NO driver row in any
+#           round yet (the 16 added during r04), then bpe_token_count_fixed
+#           (replay oracle hardened r04), then 33 of the 43 whose latest
+#           driver-green row is r02;
+#   middle: the 10 r02-green queries that didn't fit the window (they keep
+#           their r02 rows; first in line for r05) plus anything added
+#           after this rotation;
+#   _TAIL (50): the queries with a fresh green r03 driver row —
 #           freshest evidence, cheapest to cede to the window cap.
 # tools/check_correctness.py runs the FULL registry regardless (committed
 # as CORRECTNESS_FULL_r*.json).
 _FRONT = [
+    # never driver-checked (added r04 after the last rotation) — highest
+    # priority for the 50-slot window:
     "corpus_pack_examples",
-    "bpe_token_count_fixed",
     "quality_repetition_metrics",
     "embedding_quantize_int8",
     "corpus_assemble_examples",
     "key_skew_profile_lineitem",
     "corpus_mix_report",
     "ann_cosine_topk_int8",
+    "scd2_history_from_events",
+    "kmv_distinct_users",
+    "corpus_sample_mixture",
+    "quality_score_hashed_linear",
+    "dedup_segments_corpus",
+    "ann_cosine_topk_twostage",
+    "semantic_dedup_fixed",
+    "bpe_train_merges",
+    "orc_roundtrip_documents",
+    # replay oracle hardened this round — keep under rotation:
+    "bpe_token_count_fixed",
+    # 33 of the 43 queries whose latest driver-green row is r02; the 10
+    # that don't fit keep their r02 rows and lead the middle for r05:
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -3979,15 +3993,6 @@ _FRONT = [
     "q16_supplier_part_counts",
     "q20_heavy_part_suppliers",
     "skew_salted_join_orders",
-    "profile_orders_table",
-    "a9_price_histogram",
-    "q9_product_profit",
-    "q11_important_stock",
-    "doc_winnow_fingerprints",
-    "corpus_split_deterministic",
-    "corpus_token_budget_quota",
-    "corpus_decontaminate_vs_benchmark",
-    "corpus_chunk_tokens",
 ]
 _TAIL = [
     "jsonl_roundtrip_documents",
