@@ -3858,6 +3858,87 @@ def jsonl_roundtrip_documents(spark, sf_dir):
 
 
 @query(
+    "funnel_signup_click_purchase",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+    ), users AS (SELECT DISTINCT user_id FROM events)
+    SELECT u.user_id,
+           CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                     WHEN t2 IS NOT NULL THEN 2
+                     WHEN t1 IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS reached,
+           CAST(epoch_ms(t1) AS BIGINT) AS t_step1_ms,
+           CAST(epoch_ms(t2) AS BIGINT) AS t_step2_ms,
+           CAST(epoch_ms(t3) AS BIGINT) AS t_step3_ms
+    FROM users u
+    LEFT JOIN s1 ON u.user_id = s1.user_id
+    LEFT JOIN s2 ON u.user_id = s2.user_id
+    LEFT JOIN s3 ON u.user_id = s3.user_id
+    """,
+    note="Strict ordered funnel (operators/funnel.funnel): per-user "
+         "sorted-array fold in ONE groupBy shuffle — the staged-min-join "
+         "formulation the oracle uses costs one join per step",
+)
+def funnel_signup_click_purchase(spark, sf_dir):
+    from py_etl_spark.operators.funnel import funnel
+
+    out = funnel(
+        _t(spark, sf_dir, "events"),
+        steps=["signup", "click", "purchase"],
+        tie_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        "reached",
+        F.unix_millis("t_step1").alias("t_step1_ms"),
+        F.unix_millis("t_step2").alias("t_step2_ms"),
+        F.unix_millis("t_step3").alias("t_step3_ms"),
+    )
+
+
+@query(
+    "cohort_retention_weekly",
+    """
+    WITH first AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_start
+      FROM events GROUP BY user_id
+    ), active AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS period_start
+      FROM events
+    )
+    SELECT CAST(epoch_ms(cohort_start) AS BIGINT) AS cohort_start_ms,
+           CAST((epoch(period_start) - epoch(cohort_start)) / 604800
+                AS BIGINT) AS period_offset,
+           count(*) AS n_users
+    FROM active JOIN first USING (user_id)
+    GROUP BY 1, 2
+    """,
+    note="Weekly cohort retention triangle (operators/funnel."
+         "cohort_retention): both user-keyed stages shuffle on the same "
+         "key; the (cohort, offset) rollup is negligible",
+)
+def cohort_retention_weekly(spark, sf_dir):
+    from py_etl_spark.operators.funnel import cohort_retention
+
+    out = cohort_retention(_t(spark, sf_dir, "events"), period="week")
+    return out.select(
+        F.unix_millis("cohort_start").alias("cohort_start_ms"),
+        "period_offset",
+        "n_users",
+    )
+
+
+@query(
     "orc_roundtrip_documents",
     """
     SELECT doc_id, text, lang, source, n_chars FROM documents

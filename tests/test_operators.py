@@ -760,3 +760,76 @@ def test_quality_score_hashed_linear_matches_numpy_reference(spark):
         assert abs(out[i].logit - round(ref_logit(text), 6)) < 1e-9
         assert out[i].is_quality == (ref_logit(text) >= 0)
     assert out[3].n_tokens == 0  # empty doc: bias-only logit, no crash
+
+
+def test_funnel_strict_ordering_and_ties(spark):
+    from datetime import datetime
+
+    from py_etl_spark.operators.funnel import funnel
+
+    t = lambda s: datetime.fromisoformat(s)
+    rows = [
+        # user 1: full funnel in order
+        (1, t("2024-01-01T00:00:00"), "signup", 1),
+        (1, t("2024-01-02T00:00:00"), "click", 2),
+        (1, t("2024-01-03T00:00:00"), "purchase", 3),
+        # user 2: purchase BEFORE click → stops at click (reached 2)
+        (2, t("2024-01-01T00:00:00"), "signup", 4),
+        (2, t("2024-01-02T00:00:00"), "purchase", 5),
+        (2, t("2024-01-03T00:00:00"), "click", 6),
+        # user 3: click at the SAME instant as signup does not count
+        (3, t("2024-01-01T00:00:00"), "signup", 7),
+        (3, t("2024-01-01T00:00:00"), "click", 8),
+        # user 4: never signs up
+        (4, t("2024-01-01T00:00:00"), "view", 9),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    out = {
+        r.user_id: r
+        for r in funnel(
+            df, ["signup", "click", "purchase"], tie_col="event_id"
+        ).collect()
+    }
+    assert out[1].reached == 3 and out[1].t_step3 == t("2024-01-03T00:00:00")
+    assert out[2].reached == 2  # strict ordering: early purchase ignored
+    assert out[2].t_step2 == t("2024-01-03T00:00:00")
+    assert out[3].reached == 1 and out[3].t_step2 is None
+    assert out[4].reached == 0 and out[4].t_step1 is None
+    # first-qualifying semantics: a second, later click never moves t_step2
+    df2 = df.union(
+        spark.createDataFrame(
+            [(1, t("2024-01-05T00:00:00"), "click", 10)],
+            "user_id long, ts timestamp, event_type string, event_id long",
+        )
+    )
+    out2 = {r.user_id: r for r in funnel(df2, ["signup", "click", "purchase"], tie_col="event_id").collect()}
+    assert out2[1].t_step2 == t("2024-01-02T00:00:00")
+
+
+def test_cohort_retention_triangle(spark):
+    from datetime import datetime
+
+    from py_etl_spark.operators.funnel import cohort_retention
+
+    t = lambda s: datetime.fromisoformat(s)
+    rows = [
+        (1, t("2024-01-01T10:00:00")),  # Mon wk0
+        (1, t("2024-01-09T10:00:00")),  # wk1
+        (1, t("2024-01-16T10:00:00")),  # wk2
+        (2, t("2024-01-02T10:00:00")),  # wk0 cohort
+        (2, t("2024-01-17T10:00:00")),  # wk2
+        (3, t("2024-01-10T10:00:00")),  # wk1 cohort only
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    tri = {
+        (r.cohort_start, r.period_offset): r.n_users
+        for r in cohort_retention(df).collect()
+    }
+    wk0, wk1 = t("2024-01-01T00:00:00"), t("2024-01-08T00:00:00")
+    assert tri[(wk0, 0)] == 2
+    assert tri[(wk0, 1)] == 1
+    assert tri[(wk0, 2)] == 2
+    assert tri[(wk1, 0)] == 1
+    assert (wk1, 1) not in tri

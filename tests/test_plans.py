@@ -407,3 +407,11 @@ def test_quality_score_hashed_linear_zero_shuffle(spark):
     assert shuffle_count(df) == 0  # literal weights + Column HOFs only
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_funnel_single_shuffle(spark):
+    df = Q.REGISTRY["funnel_signup_click_purchase"].fn(spark, SF_MED)
+    # sorted-array fold: ONE groupBy shuffle regardless of step count
+    assert shuffle_count(df) == 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
