@@ -3938,6 +3938,47 @@ def cohort_retention_weekly(spark, sf_dir):
     )
 
 
+def _zorder_oracle() -> str:
+    terms = " + ".join(
+        f"(((ck >> {i}) & 1) << {2 * i}) + (((day >> {i}) & 1) << {2 * i + 1})"
+        for i in range(16)
+    )
+    return f"""
+    WITH b AS (
+      SELECT o_orderkey,
+             o_custkey % 65536 AS ck,
+             CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) % 65536 AS day
+      FROM orders
+    )
+    SELECT o_orderkey, ck, day, {terms} AS zkey FROM b
+    """
+
+
+@query(
+    "zorder_key_orders",
+    _zorder_oracle(),
+    note="Z-order (Morton) clustering key (operators/layout.zorder_key): "
+         "bit-interleave of (custkey, order day) — the OPTIMIZE-ZORDER "
+         "layout primitive that gives min-max pruning on BOTH columns; "
+         "pure shift/mask codegen, zero shuffle for the key itself",
+)
+def zorder_key_orders(spark, sf_dir):
+    from py_etl_spark.operators.layout import zorder_key
+
+    o = _t(spark, sf_dir, "orders")
+    ck = F.pmod(F.col("o_custkey"), F.lit(65536))
+    day = F.pmod(
+        F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("long"),
+        F.lit(65536),
+    )
+    return o.select(
+        "o_orderkey",
+        ck.alias("ck"),
+        day.alias("day"),
+        zorder_key([ck, day], 16).alias("zkey"),
+    )
+
+
 @query(
     "orc_roundtrip_documents",
     """
@@ -4008,10 +4049,10 @@ def st_hopping_window_agg(spark, sf_dir):
 # list at 50. Emit the registry in an explicit priority order so the cap
 # lands on queries whose correctness is independently evidenced elsewhere:
 #   _FRONT (r04 late rotation, 50): every query with NO driver row in any
-#           round yet (the 16 added during r04), then bpe_token_count_fixed
-#           (replay oracle hardened r04), then 33 of the 43 whose latest
+#           round yet (the 19 added during r04), then bpe_token_count_fixed
+#           (replay oracle hardened r04), then 30 of the 43 whose latest
 #           driver-green row is r02;
-#   middle: the 10 r02-green queries that didn't fit the window (they keep
+#   middle: the 13 r02-green queries that didn't fit the window (they keep
 #           their r02 rows; first in line for r05) plus anything added
 #           after this rotation;
 #   _TAIL (50): the queries with a fresh green r03 driver row —
@@ -4037,6 +4078,9 @@ _FRONT = [
     "semantic_dedup_fixed",
     "bpe_train_merges",
     "orc_roundtrip_documents",
+    "funnel_signup_click_purchase",
+    "cohort_retention_weekly",
+    "zorder_key_orders",
     # replay oracle hardened this round — keep under rotation:
     "bpe_token_count_fixed",
     # 33 of the 43 queries whose latest driver-green row is r02; the 10
@@ -4071,9 +4115,6 @@ _FRONT = [
     "pii_scrub_stats",
     "range_join_followup_events",
     "q8_market_share",
-    "q16_supplier_part_counts",
-    "q20_heavy_part_suppliers",
-    "skew_salted_join_orders",
 ]
 _TAIL = [
     "jsonl_roundtrip_documents",

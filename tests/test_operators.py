@@ -833,3 +833,42 @@ def test_cohort_retention_triangle(spark):
     assert tri[(wk0, 2)] == 2
     assert tri[(wk1, 0)] == 1
     assert (wk1, 1) not in tri
+
+
+def test_zorder_key_matches_python_reference_and_locality(spark):
+    from py_etl_spark.operators.layout import zorder_key, zorder_layout
+
+    def ref_z(a, b, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    rows = [(a, b) for a in range(0, 64, 7) for b in range(0, 64, 5)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    out = df.select(
+        "a", "b", zorder_key([F.col("a"), F.col("b")], 16).alias("z")
+    ).collect()
+    for r in out:
+        assert r.z == ref_z(r.a, r.b), (r.a, r.b)
+
+    # locality: after zorder_layout, each partition's per-column spread is
+    # far below the global range for BOTH columns (a single-column sort
+    # can only achieve this for one of them)
+    big = spark.createDataFrame(
+        [(x % 256, (x * 37) % 256) for x in range(4096)], "a long, b long"
+    )
+    parts = (
+        zorder_layout(big, ["a", "b"], bits=8, num_partitions=16)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            (F.max("a") - F.min("a")).alias("sa"),
+            (F.max("b") - F.min("b")).alias("sb"),
+        )
+        .collect()
+    )
+    med_sa = sorted(p.sa for p in parts)[len(parts) // 2]
+    med_sb = sorted(p.sb for p in parts)[len(parts) // 2]
+    assert med_sa <= 128 and med_sb <= 128, (med_sa, med_sb)
