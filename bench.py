@@ -76,6 +76,17 @@ HEADLINE = [
     "quality_repetition_metrics",
     "embedding_quantize_int8",
     "key_skew_profile_lineitem",
+    # round 4, second batch:
+    "dedup_segments_corpus",
+    "scd2_history_from_events",
+    "funnel_signup_click_purchase",
+    "quality_score_hashed_linear",
+    "kmv_distinct_users",
+    # semantic_dedup_fixed is deliberately NOT a headline: with only 4
+    # pinned centroids the within-cell pair join has 4-way parallelism by
+    # construction (a fixture artifact — production uses k≈√n trained
+    # cells), so its wall time measures the fixture, not the plan
+    "zorder_key_orders",
 ]
 
 # Scale-sensitive subset for the 10x block: joins, window aggs, Python
@@ -92,6 +103,12 @@ SF1_SUBSET = [
     "quality_filter_gopher",
     "ann_cosine_topk",
     "corpus_pack_examples",
+    # round 4, second batch (key-offset-clean: no content dedup):
+    "scd2_history_from_events",
+    "funnel_signup_click_purchase",
+    "quality_score_hashed_linear",
+    "kmv_distinct_users",
+    "zorder_key_orders",
 ]
 
 # key columns to offset per replica copy so FK relationships replicate
@@ -197,7 +214,7 @@ def main() -> None:
         "reps": reps,
         "sf": sf,
         # the headline list GROWS each round (14 in r01, 27 in r02, 29 in
-        # r03, 35 now) — compare totals across rounds per-query or via
+        # r03, 42 now) — compare totals across rounds per-query or via
         # this normalized mean, not raw totals
         "n_queries": len(mins),
         "mean_sec_per_query": round(total / max(len(mins), 1), 3),

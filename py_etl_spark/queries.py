@@ -2323,15 +2323,19 @@ def ivf_assign_fixed(spark, sf_dir):
         FROM scored
       ) WHERE rn = 1
     ),
+    un AS (
+      -- unit vectors once per row, mirroring the Spark plan's
+      -- normalize-before-join (identical arithmetic: x / sqrt(v·v))
+      SELECT a.vec_id, a.cell,
+             list_transform(e.v,
+               x -> x / sqrt(list_dot_product(e.v, e.v))) AS uv
+      FROM assigned a JOIN e ON e.vec_id = a.vec_id
+    ),
     dropped AS (
       SELECT DISTINCT pb.vec_id
-      FROM assigned pa
-      JOIN e ea ON ea.vec_id = pa.vec_id
-      JOIN assigned pb ON pb.cell = pa.cell AND pa.vec_id < pb.vec_id
-      JOIN e eb ON eb.vec_id = pb.vec_id
-      WHERE list_dot_product(ea.v, eb.v) /
-              (sqrt(list_dot_product(ea.v, ea.v)) *
-               sqrt(list_dot_product(eb.v, eb.v))) >= 0.45
+      FROM un pa
+      JOIN un pb ON pb.cell = pa.cell AND pa.vec_id < pb.vec_id
+      WHERE list_dot_product(pa.uv, pb.uv) >= 0.45
     )
     SELECT a.vec_id, CAST(a.cell AS BIGINT) AS ivf_cell,
            d.vec_id IS NULL AS is_kept

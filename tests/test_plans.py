@@ -415,3 +415,24 @@ def test_funnel_single_shuffle(spark):
     assert shuffle_count(df) == 1
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_kmv_two_shuffles_no_exchange_to_one(spark):
+    df = Q.REGISTRY["kmv_distinct_users"].fn(spark, SF_MED)
+    # distinct on (group, hash) + per-group top-k window/agg; never a
+    # global sort or exchange-to-one
+    assert shuffle_count(df) == 2
+    assert single_partition_exchange_count(df) == 0
+
+
+def test_cohort_retention_bounded_shuffles(spark):
+    df = Q.REGISTRY["cohort_retention_weekly"].fn(spark, SF_MED)
+    # first-activity agg + activity distinct (both user-keyed) + the tiny
+    # (cohort, offset) rollup
+    assert shuffle_count(df) == 3
+    assert single_partition_exchange_count(df) == 0
+
+
+def test_zorder_key_zero_shuffle(spark):
+    df = Q.REGISTRY["zorder_key_orders"].fn(spark, SF_MED)
+    assert shuffle_count(df) == 0  # pure shift/mask arithmetic over the scan
