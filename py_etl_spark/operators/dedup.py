@@ -503,3 +503,40 @@ def segment_dedup(
             ).alias("text_dedup"),
         )
     )
+
+
+def incremental_exact_dedup(
+    batch: DataFrame,
+    ledger: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Daily-crawl dedup: admit only batch docs whose fingerprint is new
+    BOTH within the batch (min-id wins) and against the corpus ledger.
+
+    ``ledger`` is the running set of admitted fingerprints (one column,
+    ``fingerprint``). Returns ``(fresh, updated_ledger)`` where ``fresh``
+    is the admitted (fingerprint, id) pairs and ``updated_ledger`` the
+    ledger to persist for the next batch (e.g. via VersionedState).
+
+    Scale: both sides key on the 16-byte fingerprint — the batch pays one
+    groupBy shuffle (map-side partial min) and the anti-join co-partitions
+    with the ledger's layout; the full corpus TEXT is never re-read, only
+    the fingerprint ledger, which is what makes day-N dedup O(day) instead
+    of O(corpus).
+    """
+    batch_best = (
+        batch.select(
+            fingerprint_md5(F.col(text_col)).alias("fingerprint"),
+            F.col(id_col),
+        )
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).cast("long").alias(id_col))
+    )
+    fresh = batch_best.join(
+        ledger.select("fingerprint"), "fingerprint", "left_anti"
+    )
+    updated = ledger.select("fingerprint").union(
+        fresh.select("fingerprint")
+    ).distinct()
+    return fresh, updated

@@ -1,0 +1,88 @@
+"""Table maintenance: small-file compaction.
+
+Every incremental pipeline (micro-batch CDC, daily crawl appends,
+streaming sinks) accretes files far smaller than a scan-efficient split:
+at 100 TB, a million 5 MB files cost ~8× the scan setup of 128 MB files
+and crush the driver's file-listing phase. Compaction rewrites a
+directory into ``ceil(total_bytes / target_bytes)`` files — paid once,
+repaid on every subsequent scan.
+
+Two entry points:
+
+- :func:`compact_parquet` — rewrite a plain parquet directory INTO A NEW
+  path (never in place: Spark cannot atomically overwrite a directory it
+  is reading, and a mid-rewrite crash must not destroy the only copy);
+- :func:`compact_state` — compact a :class:`~py_etl_spark.streaming.
+  state_store.VersionedState` by committing the repartitioned current
+  version as a NEW version: the manifest append makes the swap atomic,
+  readers of the old version keep their files (GC retention), and a
+  crash mid-compaction leaves only an orphan data dir for GC.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import SparkSession
+
+
+def _dir_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(n_data_files, total_bytes) under ``path`` via the Hadoop FS API
+    (driver-side metadata listing only — no data read)."""
+    jvm = spark._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs = Path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    n, total = 0, 0
+    it = fs.listFiles(Path(path), True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith(("_", ".")):
+            continue
+        n += 1
+        total += st.getLen()
+    return n, total
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_bytes: int = 128 << 20,
+) -> dict:
+    """Rewrite ``src_path`` into ``dst_path`` with scan-sized files.
+
+    Uses ``repartition(n)`` (round-robin) rather than ``coalesce``:
+    coalesce merges without a shuffle but inherits upstream skew — one
+    oversized input partition stays oversized; the single rebalance
+    shuffle is the price of uniformly-sized output. Returns
+    ``{files_before, bytes, files_after_target}``.
+    """
+    if src_path.rstrip("/") == dst_path.rstrip("/"):
+        raise ValueError("compact_parquet writes to a NEW path; "
+                         "swap directories after the rewrite commits")
+    files, total = _dir_stats(spark, src_path)
+    n = max(1, math.ceil(total / target_bytes))
+    spark.read.parquet(src_path).repartition(n).write.mode(
+        "errorifexists"
+    ).parquet(dst_path)
+    return {"files_before": files, "bytes": total, "files_after_target": n}
+
+
+def compact_state(store, target_bytes: int = 128 << 20, meta: dict | None = None) -> int:
+    """Compact a VersionedState's current version into a new version.
+
+    The read and the write address different directories by construction
+    (each version has its own), so this is safe against the self-overwrite
+    hazard, atomic via the manifest append, and concurrent readers are
+    protected by GC retention. Returns the new version number.
+    """
+    df = store.read()
+    root_ver = store.current_version()
+    data_path = store._data_path(root_ver)
+    _files, total = _dir_stats(store.spark, data_path)
+    n = max(1, math.ceil(total / target_bytes))
+    return store.commit(
+        df.repartition(n),
+        meta={**(meta or {}), "compacted_from": root_ver},
+    )

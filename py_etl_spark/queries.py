@@ -1227,6 +1227,43 @@ def dedup_segments_corpus(spark, sf_dir):
 
 
 @query(
+    "dedup_incremental_batch",
+    """
+    WITH ledger AS (
+      SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               AS fingerprint
+      FROM documents WHERE doc_id < 250
+    ), batch_best AS (
+      SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               AS fingerprint,
+             CAST(min(doc_id) AS BIGINT) AS doc_id
+      FROM documents WHERE doc_id >= 250
+      GROUP BY 1
+    )
+    SELECT b.fingerprint, b.doc_id
+    FROM batch_best b
+    LEFT JOIN ledger l ON l.fingerprint = b.fingerprint
+    WHERE l.fingerprint IS NULL
+    """,
+    note="Incremental exact dedup (operators/dedup.incremental_exact_dedup):"
+    " day-N batch admitted against the corpus fingerprint ledger — "
+    "O(batch) not O(corpus); batch groupBy + ledger anti-join, both "
+    "fingerprint-keyed",
+)
+def dedup_incremental_batch(spark, sf_dir):
+    from py_etl_spark.operators.textstats import fingerprint_md5
+
+    docs = _t(spark, sf_dir, "documents")
+    ledger = docs.filter(F.col("doc_id") < 250).select(
+        fingerprint_md5(F.col("text")).alias("fingerprint")
+    ).distinct()
+    fresh, _updated = dedup.incremental_exact_dedup(
+        docs.filter(F.col("doc_id") >= 250), ledger
+    )
+    return fresh
+
+
+@query(
     "text_stats",
     """
     SELECT doc_id,
@@ -4053,10 +4090,10 @@ def st_hopping_window_agg(spark, sf_dir):
 # list at 50. Emit the registry in an explicit priority order so the cap
 # lands on queries whose correctness is independently evidenced elsewhere:
 #   _FRONT (r04 late rotation, 50): every query with NO driver row in any
-#           round yet (the 19 added during r04), then bpe_token_count_fixed
-#           (replay oracle hardened r04), then 30 of the 43 whose latest
+#           round yet (the 20 added during r04), then bpe_token_count_fixed
+#           (replay oracle hardened r04), then 29 of the 43 whose latest
 #           driver-green row is r02;
-#   middle: the 13 r02-green queries that didn't fit the window (they keep
+#   middle: the 14 r02-green queries that didn't fit the window (they keep
 #           their r02 rows; first in line for r05) plus anything added
 #           after this rotation;
 #   _TAIL (50): the queries with a fresh green r03 driver row —
@@ -4085,6 +4122,7 @@ _FRONT = [
     "funnel_signup_click_purchase",
     "cohort_retention_weekly",
     "zorder_key_orders",
+    "dedup_incremental_batch",
     # replay oracle hardened this round — keep under rotation:
     "bpe_token_count_fixed",
     # 33 of the 43 queries whose latest driver-green row is r02; the 10
@@ -4118,7 +4156,6 @@ _FRONT = [
     "q21_last_shipper",
     "pii_scrub_stats",
     "range_join_followup_events",
-    "q8_market_share",
 ]
 _TAIL = [
     "jsonl_roundtrip_documents",

@@ -872,3 +872,61 @@ def test_zorder_key_matches_python_reference_and_locality(spark):
     med_sa = sorted(p.sa for p in parts)[len(parts) // 2]
     med_sb = sorted(p.sb for p in parts)[len(parts) // 2]
     assert med_sa <= 128 and med_sb <= 128, (med_sa, med_sb)
+
+
+def test_incremental_exact_dedup_batch_and_ledger(spark):
+    from py_etl_spark.operators.dedup import incremental_exact_dedup
+    from py_etl_spark.operators.textstats import fingerprint_md5
+
+    corpus_day0 = spark.createDataFrame(
+        [(1, "seen before"), (2, "also seen")], "doc_id long, text string"
+    )
+    ledger = corpus_day0.select(
+        fingerprint_md5(F.col("text")).alias("fingerprint")
+    ).distinct()
+    batch = spark.createDataFrame(
+        [
+            (10, "seen before"),   # dup vs ledger → rejected
+            (11, "brand new"),     # admitted
+            (12, "brand new"),     # within-batch dup → min id 11 wins
+            (13, "also brand new"),
+        ],
+        "doc_id long, text string",
+    )
+    fresh, updated = incremental_exact_dedup(batch, ledger)
+    assert sorted(r.doc_id for r in fresh.collect()) == [11, 13]
+    # updated ledger admits nothing from a replayed identical batch
+    fresh2, _ = incremental_exact_dedup(batch, updated)
+    assert fresh2.count() == 0
+    assert updated.count() == 4  # 2 old + 2 new fingerprints
+
+
+def test_compact_parquet_and_state(spark, tmp_path):
+    from py_etl_spark.operators.maintenance import (
+        compact_parquet,
+        compact_state,
+    )
+    from py_etl_spark.streaming.state_store import VersionedState
+
+    src = str(tmp_path / "frag")
+    df = spark.range(10000).withColumn("v", F.col("id") * 2)
+    df.repartition(40).write.parquet(src)
+    dst = str(tmp_path / "compact")
+    stats = compact_parquet(spark, src, dst, target_bytes=1 << 30)
+    assert stats["files_before"] == 40
+    back = spark.read.parquet(dst)
+    assert back.count() == 10000
+    assert back.rdd.getNumPartitions() <= 2  # 40 shards → ~1 scan split
+    assert sorted(r.id for r in back.collect()) == list(range(10000))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        compact_parquet(spark, src, src)
+
+    store = VersionedState(spark, str(tmp_path / "state"), partition_by=())
+    store.commit(df.repartition(40))
+    v2 = compact_state(store, target_bytes=1 << 30)
+    assert store.current_version() == v2
+    assert store.read().count() == 10000
+    meta = store._read_manifest(v2)["meta"]
+    assert meta["compacted_from"] == v2 - 1
