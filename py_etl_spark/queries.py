@@ -1171,6 +1171,79 @@ def quality_score_hashed_linear(spark, sf_dir):
     )
 
 
+@query(
+    "scd2_apply_incremental",
+    """
+    WITH log1 AS (
+      SELECT user_id, ts, event_type, event_id FROM events
+      WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+    ), latest AS (
+      SELECT user_id, ts, event_type, event_id FROM (
+        SELECT user_id, ts, event_type, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+      ) WHERE rn = 1
+    ), log AS (
+      SELECT * FROM log1 UNION ALL SELECT * FROM latest
+    ), ordered AS (
+      SELECT user_id, ts, event_type, event_id,
+             lag(1) OVER w AS prev_marker,
+             lag(event_type) OVER w AS prev_type
+      FROM log
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), survivors AS (
+      SELECT * FROM ordered
+      WHERE prev_marker IS NULL OR event_type IS DISTINCT FROM prev_type
+    )
+    SELECT user_id,
+           event_type,
+           CAST(row_number() OVER w2 AS BIGINT)            AS version,
+           CAST(epoch_ms(ts) AS BIGINT)                    AS valid_from_ms,
+           CAST(epoch_ms(lead(ts) OVER w2) AS BIGINT)      AS valid_to_ms,
+           lead(ts) OVER w2 IS NULL                        AS is_current
+    FROM survivors
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    note="SCD2 incremental apply (operators/merge.scd2_apply): history "
+    "built to a cutoff, then ONE batch (last-writer-wins per key) applied "
+    "against the is_current slice only; oracle is the full rebuild over "
+    "the same composed log — the equivalence the apply must preserve",
+)
+def scd2_apply_incremental(spark, sf_dir):
+    from py_etl_spark.operators.merge import scd2_apply, scd2_history
+
+    ev = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    base = scd2_history(
+        ev.filter(F.col("ts") < cutoff),
+        keys=["user_id"],
+        ts_col="ts",
+        tracked=["event_type"],
+        tie_breakers=["event_id"],
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    batch = (
+        ev.filter(F.col("ts") >= cutoff)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "ts", "event_type")
+    )
+    hist = scd2_apply(
+        base, batch, keys=["user_id"], ts_col="ts", tracked=["event_type"]
+    )
+    return hist.select(
+        "user_id",
+        "event_type",
+        "version",
+        F.unix_millis("valid_from").alias("valid_from_ms"),
+        F.unix_millis("valid_to").alias("valid_to_ms"),
+        "is_current",
+    )
+
+
 # =========================================================================
 # Training-data pipeline: dedup / text analysis / similarity
 # =========================================================================
@@ -4090,10 +4163,10 @@ def st_hopping_window_agg(spark, sf_dir):
 # list at 50. Emit the registry in an explicit priority order so the cap
 # lands on queries whose correctness is independently evidenced elsewhere:
 #   _FRONT (r04 late rotation, 50): every query with NO driver row in any
-#           round yet (the 20 added during r04), then bpe_token_count_fixed
-#           (replay oracle hardened r04), then 29 of the 43 whose latest
+#           round yet (the 21 added during r04), then bpe_token_count_fixed
+#           (replay oracle hardened r04), then 28 of the 43 whose latest
 #           driver-green row is r02;
-#   middle: the 14 r02-green queries that didn't fit the window (they keep
+#   middle: the 15 r02-green queries that didn't fit the window (they keep
 #           their r02 rows; first in line for r05) plus anything added
 #           after this rotation;
 #   _TAIL (50): the queries with a fresh green r03 driver row —
@@ -4123,6 +4196,7 @@ _FRONT = [
     "cohort_retention_weekly",
     "zorder_key_orders",
     "dedup_incremental_batch",
+    "scd2_apply_incremental",
     # replay oracle hardened this round — keep under rotation:
     "bpe_token_count_fixed",
     # 33 of the 43 queries whose latest driver-green row is r02; the 10
@@ -4155,7 +4229,6 @@ _FRONT = [
     "ann_ivf_topk_fixed",
     "q21_last_shipper",
     "pii_scrub_stats",
-    "range_join_followup_events",
 ]
 _TAIL = [
     "jsonl_roundtrip_documents",
