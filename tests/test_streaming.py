@@ -512,3 +512,62 @@ def test_streaming_ingest_front_door_routes_channels(spark):
     assert (9, "low_quality") in reasons
     assert any(d is None and why == "parse_error" for d, why in reasons)
     assert len(reasons) == 3
+
+
+def test_streaming_funnel_matches_batch_query(spark):
+    """Stream-vs-batch parity for the strict ordered funnel: the stateful
+    operator must emit exactly the users the oracle-checked batch fold
+    reports as fully converted, with identical step times, carrying state
+    across micro-batches (the funnel may START in batch 1 and COMPLETE in
+    batch 2)."""
+    import time as _time
+
+    from py_etl_spark.schemas import load_table
+    from py_etl_spark.streaming.funnel_stream import funnel_stream
+    from tests.conftest import SF_SMALL
+
+    cols = ["user_id", "ts", "event_type", "event_id"]
+    events = load_table(spark, SF_SMALL, "events").select(*cols)
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    tmp = tempfile.mkdtemp()
+    src = os.path.join(tmp, "src")
+    # two time-ordered micro-batches (per-user event-time order preserved)
+    events.filter(F.col("ts") < cutoff).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(src, "b1"))
+    _time.sleep(1.1)  # file source orders triggers by mtime
+    events.filter(F.col("ts") >= cutoff).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(src, "b2"))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = (
+        funnel_stream(stream, ["signup", "click", "purchase"])
+        .writeStream.format("memory")
+        .queryName("funnel_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert q.exception() is None
+
+    got = {
+        (r.user_id): (r.t_step1_ms, r.t_step2_ms, r.t_step3_ms)
+        for r in spark.table("funnel_out").collect()
+    }
+    import py_etl_spark.queries as Q
+
+    want = {
+        r.user_id: (r.t_step1_ms, r.t_step2_ms, r.t_step3_ms)
+        for r in Q.REGISTRY["funnel_signup_click_purchase"]
+        .fn(spark, SF_SMALL)
+        .collect()
+        if r.reached == 3
+    }
+    assert got == want
+    assert len(got) > 0  # the parity must be over a non-trivial set
