@@ -1155,6 +1155,60 @@ def _quality_linear_oracle() -> str:
     """
 
 
+def _curation_pipeline_oracle() -> str:
+    wlist = ", ".join(repr(w) for w in _QUALITY_WEIGHTS)
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, source, text,
+             list_transform(
+               list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           tok -> tok <> ''),
+               tok -> (CAST([{wlist}] AS DOUBLE[]))[
+                 CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
+                   % {_QUALITY_DIM} + 1]
+             ) AS ws
+      FROM documents
+    ), gated AS (
+      SELECT doc_id, source, text,
+             CAST(len(ws) AS BIGINT) AS n_tokens,
+             round({_QUALITY_BIAS!r} +
+                   list_reduce(list_prepend(0.0, ws), (a, b) -> a + b)
+                     / greatest(len(ws), 1), 6) AS logit
+      FROM scored
+      WHERE ({_QUALITY_BIAS!r} +
+             list_reduce(list_prepend(0.0, ws), (a, b) -> a + b)
+               / greatest(len(ws), 1)) >= 0
+    ), keepers AS (
+      SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+      FROM gated
+      GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+    )
+    SELECT g.doc_id, g.source, g.n_tokens, g.logit
+    FROM gated g JOIN keepers k ON k.doc_id = g.doc_id
+    """
+
+
+@query(
+    "corpus_curation_pipeline",
+    _curation_pipeline_oracle(),
+    note="End-to-end curation composition: model-based quality gate → "
+    "exact dedup among survivors (min-id keeper) — operators compose "
+    "without materialization barriers; the gate is map-side, dedup adds "
+    "its one fingerprint shuffle + keeper semi-join",
+)
+def corpus_curation_pipeline(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    scored = textstats.quality_score_hashed_linear(
+        docs, weights=_QUALITY_WEIGHTS, bias=_QUALITY_BIAS
+    )
+    gated = (
+        docs.join(scored.filter(F.col("is_quality")), "doc_id")
+        .select("doc_id", "source", "text", "n_tokens", "logit")
+    )
+    kept = dedup.deduplicate_exact(gated)
+    return kept.select("doc_id", "source", "n_tokens", "logit")
+
+
 @query(
     "quality_score_hashed_linear",
     _quality_linear_oracle(),
@@ -4163,10 +4217,10 @@ def st_hopping_window_agg(spark, sf_dir):
 # list at 50. Emit the registry in an explicit priority order so the cap
 # lands on queries whose correctness is independently evidenced elsewhere:
 #   _FRONT (r04 late rotation, 50): every query with NO driver row in any
-#           round yet (the 21 added during r04), then bpe_token_count_fixed
-#           (replay oracle hardened r04), then 28 of the 43 whose latest
+#           round yet (the 22 added during r04), then bpe_token_count_fixed
+#           (replay oracle hardened r04), then 27 of the 43 whose latest
 #           driver-green row is r02;
-#   middle: the 15 r02-green queries that didn't fit the window (they keep
+#   middle: the 16 r02-green queries that didn't fit the window (they keep
 #           their r02 rows; first in line for r05) plus anything added
 #           after this rotation;
 #   _TAIL (50): the queries with a fresh green r03 driver row —
@@ -4197,6 +4251,7 @@ _FRONT = [
     "zorder_key_orders",
     "dedup_incremental_batch",
     "scd2_apply_incremental",
+    "corpus_curation_pipeline",
     # replay oracle hardened this round — keep under rotation:
     "bpe_token_count_fixed",
     # 33 of the 43 queries whose latest driver-green row is r02; the 10
@@ -4228,7 +4283,6 @@ _FRONT = [
     "dedup_cc_clusters",
     "ann_ivf_topk_fixed",
     "q21_last_shipper",
-    "pii_scrub_stats",
 ]
 _TAIL = [
     "jsonl_roundtrip_documents",
