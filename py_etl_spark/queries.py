@@ -4147,6 +4147,80 @@ def zorder_key_orders(spark, sf_dir):
     )
 
 
+_RESAMPLE_ORACLE = """
+    WITH bounds AS (
+      SELECT date_trunc('day', min(ts)) AS lo,
+             date_trunc('day', max(ts)) AS hi
+      FROM events
+    ), grid AS (
+      SELECT t.event_type, gs.day
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+        FROM bounds
+      ) gs
+    ), counts AS (
+      SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), dense AS (
+      SELECT g.event_type, g.day, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+      FROM grid g
+      LEFT JOIN counts c ON c.event_type = g.event_type AND c.day = g.day
+    )
+"""
+
+
+@query(
+    "events_daily_resample",
+    _RESAMPLE_ORACLE
+    + """
+    SELECT event_type, CAST(epoch_ms(day) AS BIGINT) AS day_ms, n
+    FROM dense
+    """,
+    note="Calendar resample with gap fill (operators/timeseries."
+    "resample_daily): dense per-(type, day) counts — the grid is "
+    "groups × sequence() metadata joined onto one count agg, zero days "
+    "materialized from nothing",
+)
+def events_daily_resample(spark, sf_dir):
+    from py_etl_spark.operators.timeseries import resample_daily
+
+    out = resample_daily(_t(spark, sf_dir, "events"))
+    return out.select(
+        "event_type", F.unix_millis("day").alias("day_ms"), "n"
+    )
+
+
+@query(
+    "events_rolling_7d",
+    _RESAMPLE_ORACLE
+    + """
+    SELECT event_type, CAST(epoch_ms(day) AS BIGINT) AS day_ms, n,
+           round(avg(n) OVER (PARTITION BY event_type ORDER BY day
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+             AS rolling_mean
+    FROM dense
+    """,
+    note="Trailing 7-day moving average over the gap-filled series "
+    "(operators/timeseries.rolling_mean): one window shuffle on the "
+    "group key; zero-filled days participate, as a calendar mean must",
+)
+def events_rolling_7d(spark, sf_dir):
+    from py_etl_spark.operators.timeseries import (
+        resample_daily,
+        rolling_mean,
+    )
+
+    dense = resample_daily(_t(spark, sf_dir, "events"))
+    out = rolling_mean(dense)
+    return out.select(
+        "event_type",
+        F.unix_millis("day").alias("day_ms"),
+        "n",
+        "rolling_mean",
+    )
+
+
 @query(
     "orc_roundtrip_documents",
     """
@@ -4217,10 +4291,10 @@ def st_hopping_window_agg(spark, sf_dir):
 # list at 50. Emit the registry in an explicit priority order so the cap
 # lands on queries whose correctness is independently evidenced elsewhere:
 #   _FRONT (r04 late rotation, 50): every query with NO driver row in any
-#           round yet (the 22 added during r04), then bpe_token_count_fixed
-#           (replay oracle hardened r04), then 27 of the 43 whose latest
+#           round yet (the 24 added during r04), then bpe_token_count_fixed
+#           (replay oracle hardened r04), then 25 of the 43 whose latest
 #           driver-green row is r02;
-#   middle: the 16 r02-green queries that didn't fit the window (they keep
+#   middle: the 18 r02-green queries that didn't fit the window (they keep
 #           their r02 rows; first in line for r05) plus anything added
 #           after this rotation;
 #   _TAIL (50): the queries with a fresh green r03 driver row —
@@ -4252,6 +4326,8 @@ _FRONT = [
     "dedup_incremental_batch",
     "scd2_apply_incremental",
     "corpus_curation_pipeline",
+    "events_daily_resample",
+    "events_rolling_7d",
     # replay oracle hardened this round — keep under rotation:
     "bpe_token_count_fixed",
     # 33 of the 43 queries whose latest driver-green row is r02; the 10
@@ -4281,8 +4357,6 @@ _FRONT = [
     "q22_idle_customer_balance",
     "quality_filter_gopher",
     "dedup_cc_clusters",
-    "ann_ivf_topk_fixed",
-    "q21_last_shipper",
 ]
 _TAIL = [
     "jsonl_roundtrip_documents",

@@ -930,3 +930,40 @@ def test_compact_parquet_and_state(spark, tmp_path):
     assert store.read().count() == 10000
     meta = store._read_manifest(v2)["meta"]
     assert meta["compacted_from"] == v2 - 1
+
+
+def test_resample_daily_gap_fill_and_rolling_mean(spark):
+    from datetime import datetime
+
+    from py_etl_spark.operators.timeseries import resample_daily, rolling_mean
+
+    t = lambda s: datetime.fromisoformat(s)
+    rows = [
+        ("a", t("2024-03-01T05:00:00")),
+        ("a", t("2024-03-01T07:00:00")),
+        ("a", t("2024-03-04T12:00:00")),  # 2-day gap (Mar 2, 3 = 0)
+        ("b", t("2024-03-02T00:30:00")),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    dense = resample_daily(df)
+    got = {
+        (r.event_type, r.day.date().isoformat()): r.n for r in dense.collect()
+    }
+    # full grid: 2 types × 4 days (Mar 1 .. Mar 4)
+    assert len(got) == 8
+    assert got[("a", "2024-03-01")] == 2
+    assert got[("a", "2024-03-02")] == 0
+    assert got[("a", "2024-03-03")] == 0
+    assert got[("a", "2024-03-04")] == 1
+    assert got[("b", "2024-03-02")] == 1
+    assert got[("b", "2024-03-04")] == 0
+
+    roll = rolling_mean(dense, window_rows=2)
+    r_a = {
+        r.day.date().isoformat(): r.rolling_mean
+        for r in roll.filter(F.col("event_type") == "a").collect()
+    }
+    assert r_a["2024-03-01"] == 2.0   # warm-up: single row
+    assert r_a["2024-03-02"] == 1.0   # (2+0)/2
+    assert r_a["2024-03-03"] == 0.0   # (0+0)/2
+    assert r_a["2024-03-04"] == 0.5   # (0+1)/2
