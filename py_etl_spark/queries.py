@@ -2282,6 +2282,66 @@ def embedding_near_dup(spark, sf_dir):
 
 
 @query(
+    "fuzzy_join_part_names",
+    """
+    WITH pl AS (
+      SELECT p_partkey AS id_a, ' ' || lower(trim(p_name)) || ' ' AS s
+      FROM part WHERE p_partkey < 300
+    ), pr AS (
+      SELECT p_partkey AS id_b, ' ' || lower(trim(p_name)) || ' ' AS s
+      FROM part
+    ), gl AS (
+      SELECT id_a, unnest(list_distinct(list_transform(
+               range(1, greatest(length(s) - 2, 1) + 1),
+               i -> substr(s, CAST(i AS INT), 3)))) AS gram
+      FROM pl
+    ), gr AS (
+      SELECT id_b, unnest(list_distinct(list_transform(
+               range(1, greatest(length(s) - 2, 1) + 1),
+               i -> substr(s, CAST(i AS INT), 3)))) AS gram
+      FROM pr
+    ), sl AS (
+      SELECT id_a, len(list_distinct(list_transform(
+               range(1, greatest(length(s) - 2, 1) + 1),
+               i -> substr(s, CAST(i AS INT), 3)))) AS sz_a
+      FROM pl
+    ), sr AS (
+      SELECT id_b, len(list_distinct(list_transform(
+               range(1, greatest(length(s) - 2, 1) + 1),
+               i -> substr(s, CAST(i AS INT), 3)))) AS sz_b
+      FROM pr
+    ), inter AS (
+      SELECT id_a, id_b, count(*) AS i
+      FROM gl JOIN gr USING (gram)
+      WHERE id_a < id_b
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(i / (sz_a + sz_b - i), 6) AS jaccard
+    FROM inter JOIN sl USING (id_a) JOIN sr USING (id_b)
+    WHERE i / (sz_a + sz_b - i) >= 0.5
+    """,
+    note="Fuzzy entity-resolution join (operators/fuzzy.fuzzy_join): "
+    "char-3-gram Jaccard via the gram inverted index — candidates only "
+    "where grams collide, never all-pairs; stop-gram cap is the scale "
+    "lever (exact path here so the oracle is exact too)",
+)
+def fuzzy_join_part_names(spark, sf_dir):
+    from py_etl_spark.operators.fuzzy import fuzzy_join
+
+    part = _t(spark, sf_dir, "part")
+    out = fuzzy_join(
+        part.filter(F.col("p_partkey") < 300),
+        part,
+        left_on="p_name",
+        right_on="p_name",
+        left_id="p_partkey",
+        right_id="p_partkey",
+        threshold=0.5,
+    )
+    return out.filter(F.col("id_a") < F.col("id_b"))
+
+
+@query(
     "anonymize_email_domains",
     """
     SELECT CAST(event_id AS BIGINT) AS event_id,
@@ -4291,10 +4351,10 @@ def st_hopping_window_agg(spark, sf_dir):
 # list at 50. Emit the registry in an explicit priority order so the cap
 # lands on queries whose correctness is independently evidenced elsewhere:
 #   _FRONT (r04 late rotation, 50): every query with NO driver row in any
-#           round yet (the 24 added during r04), then bpe_token_count_fixed
-#           (replay oracle hardened r04), then 25 of the 43 whose latest
+#           round yet (the 25 added during r04), then bpe_token_count_fixed
+#           (replay oracle hardened r04), then 24 of the 43 whose latest
 #           driver-green row is r02;
-#   middle: the 18 r02-green queries that didn't fit the window (they keep
+#   middle: the 19 r02-green queries that didn't fit the window (they keep
 #           their r02 rows; first in line for r05) plus anything added
 #           after this rotation;
 #   _TAIL (50): the queries with a fresh green r03 driver row —
@@ -4328,6 +4388,7 @@ _FRONT = [
     "corpus_curation_pipeline",
     "events_daily_resample",
     "events_rolling_7d",
+    "fuzzy_join_part_names",
     # replay oracle hardened this round — keep under rotation:
     "bpe_token_count_fixed",
     # 33 of the 43 queries whose latest driver-green row is r02; the 10
@@ -4356,7 +4417,6 @@ _FRONT = [
     "q17_small_quantity_revenue",
     "q22_idle_customer_balance",
     "quality_filter_gopher",
-    "dedup_cc_clusters",
 ]
 _TAIL = [
     "jsonl_roundtrip_documents",

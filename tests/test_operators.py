@@ -967,3 +967,35 @@ def test_resample_daily_gap_fill_and_rolling_mean(spark):
     assert r_a["2024-03-02"] == 1.0   # (2+0)/2
     assert r_a["2024-03-03"] == 0.0   # (0+0)/2
     assert r_a["2024-03-04"] == 0.5   # (0+1)/2
+
+
+def test_fuzzy_join_known_jaccard_and_stop_gram_cap(spark):
+    from py_etl_spark.operators.fuzzy import char_ngrams, fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "red widget"), (2, "blue bolt")], "id long, name string"
+    )
+    right = spark.createDataFrame(
+        [(10, "red widget"), (11, "red widget!"), (12, "green gear")],
+        "id long, name string",
+    )
+    out = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in fuzzy_join(
+            left, right, "name", "name", "id", "id", threshold=0.3
+        ).collect()
+    }
+    assert out[(1, 10)] == 1.0          # identical strings
+    assert (1, 11) in out and out[(1, 11)] < 1.0  # near-match survives
+    assert (2, 12) not in out           # dissimilar pair pruned
+    # boundary padding separates "red" from a word merely containing it
+    grams = spark.range(1).select(
+        char_ngrams(F.lit("red"), 3).alias("g")
+    ).first().g
+    assert " re" in grams and "ed " in grams
+    # stop-gram cap: with every gram capped out, no candidates remain
+    none = fuzzy_join(
+        left, right, "name", "name", "id", "id",
+        threshold=0.1, max_gram_freq=0,
+    )
+    assert none.count() == 0

@@ -436,3 +436,10 @@ def test_cohort_retention_bounded_shuffles(spark):
 def test_zorder_key_zero_shuffle(spark):
     df = Q.REGISTRY["zorder_key_orders"].fn(spark, SF_MED)
     assert shuffle_count(df) == 0  # pure shift/mask arithmetic over the scan
+
+
+def test_fuzzy_join_no_cartesian(spark):
+    df = Q.REGISTRY["fuzzy_join_part_names"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
