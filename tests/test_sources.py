@@ -138,3 +138,39 @@ def test_orc_roundtrip_hard_values_and_pushdown(spark):
     # schema-explicit read: a column absent from the files surfaces as NULL
     wider = read_orc(spark, path, "id long, text string, lang string, extra int")
     assert all(r.extra is None for r in wider.collect())
+
+
+def test_partitioned_write_dynamic_overwrite(spark):
+    from py_etl_spark.sources.partitioned import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    path = tempfile.mkdtemp(prefix="dynpart_") + "/t"
+    day1 = spark.createDataFrame(
+        [("web", 1, "a"), ("web", 2, "b"), ("books", 3, "c")],
+        "source string, id long, v string",
+    )
+    write_partitioned(day1, path, ["source"])
+    # re-run replaces ONLY the 'web' partition; 'books' must survive
+    web_fixed = spark.createDataFrame(
+        [("web", 1, "a2")], "source string, id long, v string"
+    )
+    write_partitioned(web_fixed, path, ["source"])
+    back = {
+        (r.source, r.id): r.v for r in read_partitioned(spark, path).collect()
+    }
+    assert back == {("web", 1): "a2", ("books", 3): "c"}
+    # static mode truncates everything not in the batch
+    write_partitioned(web_fixed, path, ["source"], dynamic=False)
+    assert {
+        (r.source, r.id) for r in read_partitioned(spark, path).collect()
+    } == {("web", 1)}
+    # partition pruning: a filter on the partition column reads one dir
+    write_partitioned(day1, path, ["source"])
+    plan = (
+        read_partitioned(spark, path)
+        .filter(F.col("source") == "books")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [" in plan and "source" in plan.split("PartitionFilters")[1][:100]

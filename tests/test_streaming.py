@@ -571,3 +571,81 @@ def test_streaming_funnel_matches_batch_query(spark):
     }
     assert got == want
     assert len(got) > 0  # the parity must be over a non-trivial set
+
+
+def test_day_in_the_life_ingest_to_versioned_state(spark, tmp_path):
+    """End-to-end operational composition: JSONL micro-batches → ingest
+    front door (parse gate + quality gate + streaming dedup) →
+    foreachBatch appends into a VersionedState → compaction → time travel.
+    Every piece is tested alone elsewhere; this proves they COMPOSE."""
+    import json as _json
+
+    from py_etl_spark.operators.maintenance import compact_state
+    from py_etl_spark.streaming.ingest import (
+        ingest_documents_stream,
+        read_documents_stream,
+    )
+    from py_etl_spark.streaming.state_store import VersionedState
+
+    src = tmp_path / "in"
+    src.mkdir()
+    schema = "doc_id long, text string, ts timestamp"
+    good = '{"doc_id": %d, "text": "%s", "ts": "2024-01-01T00:0%d:00"}'
+    (src / "b1.jsonl").write_text(
+        "\n".join(
+            [
+                good % (1, "a perfectly reasonable document with words", 1),
+                good % (2, "zz", 2),  # low quality → rejected
+                "{not json at all",   # parse error → rejected
+            ]
+        )
+    )
+    stream = read_documents_stream(spark, str(src) + "/*.jsonl", schema)
+    accepted, _rejected = ingest_documents_stream(
+        stream, min_quality=0.7, dedup_delay="0 seconds"
+    )
+
+    store = VersionedState(spark, str(tmp_path / "state"), partition_by=())
+
+    def commit_batch(batch_df, _bid):
+        rows = batch_df.select("doc_id", "text")
+        if rows.count():
+            if store.exists():
+                store.commit(store.read().unionByName(rows))
+            else:
+                store.commit(rows)
+
+    q = (
+        accepted.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert q.exception() is None
+    v1 = store.current_version()
+    assert {r.doc_id for r in store.read().collect()} == {1}
+
+    # batch 2: a duplicate of doc 1's text (admitted — dedup horizon was
+    # 0 s and the stream restarted) plus a fresh doc; fresh doc lands
+    (src / "b2.jsonl").write_text(
+        good % (3, "another perfectly reasonable document entirely", 5)
+    )
+    q2 = (
+        accepted.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+    assert q2.exception() is None
+    v2 = store.current_version()
+    assert v2 > v1
+    assert {r.doc_id for r in store.read().collect()} == {1, 3}
+
+    # compaction publishes a new version with identical content…
+    v3 = compact_state(store)
+    assert {r.doc_id for r in store.read().collect()} == {1, 3}
+    # …and time travel still reaches the pre-compaction version
+    assert {r.doc_id for r in store.read(version=v2).collect()} == {1, 3}
+    assert store._read_manifest(v3)["meta"]["compacted_from"] == v2
