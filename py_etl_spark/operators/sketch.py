@@ -102,3 +102,52 @@ def kmv_estimate(sketch: list[int], k: int) -> float:
     if len(sketch) < k:
         return float(len(sketch))
     return round(float(k - 1) * HASH_SPACE / float(sketch[k - 1]))
+
+
+def kmv_rollup(
+    sketches: DataFrame,
+    k: int,
+    rollup_cols: tuple[str, ...] = (),
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Merge per-group KMV sketches up a level: explode the sketch
+    arrays, dedupe, re-take the k smallest per rollup group.
+
+    This is the rollup-tree edge :func:`kmv_distinct` promises — a
+    100 TB distinct-count runs as per-partition sketches → per-table →
+    global WITHOUT ever re-touching raw values. The merged result is
+    bit-identical to building one sketch over the union (pinned by the
+    ``kmv_distinct_rollup`` oracle and the unit merge test), because
+    "k smallest of the union of k-smallest sets" = "k smallest of the
+    union" whenever each input kept ITS k smallest.
+
+    Input: output rows of :func:`kmv_distinct` (finer grouping); output:
+    same shape at ``rollup_cols`` granularity.
+
+    A global rollup (``rollup_cols=()``) does put its window on one
+    partition — deliberately: the input is at most (finer groups × k)
+    hashes, sketch METADATA bounded independent of data volume, the same
+    scale class as the broadcast-scalar subquery patterns.
+    """
+    groups = [F.col(g) for g in rollup_cols]
+    exploded = sketches.select(
+        *groups, F.explode(F.col(sketch_col)).alias("h")
+    ).distinct()
+    w = Window.partitionBy(*[F.col(g) for g in rollup_cols]).orderBy("h")
+    topk = exploded.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.round(F.lit(float(k - 1)) * F.lit(HASH_SPACE) / F.col("kth_hash"))
+    )
+    return (
+        topk.groupBy(*[F.col(g) for g in rollup_cols])
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.max("h").alias("kth_hash"),
+            F.array_sort(F.collect_list("h")).alias(sketch_col),
+        )
+        .withColumn("estimate", est.cast("long"))
+    )

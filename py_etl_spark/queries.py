@@ -1298,6 +1298,42 @@ def scd2_apply_incremental(spark, sf_dir):
     )
 
 
+@query(
+    "kmv_distinct_rollup",
+    """
+    WITH hashed AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM events
+    ), topk AS (
+      SELECT h FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hashed
+      ) WHERE rn <= 64
+    )
+    SELECT count(*) AS n_kept,
+           max(h)   AS kth_hash,
+           CAST(CASE WHEN count(*) < 64 THEN count(*)
+                     ELSE round(63.0 * 1152921504606846976.0 / max(h))
+                END AS BIGINT) AS estimate,
+           array_agg(h ORDER BY h) AS sketch
+    FROM topk
+    """,
+    note="KMV rollup tree (operators/sketch.kmv_rollup): per-event_type "
+    "sketches merged into the global sketch WITHOUT re-touching raw "
+    "values; the oracle computes the global sketch directly, so a "
+    "hash-match proves the merge is lossless",
+)
+def kmv_distinct_rollup(spark, sf_dir):
+    from py_etl_spark.operators.sketch import kmv_distinct, kmv_rollup
+
+    per_type = kmv_distinct(
+        _t(spark, sf_dir, "events"), col="user_id", k=64,
+        group_cols=("event_type",),
+    )
+    return kmv_rollup(per_type, k=64)
+
+
 # =========================================================================
 # Training-data pipeline: dedup / text analysis / similarity
 # =========================================================================
@@ -4351,10 +4387,10 @@ def st_hopping_window_agg(spark, sf_dir):
 # list at 50. Emit the registry in an explicit priority order so the cap
 # lands on queries whose correctness is independently evidenced elsewhere:
 #   _FRONT (r04 late rotation, 50): every query with NO driver row in any
-#           round yet (the 25 added during r04), then bpe_token_count_fixed
-#           (replay oracle hardened r04), then 24 of the 43 whose latest
+#           round yet (the 26 added during r04), then bpe_token_count_fixed
+#           (replay oracle hardened r04), then 23 of the 43 whose latest
 #           driver-green row is r02;
-#   middle: the 19 r02-green queries that didn't fit the window (they keep
+#   middle: the 20 r02-green queries that didn't fit the window (they keep
 #           their r02 rows; first in line for r05) plus anything added
 #           after this rotation;
 #   _TAIL (50): the queries with a fresh green r03 driver row —
@@ -4389,6 +4425,7 @@ _FRONT = [
     "events_daily_resample",
     "events_rolling_7d",
     "fuzzy_join_part_names",
+    "kmv_distinct_rollup",
     # replay oracle hardened this round — keep under rotation:
     "bpe_token_count_fixed",
     # 33 of the 43 queries whose latest driver-green row is r02; the 10
@@ -4416,7 +4453,6 @@ _FRONT = [
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q22_idle_customer_balance",
-    "quality_filter_gopher",
 ]
 _TAIL = [
     "jsonl_roundtrip_documents",

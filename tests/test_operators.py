@@ -999,3 +999,16 @@ def test_fuzzy_join_known_jaccard_and_stop_gram_cap(spark):
         threshold=0.1, max_gram_freq=0,
     )
     assert none.count() == 0
+
+
+def test_kmv_rollup_equals_direct_global_sketch(spark):
+    from py_etl_spark.operators.sketch import kmv_distinct, kmv_rollup
+
+    rows = [("g%d" % (i % 5), i % 700) for i in range(4000)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    per_group = kmv_distinct(df, "v", k=32, group_cols=("g",))
+    merged = kmv_rollup(per_group, k=32).collect()[0]
+    direct = kmv_distinct(df, "v", k=32).collect()[0]
+    assert merged.sketch == direct.sketch
+    assert merged.estimate == direct.estimate
+    assert merged.kth_hash == direct.kth_hash
