@@ -87,6 +87,12 @@ HEADLINE = [
     # construction (a fixture artifact — production uses k≈√n trained
     # cells), so its wall time measures the fixture, not the plan
     "zorder_key_orders",
+    # round 4, third batch:
+    "corpus_curation_pipeline",
+    "events_rolling_7d",
+    "fuzzy_join_part_names",
+    "dedup_incremental_batch",
+    "kmv_distinct_rollup",
 ]
 
 # Scale-sensitive subset for the 10x block: joins, window aggs, Python
@@ -109,6 +115,7 @@ SF1_SUBSET = [
     "quality_score_hashed_linear",
     "kmv_distinct_users",
     "zorder_key_orders",
+    "events_rolling_7d",
 ]
 
 # key columns to offset per replica copy so FK relationships replicate
@@ -214,7 +221,7 @@ def main() -> None:
         "reps": reps,
         "sf": sf,
         # the headline list GROWS each round (14 in r01, 27 in r02, 29 in
-        # r03, 42 now) — compare totals across rounds per-query or via
+        # r03, 47 now) — compare totals across rounds per-query or via
         # this normalized mean, not raw totals
         "n_queries": len(mins),
         "mean_sec_per_query": round(total / max(len(mins), 1), 3),

@@ -184,6 +184,7 @@ def quality_score_hashed_linear(
     bias: float = 0.0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> "DataFrame":
     """Model-based quality scoring with a hashing-trick linear classifier —
     the fastText-shaped filter (Joulin et al. 2016) modern pipelines run
@@ -219,8 +220,11 @@ def quality_score_hashed_linear(
     logit = F.lit(float(bias)) + F.aggregate(
         ws, F.lit(0.0), lambda acc, v: acc + v
     ) / F.when(n > 0, n).otherwise(F.lit(1))
+    # keep_cols ride along so a downstream filter/join doesn't need to
+    # re-join the source table (one scan, not a self-join)
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         n.cast("long").alias("n_tokens"),
         F.round(logit, 6).alias("logit"),
         (logit >= 0).alias("is_quality"),

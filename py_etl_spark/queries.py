@@ -1198,13 +1198,13 @@ def _curation_pipeline_oracle() -> str:
 )
 def corpus_curation_pipeline(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    scored = textstats.quality_score_hashed_linear(
-        docs, weights=_QUALITY_WEIGHTS, bias=_QUALITY_BIAS
-    )
-    gated = (
-        docs.join(scored.filter(F.col("is_quality")), "doc_id")
-        .select("doc_id", "source", "text", "n_tokens", "logit")
-    )
+    # source/text carried through the scorer: one scan, no self-join
+    gated = textstats.quality_score_hashed_linear(
+        docs,
+        weights=_QUALITY_WEIGHTS,
+        bias=_QUALITY_BIAS,
+        keep_cols=("source", "text"),
+    ).filter(F.col("is_quality"))
     kept = dedup.deduplicate_exact(gated)
     return kept.select("doc_id", "source", "n_tokens", "logit")
 
