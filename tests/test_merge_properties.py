@@ -115,3 +115,89 @@ def test_next_fit_pack_invariants(sizes, budget):
     firsts = {ex: m[0] for ex, m in members.items()}
     for ex in range(1, max(ids) + 1):
         assert fills[ex - 1] + firsts[ex] > budget
+
+
+# ---- segment_dedup properties -------------------------------------------
+
+word = st.sampled_from(["alpha", "beta", "gamma", "delta", "x", "yy"])
+texts = st.lists(word, min_size=1, max_size=17).map(" ".join)
+
+
+@given(docs=st.lists(texts, min_size=1, max_size=6), w=st.integers(2, 5))
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_segment_dedup_reconstruction_identity(spark, docs, w):
+    """With an unreachable occurrence threshold nothing is removed: every
+    document reassembles to its whitespace-normalized self, and the
+    segment count is exactly ceil(tokens / w) — for ANY corpus and any
+    segment width."""
+    import math
+
+    from py_etl_spark.operators.dedup import segment_dedup
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in segment_dedup(
+            df, segment_words=w, max_occurrences=10**9
+        ).collect()
+    }
+    for i, text in enumerate(docs):
+        toks = text.split()
+        assert out[i].text_dedup == " ".join(toks)
+        assert out[i].n_segments == max(1, math.ceil(len(toks) / w))
+        assert out[i].n_kept == out[i].n_segments
+
+
+@given(
+    log=st.lists(
+        st.tuples(
+            st.integers(0, 2),                      # key
+            st.integers(0, 50),                     # ts offset (minutes)
+            st.sampled_from(["a", "b", "c"]),       # tracked value
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_scd2_intervals_partition_time_per_key(spark, log):
+    """For ANY change log: per key, SCD2 intervals are contiguous
+    (valid_to == next valid_from), versions are 1..n in order, exactly
+    one row is current, and adjacent intervals never carry equal tracked
+    values (no-op suppression is total)."""
+    from datetime import datetime, timedelta
+
+    from py_etl_spark.operators.merge import scd2_history
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (k, base + timedelta(minutes=m), v, i)
+        for i, (k, m, v) in enumerate(log)
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, ts timestamp, v string, event_id long"
+    )
+    hist = scd2_history(
+        df, keys=["k"], ts_col="ts", tracked=["v"], tie_breakers=["event_id"]
+    ).collect()
+    by_key: dict[int, list] = {}
+    for r in hist:
+        by_key.setdefault(r.k, []).append(r)
+    for k, rs in by_key.items():
+        rs.sort(key=lambda r: r.version)
+        assert [r.version for r in rs] == list(range(1, len(rs) + 1))
+        assert sum(1 for r in rs if r.is_current) == 1
+        assert rs[-1].is_current and rs[-1].valid_to is None
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to == b.valid_from
+            assert a.v != b.v  # no-op suppression leaves no equal neighbors
