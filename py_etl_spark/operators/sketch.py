@@ -151,3 +151,109 @@ def kmv_rollup(
         )
         .withColumn("estimate", est.cast("long"))
     )
+
+
+# ---- Bloom filter ---------------------------------------------------------
+
+# 63 usable bits per word (bit index 0..62): keeps every shift result
+# positive in BOTH engines — DuckDB raises on BIGINT `1 << 63` and signed
+# wraparound would differ anyway. One wasted bit per word is noise.
+_BLOOM_BITS_PER_WORD = 63
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str,
+    words: int = 16,
+    k_hashes: int = 4,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-group Bloom filter over ``col`` as ``array<long>`` — the
+    semi-join pruning primitive: build on the SMALL side's keys, ship the
+    array (words·8 bytes) to the big side's scan as a literal/broadcast,
+    and drop non-members before the real join's shuffle. Spark's own
+    runtime bloom pruning (InjectRuntimeFilter) does this transparently;
+    this explicit, engine-portable version is for cross-JOB pruning — the
+    filter can be persisted beside the table, read by any engine, and
+    merged across partitions (bitwise OR — ``bit_or`` is commutative, so
+    the build is shuffle-order-independent and deterministic).
+
+    Positions via Kirsch-Mitzenmacher double hashing over two independent
+    63-bit md5 slices: ``pos_i = (h1 + i·h2) mod (words·63)``.
+
+    Output: ``group_cols + (bloom, n_bits_set)``. FPR ≈ ``(1-e^{-kn/m})^k``
+    with m = words·63; size for your n upstream.
+    """
+    m = words * _BLOOM_BITS_PER_WORD
+    md5v = F.md5(F.col(col).cast("string"))
+    h1 = F.conv(F.substring(md5v, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(md5v, 16, 15), 16, 10).cast("long")
+    groups = [F.col(g) for g in group_cols]
+    pos = df.select(
+        *groups,
+        F.explode(
+            F.array(*[F.pmod(h1 + i * h2, F.lit(m)) for i in range(k_hashes)])
+        ).alias("p"),
+    )
+    # pow(2, bit) instead of shiftleft: the PySpark shiftleft helper takes
+    # only a literal shift amount, and 2^bit for bit ≤ 62 is exactly
+    # representable in a double, so the cast back to long is lossless
+    word_rows = (
+        pos.select(
+            *groups,
+            (F.col("p") / _BLOOM_BITS_PER_WORD).cast("long").alias("w"),
+            F.pow(
+                F.lit(2.0),
+                F.pmod(F.col("p"), F.lit(_BLOOM_BITS_PER_WORD)),
+            ).cast("long").alias("mask"),
+        )
+        .groupBy(*groups, F.col("w"))
+        .agg(F.bit_or("mask").alias("b"))
+    )
+    # gap-fill absent words with 0 and order by word index
+    entries = F.map_from_entries(
+        F.collect_list(F.struct(F.col("w"), F.col("b")))
+    )
+    bloom = F.transform(
+        F.sequence(F.lit(0), F.lit(words - 1)),
+        lambda i: F.coalesce(
+            F.try_element_at(entries, i.cast("long")), F.lit(0).cast("long")
+        ),
+    )
+    return (
+        word_rows.groupBy(*[F.col(g) for g in group_cols])
+        .agg(bloom.alias("bloom"))
+        .withColumn(
+            "n_bits_set",
+            F.aggregate(
+                F.transform(F.col("bloom"), F.bit_count),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            ).cast("long"),
+        )
+    )
+
+
+def bloom_contains(
+    bloom: list[int], value, k_hashes: int = 4
+) -> F.Column:
+    """Membership test Column against a driver-side bloom array (e.g. one
+    row of :func:`bloom_build` collected — words·8 bytes of metadata).
+    True ⟺ all k positions set; false positives possible, false
+    negatives not."""
+    import hashlib as _hl
+
+    m = len(bloom) * _BLOOM_BITS_PER_WORD
+    md5v = F.md5(value.cast("string"))
+    h1 = F.conv(F.substring(md5v, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(md5v, 16, 15), 16, 10).cast("long")
+    arr = F.array(*[F.lit(int(w)).cast("long") for w in bloom])
+    cond = F.lit(True)
+    for i in range(k_hashes):
+        p = F.pmod(h1 + i * h2, F.lit(m))
+        word = F.element_at(arr, (p / _BLOOM_BITS_PER_WORD).cast("int") + 1)
+        bit = F.pow(
+            F.lit(2.0), F.pmod(p, F.lit(_BLOOM_BITS_PER_WORD))
+        ).cast("long")
+        cond = cond & (word.bitwiseAND(bit) != 0)
+    return cond

@@ -1334,6 +1334,53 @@ def kmv_distinct_rollup(spark, sf_dir):
     return kmv_rollup(per_type, k=64)
 
 
+@query(
+    "bloom_build_users",
+    """
+    WITH base AS (
+      SELECT DISTINCT event_type,
+             md5(CAST(user_id AS VARCHAR)) AS mv
+      FROM events
+    ), hashed AS (
+      SELECT event_type,
+             CAST(('0x' || substr(mv, 1, 15)) AS BIGINT)  AS h1,
+             CAST(('0x' || substr(mv, 16, 15)) AS BIGINT) AS h2
+      FROM base
+    ), pos AS (
+      SELECT event_type, (h1 + i * h2) % 1008 AS p
+      FROM hashed CROSS JOIN (SELECT unnest(range(0, 4)) AS i) t
+    ), wordrows AS (
+      SELECT event_type, p // 63 AS w,
+             bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS b
+      FROM pos GROUP BY 1, 2
+    ), grid AS (
+      SELECT g.event_type, gw.w
+      FROM (SELECT DISTINCT event_type FROM events) g
+      CROSS JOIN (SELECT unnest(range(0, 16)) AS w) gw
+    ), filled AS (
+      SELECT grid.event_type, grid.w, coalesce(wordrows.b, 0) AS b
+      FROM grid LEFT JOIN wordrows
+        ON wordrows.event_type = grid.event_type AND wordrows.w = grid.w
+    )
+    SELECT event_type,
+           array_agg(b ORDER BY w) AS bloom,
+           CAST(sum(bit_count(b)) AS BIGINT) AS n_bits_set
+    FROM filled GROUP BY event_type
+    """,
+    note="Portable Bloom filter build (operators/sketch.bloom_build): "
+    "Kirsch-Mitzenmacher double hashing over md5 slices, 63-bit words, "
+    "bit_or merge (commutative → order-independent, mergeable across "
+    "partitions); the cross-job semi-join pruning primitive",
+)
+def bloom_build_users(spark, sf_dir):
+    from py_etl_spark.operators.sketch import bloom_build
+
+    return bloom_build(
+        _t(spark, sf_dir, "events"), col="user_id", words=16, k_hashes=4,
+        group_cols=("event_type",),
+    )
+
+
 # =========================================================================
 # Training-data pipeline: dedup / text analysis / similarity
 # =========================================================================
@@ -4387,10 +4434,10 @@ def st_hopping_window_agg(spark, sf_dir):
 # list at 50. Emit the registry in an explicit priority order so the cap
 # lands on queries whose correctness is independently evidenced elsewhere:
 #   _FRONT (r04 late rotation, 50): every query with NO driver row in any
-#           round yet (the 26 added during r04), then bpe_token_count_fixed
-#           (replay oracle hardened r04), then 23 of the 43 whose latest
+#           round yet (the 27 added during r04), then bpe_token_count_fixed
+#           (replay oracle hardened r04), then 22 of the 43 whose latest
 #           driver-green row is r02;
-#   middle: the 20 r02-green queries that didn't fit the window (they keep
+#   middle: the 21 r02-green queries that didn't fit the window (they keep
 #           their r02 rows; first in line for r05) plus anything added
 #           after this rotation;
 #   _TAIL (50): the queries with a fresh green r03 driver row —
@@ -4426,6 +4473,7 @@ _FRONT = [
     "events_rolling_7d",
     "fuzzy_join_part_names",
     "kmv_distinct_rollup",
+    "bloom_build_users",
     # replay oracle hardened this round — keep under rotation:
     "bpe_token_count_fixed",
     # 33 of the 43 queries whose latest driver-green row is r02; the 10
@@ -4452,7 +4500,6 @@ _FRONT = [
     "q13_order_count_distribution",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
-    "q22_idle_customer_balance",
 ]
 _TAIL = [
     "jsonl_roundtrip_documents",

@@ -1012,3 +1012,26 @@ def test_kmv_rollup_equals_direct_global_sketch(spark):
     assert merged.sketch == direct.sketch
     assert merged.estimate == direct.estimate
     assert merged.kth_hash == direct.kth_hash
+
+
+def test_bloom_filter_no_false_negatives_and_sane_fpr(spark):
+    from py_etl_spark.operators.sketch import bloom_build, bloom_contains
+
+    members = list(range(200))
+    df = spark.createDataFrame([(v,) for v in members], "v long")
+    row = bloom_build(df, "v", words=64, k_hashes=4).collect()[0]
+    bloom = list(row.bloom)
+    assert row.n_bits_set > 0
+    probe = spark.createDataFrame(
+        [(v,) for v in range(1000)], "v long"
+    ).withColumn("hit", bloom_contains(bloom, F.col("v"), k_hashes=4))
+    hits = {r.v for r in probe.collect() if r.hit}
+    # no false negatives: every member reports present
+    assert set(members) <= hits
+    # false positives bounded: m=4032 bits, n=200, k=4 → FPR ≈ 0.1 %
+    fpr = len(hits - set(members)) / 800
+    assert fpr < 0.05, fpr
+    # mergeable: OR of two half-filters == filter of the union
+    a = bloom_build(df.filter(F.col("v") < 100), "v", words=64).collect()[0]
+    b = bloom_build(df.filter(F.col("v") >= 100), "v", words=64).collect()[0]
+    assert [x | y for x, y in zip(a.bloom, b.bloom)] == bloom
