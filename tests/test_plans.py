@@ -443,3 +443,17 @@ def test_fuzzy_join_no_cartesian(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_build_two_shuffles(spark):
+    df = Q.REGISTRY["bloom_build_users"].fn(spark, SF_MED)
+    # explode is map-side; (group, word) bit_or + per-group array assembly
+    assert shuffle_count(df) == 2
+    assert single_partition_exchange_count(df) == 0
+
+
+def test_dedup_incremental_no_exchange_to_one(spark):
+    df = Q.REGISTRY["dedup_incremental_batch"].fn(spark, SF_MED)
+    assert single_partition_exchange_count(df) == 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
