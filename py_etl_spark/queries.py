@@ -1381,6 +1381,81 @@ def bloom_build_users(spark, sf_dir):
     )
 
 
+@query(
+    "bloom_semi_join_prune",
+    """
+    WITH members AS (
+      SELECT DISTINCT md5(CAST(c_custkey AS VARCHAR)) AS mv
+      FROM customer WHERE c_mktsegment = 'BUILDING'
+    ), mwords AS (
+      SELECT p // 63 AS w,
+             bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS b
+      FROM (
+        SELECT (CAST(('0x' || substr(mv, 1, 15)) AS BIGINT)
+                + i * CAST(('0x' || substr(mv, 16, 15)) AS BIGINT)) % 8064
+                 AS p
+        FROM members CROSS JOIN (SELECT unnest(range(0, 4)) AS i) t
+      ) GROUP BY 1
+    ), opos AS (
+      SELECT o_orderkey, o_custkey,
+             (CAST(('0x' || substr(mv, 1, 15)) AS BIGINT)
+              + i * CAST(('0x' || substr(mv, 16, 15)) AS BIGINT)) % 8064
+               AS p
+      FROM (SELECT o_orderkey, o_custkey,
+                   md5(CAST(o_custkey AS VARCHAR)) AS mv FROM orders)
+      CROSS JOIN (SELECT unnest(range(0, 4)) AS i) t
+    ), ohit AS (
+      SELECT o_orderkey, o_custkey,
+             bool_and((coalesce(mw.b, 0)
+                       & (CAST(1 AS BIGINT) << CAST(p % 63 AS INT))) != 0)
+               AS hit
+      FROM opos LEFT JOIN mwords mw ON mw.w = opos.p // 63
+      GROUP BY 1, 2
+    )
+    SELECT count(*) AS n_orders,
+           count(*) FILTER (WHERE hit) AS n_bloom_pass,
+           count(*) FILTER (WHERE o_custkey IN (
+             SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+           )) AS n_exact_match,
+           count(*) FILTER (WHERE hit AND o_custkey NOT IN (
+             SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+           )) AS n_false_positives
+    FROM ohit
+    """,
+    note="Bloom pruning end-to-end: filter built on the dim side's keys "
+    "(words*8 bytes of driver metadata), orders pre-filtered map-side "
+    "before any shuffle; output measures the actual FPR on real data — "
+    "the cross-job semi-join pruning pattern, fully deterministic",
+)
+def bloom_semi_join_prune(spark, sf_dir):
+    from py_etl_spark.operators.sketch import bloom_build, bloom_contains
+
+    cust = _t(spark, sf_dir, "customer")
+    members = cust.filter(F.col("c_mktsegment") == "BUILDING")
+    bloom_row = bloom_build(
+        members, col="c_custkey", words=128, k_hashes=4
+    ).collect()[0]
+    orders = _t(spark, sf_dir, "orders")
+    hit = bloom_contains(list(bloom_row.bloom), F.col("o_custkey"), 4)
+    exact = orders.join(
+        members.select(F.col("c_custkey").alias("o_custkey")).distinct(),
+        "o_custkey",
+        "left_semi",
+    ).select("o_orderkey").withColumn("__m", F.lit(True))
+    return (
+        orders.withColumn("__hit", hit)
+        .join(exact, "o_orderkey", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count(F.when(F.col("__hit"), 1)).alias("n_bloom_pass"),
+            F.count(F.when(F.col("__m"), 1)).alias("n_exact_match"),
+            F.count(
+                F.when(F.col("__hit") & F.col("__m").isNull(), 1)
+            ).alias("n_false_positives"),
+        )
+    )
+
+
 # =========================================================================
 # Training-data pipeline: dedup / text analysis / similarity
 # =========================================================================
@@ -4434,10 +4509,10 @@ def st_hopping_window_agg(spark, sf_dir):
 # list at 50. Emit the registry in an explicit priority order so the cap
 # lands on queries whose correctness is independently evidenced elsewhere:
 #   _FRONT (r04 late rotation, 50): every query with NO driver row in any
-#           round yet (the 27 added during r04), then bpe_token_count_fixed
-#           (replay oracle hardened r04), then 22 of the 43 whose latest
+#           round yet (the 28 added during r04), then bpe_token_count_fixed
+#           (replay oracle hardened r04), then 21 of the 43 whose latest
 #           driver-green row is r02;
-#   middle: the 21 r02-green queries that didn't fit the window (they keep
+#   middle: the 22 r02-green queries that didn't fit the window (they keep
 #           their r02 rows; first in line for r05) plus anything added
 #           after this rotation;
 #   _TAIL (50): the queries with a fresh green r03 driver row —
@@ -4474,6 +4549,7 @@ _FRONT = [
     "fuzzy_join_part_names",
     "kmv_distinct_rollup",
     "bloom_build_users",
+    "bloom_semi_join_prune",
     # replay oracle hardened this round — keep under rotation:
     "bpe_token_count_fixed",
     # 33 of the 43 queries whose latest driver-green row is r02; the 10
@@ -4499,7 +4575,6 @@ _FRONT = [
     "token_count_bpe",
     "q13_order_count_distribution",
     "q15_top_supplier",
-    "q17_small_quantity_revenue",
 ]
 _TAIL = [
     "jsonl_roundtrip_documents",
