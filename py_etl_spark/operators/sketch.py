@@ -234,6 +234,121 @@ def bloom_build(
     )
 
 
+# ---- Count-min sketch -----------------------------------------------------
+
+
+def cm_sketch(
+    df: DataFrame,
+    col: str,
+    width: int = 64,
+    depth: int = 4,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-group count-min sketch (Cormode & Muthukrishnan 2005) over
+    ``col`` as ``array<array<long>>`` (depth rows × width counters) — the
+    mergeable FREQUENCY sketch completing the family: KMV answers "how
+    many distinct", Bloom answers "is it a member", CM answers "about how
+    often" with one-sided error (never an undercount). Point estimate =
+    ``min_d cm[d][pos_d(v)]``, overcount ≤ ``e·n/width`` with prob
+    ``1 - e^{-depth}``.
+
+    Same portability contract as the siblings: positions from
+    Kirsch-Mitzenmacher double hashing over two 60-bit md5 slices
+    (``pos_d = (h1 + d·h2) mod width``), counters are plain sums — so the
+    merge is elementwise ``+`` (commutative/associative: the build is
+    shuffle-order-independent, per-partition sketches roll up to exactly
+    the global sketch, and any engine reproduces every cell bit-for-bit).
+    Unlike KMV/Bloom there is no DISTINCT: multiplicity is the signal.
+
+    Plan: depth-way map-side explode → one (group, d, pos) count with
+    map-side partial aggregation (the only data-sized shuffle) → two
+    metadata-sized assembly aggs over groups·depth·width cells. At 100 TB
+    the counters-table never exceeds groups × depth × width longs.
+
+    Output: ``group_cols + (cm, n_items)`` where ``n_items`` is the total
+    item count (= the sum of any single row — every row sums to n, which
+    doubles as a self-check).
+    """
+    md5v = F.md5(F.col(col).cast("string"))
+    h1 = F.conv(F.substring(md5v, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(md5v, 16, 15), 16, 10).cast("long")
+    groups = [F.col(g) for g in group_cols]
+    pos = df.select(
+        *groups,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.pmod(h1 + d * h2, F.lit(width)).alias("p"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("dp"),
+    ).select(*group_cols, F.col("dp.d").alias("d"), F.col("dp.p").alias("p"))
+    cells = pos.groupBy(*group_cols, "d", "p").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # gap-fill each depth row to exactly `width` counters, ordered by pos
+    entries = F.map_from_entries(
+        F.collect_list(F.struct(F.col("p"), F.col("c")))
+    )
+    row_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(width - 1)),
+        lambda i: F.coalesce(
+            F.try_element_at(entries, i.cast("long")), F.lit(0).cast("long")
+        ),
+    )
+    rows = cells.groupBy(*group_cols, "d").agg(
+        row_arr.alias("row"), F.sum("c").alias("rowsum")
+    )
+    # every row sums to n; taking d=0's sum keeps n_items an exact count
+    return (
+        rows.groupBy(*[F.col(g) for g in group_cols])
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("d"), F.col("row")))
+            ).alias("_rows"),
+            F.max(F.when(F.col("d") == 0, F.col("rowsum"))).alias("n_items"),
+        )
+        .select(
+            *group_cols,
+            F.transform(F.col("_rows"), lambda s: s["row"]).alias("cm"),
+            F.col("n_items"),
+        )
+    )
+
+
+def cm_point_estimate(cm: list[list[int]], value) -> F.Column:
+    """Frequency estimate Column against a driver-side CM sketch (one
+    collected row of :func:`cm_sketch` — depth·width·8 bytes of metadata).
+    ``min`` over depth rows; never less than the true count."""
+    width = len(cm[0])
+    md5v = F.md5(value.cast("string"))
+    h1 = F.conv(F.substring(md5v, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(md5v, 16, 15), 16, 10).cast("long")
+    ests = []
+    for d, row in enumerate(cm):
+        arr = F.array(*[F.lit(int(c)).cast("long") for c in row])
+        p = F.pmod(h1 + d * h2, F.lit(width))
+        ests.append(F.element_at(arr, p.cast("int") + 1))
+    return F.least(*ests)
+
+
+def cm_merge_sketches(sketches: list[list[list[int]]]) -> list[list[int]]:
+    """Driver-side reference merge: elementwise sum. Linearity of the
+    counters is the whole mergeability story — tests pin
+    ``cm(A) + cm(B) == cm(A ∪ B)`` cell-for-cell, which licenses the
+    per-partition → global rollup refactor at scale."""
+    out = [[0] * len(row) for row in sketches[0]]
+    for s in sketches:
+        for d, row in enumerate(s):
+            for i, c in enumerate(row):
+                out[d][i] += c
+    return out
+
+
 def bloom_contains(
     bloom: list[int], value, k_hashes: int = 4
 ) -> F.Column:

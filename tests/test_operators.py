@@ -678,6 +678,50 @@ def test_kmv_sketch_accuracy_exact_below_k_and_merge(spark):
     assert kmv_estimate(merged, 64) == float(su.estimate)
 
 
+def test_cm_sketch_one_sided_error_merge_and_invariants(spark):
+    from py_etl_spark.operators.sketch import (
+        cm_merge_sketches,
+        cm_point_estimate,
+        cm_sketch,
+    )
+
+    # Zipf-ish multiplicities: value i appears (2000 // (i+1)) times
+    rows = [("g", i) for i in range(100) for _ in range(2000 // (i + 1))]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = cm_sketch(df, "v", width=64, depth=4, group_cols=("g",)).collect()[0]
+    cm = [list(r) for r in out.cm]
+    assert len(cm) == 4 and all(len(r) == 64 for r in cm)
+    # every depth row sums to n (counters are a partition of the items)
+    assert all(sum(r) == len(rows) for r in cm)
+    assert out.n_items == len(rows)
+    # one-sided error: estimate >= exact for EVERY key, and the heavy
+    # keys are estimated within the e*n/width bound
+    exact = {i: 2000 // (i + 1) for i in range(100)}
+    probe = spark.createDataFrame([(i,) for i in exact], "v long")
+    est = {
+        r.v: r.e
+        for r in probe.select(
+            "v", cm_point_estimate(cm, F.col("v")).alias("e")
+        ).collect()
+    }
+    import math
+
+    bound = math.e * len(rows) / 64
+    assert all(est[i] >= exact[i] for i in exact)
+    assert all(est[i] - exact[i] <= bound for i in exact)
+
+    # merge linearity: cm(A ∪ B) == cm(A) + cm(B), cell for cell
+    a = spark.createDataFrame([(i % 7,) for i in range(500)], "v long")
+    b = spark.createDataFrame([(i % 11,) for i in range(300)], "v long")
+    ca = [list(r) for r in cm_sketch(a, "v", width=32, depth=3).collect()[0].cm]
+    cb = [list(r) for r in cm_sketch(b, "v", width=32, depth=3).collect()[0].cm]
+    cu = [
+        list(r)
+        for r in cm_sketch(a.union(b), "v", width=32, depth=3).collect()[0].cm
+    ]
+    assert cm_merge_sketches([ca, cb]) == cu
+
+
 def test_sample_mixture_deterministic_rates_and_salt_independence(spark):
     from py_etl_spark.operators.corpus import sample_mixture
 
