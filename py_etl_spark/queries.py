@@ -1563,6 +1563,66 @@ def cm_estimate_heavy_users(spark, sf_dir):
     )
 
 
+@query(
+    "lm_fluency_bits",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{_BPE_TOKEN_RE}') AS t
+      FROM documents
+    ), uni AS (
+      SELECT w, count(*) AS c
+      FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+    ), pairs AS (
+      SELECT doc_id,
+             unnest(t[1:len(t)-1]) AS w1,
+             unnest(t[2:len(t)])   AS w2
+      FROM toks
+    ), big AS (
+      SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2
+    ), tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+    scored AS (
+      SELECT p.doc_id,
+             CASE
+               WHEN big.c12 IS NOT NULL
+                 THEN length(bin(u1.c // big.c12)) - 1
+               WHEN u2.c IS NOT NULL
+                 THEN 2 + length(bin(tot.n // u2.c)) - 1
+               ELSE 6 + length(bin(tot.n)) - 1
+             END AS bits
+      FROM pairs p
+      LEFT JOIN big ON big.w1 = p.w1 AND big.w2 = p.w2
+      LEFT JOIN uni u1 ON u1.w = p.w1
+      LEFT JOIN uni u2 ON u2.w = p.w2
+      CROSS JOIN tot
+    ), per_doc AS (
+      SELECT doc_id,
+             CAST(count(*)  AS BIGINT) AS n_pairs,
+             CAST(sum(bits) AS BIGINT) AS total_bits
+      FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(per_doc.n_pairs, 0)    AS n_pairs,
+           coalesce(per_doc.total_bits, 0) AS total_bits,
+           round(per_doc.total_bits / per_doc.n_pairs, 6) AS avg_bits,
+           coalesce(round(per_doc.total_bits / per_doc.n_pairs, 6) <= 8.0,
+                    false) AS is_fluent
+    FROM documents d LEFT JOIN per_doc ON per_doc.doc_id = d.doc_id
+    """,
+    note="Bigram-LM fluency gate (operators/lm): the CCNet-style "
+    "perplexity filter with stupid backoff, scored in integer code-"
+    "length bits (floor-log2 via bin-string length) so per-doc totals "
+    "are exact BIGINT sums — cross-engine bit-exact, no libm in the "
+    "plan; train = 2 count-shuffles, score = 2 model joins + 1 doc agg",
+)
+def lm_fluency_bits(spark, sf_dir):
+    from py_etl_spark.operators.lm import lm_score, train_bigram_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    unigrams, bigrams = train_bigram_lm(docs)
+    total = unigrams.agg(F.sum("c")).collect()[0][0]
+    return lm_score(docs, unigrams, bigrams, total_tokens=int(total))
+
+
 # =========================================================================
 # Training-data pipeline: dedup / text analysis / similarity
 # =========================================================================

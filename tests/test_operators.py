@@ -678,6 +678,54 @@ def test_kmv_sketch_accuracy_exact_below_k_and_merge(spark):
     assert kmv_estimate(merged, 64) == float(su.estimate)
 
 
+def test_bigram_lm_hand_computed_bits_and_oov_backoff(spark):
+    from py_etl_spark.operators.lm import lm_score, train_bigram_lm
+
+    train = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c")], "doc_id long, text string"
+    )
+    unigrams, bigrams = train_bigram_lm(train)
+    uni = {r.w: r.c for r in unigrams.collect()}
+    assert uni == {"a": 3, "b": 2, "c": 1}
+    big = {(r.w1, r.w2): (r.c12, r.c1) for r in bigrams.collect()}
+    assert big == {("a", "b"): (2, 3), ("b", "a"): (1, 2), ("a", "c"): (1, 3)}
+    total = sum(uni.values())  # 6
+
+    # self-scoring: hand-computed floor-log2 code lengths
+    out = {
+        r.doc_id: r
+        for r in lm_score(train, unigrams, bigrams, total).collect()
+    }
+    # doc1 pairs (a,b)(b,a)(a,b): ilog2(3//2)=0, ilog2(2//1)=1, 0 → 1 bit
+    assert (out[1].n_pairs, out[1].total_bits) == (3, 1)
+    assert abs(out[1].avg_bits - 0.333333) < 1e-9
+    # doc2 pair (a,c): ilog2(3//1)=1
+    assert (out[2].n_pairs, out[2].total_bits) == (1, 1)
+    assert out[1].is_fluent and out[2].is_fluent
+
+    # held-out: seen-unigram backoff (2 + ilog2(6//1) = 4) and the OOV
+    # escape (6 + ilog2(6) = 8); a 1-token doc scores NULL, not fluent
+    held = spark.createDataFrame(
+        [(10, "b c"), (11, "c z"), (12, "a")], "doc_id long, text string"
+    )
+    h = {
+        r.doc_id: r
+        for r in lm_score(held, unigrams, bigrams, total).collect()
+    }
+    assert (h[10].total_bits, h[11].total_bits) == (4, 8)
+    assert h[12].n_pairs == 0 and h[12].avg_bits is None
+    assert not h[12].is_fluent
+
+    # deterministic under repartition (integer sums are order-free)
+    rep = {
+        r.doc_id: (r.n_pairs, r.total_bits)
+        for r in lm_score(
+            train.repartition(7), unigrams, bigrams, total
+        ).collect()
+    }
+    assert rep == {k: (v.n_pairs, v.total_bits) for k, v in out.items()}
+
+
 def test_cm_sketch_one_sided_error_merge_and_invariants(spark):
     from py_etl_spark.operators.sketch import (
         cm_merge_sketches,
