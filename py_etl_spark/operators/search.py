@@ -1,0 +1,107 @@
+"""Full-text relevance search — BM25 top-k over a document corpus.
+
+Reference parity note: py-etl has no text search; this is part of the
+LLM-pipeline surface (rank corpus documents against a probe query —
+e.g. pull the most benchmark-like documents for contamination review,
+or the most domain-like for targeted sampling).
+
+Okapi BM25 (Robertson & Walker 1994; the SPARSE retrieval baseline
+ANN/embedding search complements):
+
+    score(D, Q) = Σ_t idf(t) · tf(t,D)·(k1+1)
+                        / (tf(t,D) + k1·(1 - b + b·|D|/avgdl))
+    idf(t) = ln((N - df(t) + 0.5)/(df(t) + 0.5) + 1)
+
+Scale shape: for a FIXED query-term list (the search use case) nothing
+explodes and nothing shuffles per document — per-term tf is an array
+expression over the doc's own tokens, and all corpus statistics
+(N, Σ|D|, per-term df) collapse into ONE aggregate row that rides a
+broadcast nested-loop join of one row (the broadcast-scalar pattern).
+The whole scorer is a map-side expression; top-k is orderBy+limit
+(TakeOrderedAndProject — per-partition heaps, no global sort).
+
+Cross-engine determinism: idf is the only libm call (ln), rounded to 6
+decimals immediately; the per-doc score sums term contributions in
+FIXED textual association (a chain of +, not an aggregation over an
+exploded term table), so there is no order-dependent float summation.
+Unmatched terms contribute an exact 0.0 (0/positive), so no CASE
+branches are needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from py_etl_spark.operators.corpus import TOKEN_RE
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents by BM25 against ``terms``.
+
+    Output: ``(id_col, n_match, score_bm25)`` ordered by score desc with
+    id tie-break; ``n_match`` = how many query terms the doc contains.
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(TOKEN_RE), F.lit(0)
+    )
+
+    # NB: a 2-arg lambda would make pyspark pass (element, index) — bind
+    # the term through a real closure, not a default argument
+    def term_count(term: str) -> F.Column:
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("dl"),
+        *[
+            term_count(t).cast("long").alias(f"tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    joined = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        idf = F.round(
+            F.log(
+                (F.col("n_docs") - F.col(f"df{i}") + 0.5)
+                / (F.col(f"df{i}") + 0.5)
+                + 1.0
+            ),
+            6,
+        )
+        tf = F.col(f"tf{i}").cast("double")
+        score = score + idf * tf * F.lit(k1 + 1.0) / (tf + norm)
+    n_match = None
+    for i in range(len(terms)):
+        hit = (F.col(f"tf{i}") > 0).cast("long")
+        n_match = hit if n_match is None else n_match + hit
+    return (
+        joined.select(
+            F.col(id_col),
+            n_match.alias("n_match"),
+            F.round(score, 4).alias("score_bm25"),
+        )
+        .orderBy(F.desc("score_bm25"), F.col(id_col))
+        .limit(k)
+    )

@@ -1623,6 +1623,64 @@ def lm_fluency_bits(spark, sf_dir):
     return lm_score(docs, unigrams, bigrams, total_tokens=int(total))
 
 
+@query(
+    "bm25_search_topk",
+    f"""
+    WITH base AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+             CAST(len(list_filter(t, x -> x = 'hash'))   AS BIGINT) AS tf0,
+             CAST(len(list_filter(t, x -> x = 'join'))   AS BIGINT) AS tf1,
+             CAST(len(list_filter(t, x -> x = 'stream')) AS BIGINT) AS tf2
+      FROM (SELECT doc_id,
+                   regexp_extract_all(lower(text), '{_BPE_TOKEN_RE}') AS t
+            FROM documents)
+    ), stats AS (
+      SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+      FROM base
+    )
+    SELECT doc_id,
+           CAST((CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+           round(0.0
+             + round(ln((n_docs - df0 + 0.5) / (df0 + 0.5) + 1.0), 6)
+               * CAST(tf0 AS DOUBLE) * 2.2
+               / (CAST(tf0 AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * dl
+                           / (CAST(sum_dl AS DOUBLE) / n_docs)))
+             + round(ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0), 6)
+               * CAST(tf1 AS DOUBLE) * 2.2
+               / (CAST(tf1 AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * dl
+                           / (CAST(sum_dl AS DOUBLE) / n_docs)))
+             + round(ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0), 6)
+               * CAST(tf2 AS DOUBLE) * 2.2
+               / (CAST(tf2 AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * dl
+                           / (CAST(sum_dl AS DOUBLE) / n_docs))),
+             4) AS score_bm25
+    FROM base CROSS JOIN stats
+    ORDER BY score_bm25 DESC, doc_id LIMIT 15
+    """,
+    note="BM25 top-k search (operators/search.bm25_topk): the sparse-"
+    "retrieval baseline beside ANN — per-term tf as array expressions "
+    "(no explode), corpus stats in ONE broadcast-scalar agg row, score "
+    "summed in fixed association so no order-dependent float summation; "
+    "map-side scorer + TakeOrderedAndProject top-k",
+)
+def bm25_search_topk(spark, sf_dir):
+    from py_etl_spark.operators.search import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"),
+        terms=["hash", "join", "stream"],
+        k=15,
+    )
+
+
 # =========================================================================
 # Training-data pipeline: dedup / text analysis / similarity
 # =========================================================================

@@ -726,6 +726,52 @@ def test_bigram_lm_hand_computed_bits_and_oov_backoff(spark):
     assert rep == {k: (v.n_pairs, v.total_bits) for k, v in out.items()}
 
 
+def test_bm25_topk_matches_python_reference_and_ranks_sensibly(spark):
+    import math
+
+    from py_etl_spark.operators.search import bm25_topk
+
+    corpus = {
+        1: "spark shuffle join join join",
+        2: "spark scan filter scan",
+        3: "join elephant spark",
+        4: "elephant elephant giraffe",
+        5: "filter scan scan scan scan scan",
+    }
+    df = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    terms = ["join", "elephant"]
+    out = bm25_topk(df, terms, k=5).collect()
+
+    # python reference with the same formula/rounding
+    toks = {d: t.split() for d, t in corpus.items()}
+    n, avgdl = len(toks), sum(len(t) for t in toks.values()) / len(toks)
+    k1, b = 1.2, 0.75
+
+    def ref(d):
+        s = 0.0
+        for t in terms:
+            dfreq = sum(1 for tt in toks.values() if t in tt)
+            idf = round(math.log((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0), 6)
+            tf = toks[d].count(t)
+            s += idf * tf * (k1 + 1.0) / (
+                tf + k1 * (1 - b + b * len(toks[d]) / avgdl)
+            )
+        return round(s, 4)
+
+    assert [(r.doc_id, r.score_bm25) for r in out] == sorted(
+        ((d, ref(d)) for d in corpus), key=lambda x: (-x[1], x[0])
+    )
+    by_id = {r.doc_id: r for r in out}
+    # doc 3 matches both terms; docs 2/5 match neither (score exactly 0)
+    assert by_id[3].n_match == 2
+    assert by_id[2].score_bm25 == 0.0 and by_id[5].score_bm25 == 0.0
+    # rarer term (elephant, df=2) outweighs common join at equal tf —
+    # and doc 3 (both terms) must outrank doc 1 (3x join only)
+    assert out[0].doc_id == 3
+
+
 def test_cm_sketch_one_sided_error_merge_and_invariants(spark):
     from py_etl_spark.operators.sketch import (
         cm_merge_sketches,
