@@ -505,6 +505,97 @@ def segment_dedup(
     )
 
 
+def duplicate_span_mask(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 5,
+    max_occurrences: int = 1,
+) -> DataFrame:
+    """Substring-level duplicate removal (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better" — ExactSubstr): mask every
+    token that lies inside a ``span_words``-token window occurring more
+    than ``max_occurrences`` times corpus-wide.
+
+    Differs from :func:`segment_dedup` (CCNet-style line/block dedup) in
+    granularity: blocks there are DISJOINT, so a duplicated passage that
+    straddles a block boundary survives; here shingles slide at stride 1,
+    so any duplicated run of ≥ ``span_words`` tokens is caught wherever
+    it starts, and partially-duplicated documents keep their unique
+    remainder — the suffix-array semantics, reached by sliding n-grams
+    instead of a suffix array (which doesn't distribute).
+
+    Removal policy matches segment_dedup: a duplicated span is removed
+    from EVERY document (boilerplate semantics), not all-but-one.
+
+    Output: ``(id_col, n_tokens, n_dup_tokens, text_dedup)`` where
+    ``n_dup_tokens`` counts distinct masked positions and ``text_dedup``
+    re-joins the surviving tokens in order.
+
+    Plan: shingling is map-side (explode of start indices + array slice,
+    bounded by the largest single doc); the corpus-wide occurrence count
+    is one window shuffle keyed on the shingle text; coverage explodes
+    only DUPLICATED instances (×span_words on the duplicated subset, not
+    the corpus) into one doc-keyed agg; one doc-keyed join re-attaches
+    coverage to the full corpus. ~3 shuffles, none carrying more than the
+    duplicated fraction plus one row per doc. At 100 TB swap the window
+    key for ``md5(seg)`` exactly as segment_dedup documents.
+    """
+    from pyspark.sql import Window as W
+
+    t = F.trim(F.col(text_col))
+    toks = F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+    n = F.size(toks)
+    starts = F.when(
+        n >= span_words, F.sequence(F.lit(0), n - span_words)
+    ).otherwise(F.array().cast("array<int>"))
+    spans = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.explode(starts).alias("start"),
+    ).select(
+        id_col,
+        F.col("start").cast("long").alias("start"),
+        F.concat_ws(
+            " ", F.slice(F.col("__toks"), F.col("start") + 1, span_words)
+        ).alias("seg"),
+    )
+    occ = F.count(F.lit(1)).over(W.partitionBy("seg"))
+    covered = (
+        spans.withColumn("__occ", occ)
+        .filter(F.col("__occ") > max_occurrences)
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + span_words - 1)
+            ).alias("pos"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(F.array_distinct(F.collect_list("pos"))).alias(
+                "__cov"
+            )
+        )
+    )
+    cov = F.coalesce(F.col("__cov"), F.array().cast("array<long>"))
+    # pyspark passes (element, index) to a 2-arg lambda — here that's
+    # exactly what we want: keep tokens whose 0-based index is unmasked
+    keep = F.filter(
+        toks, lambda x, i: ~F.array_contains(cov, i.cast("long"))
+    )
+    return (
+        df.join(covered, id_col, "left")
+        .select(
+            id_col,
+            n.cast("long").alias("n_tokens"),
+            F.size(cov).cast("long").alias("n_dup_tokens"),
+            F.concat_ws(" ", keep).alias("text_dedup"),
+        )
+    )
+
+
 def incremental_exact_dedup(
     batch: DataFrame,
     ledger: DataFrame,

@@ -1681,6 +1681,62 @@ def bm25_search_topk(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_duplicate_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+      FROM documents
+    ), spans AS (
+      SELECT doc_id, unnest(range(0, greatest(len(t) - 4, 0))) AS start, t
+      FROM toks
+    ), segs AS (
+      SELECT doc_id, start,
+             array_to_string(t[start + 1 : start + 5], ' ') AS seg
+      FROM spans
+    ), dup AS (
+      SELECT doc_id, start FROM (
+        SELECT doc_id, start, count(*) OVER (PARTITION BY seg) AS occ
+        FROM segs
+      ) WHERE occ > 1
+    ), covered AS (
+      SELECT DISTINCT doc_id, start + u.i AS pos
+      FROM dup CROSS JOIN (SELECT unnest(range(0, 5)) AS i) u
+    ), tokpos AS (
+      SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) - 1 AS pos
+      FROM toks
+    )
+    SELECT tk.doc_id,
+           CAST(len(tk.t) AS BIGINT) AS n_tokens,
+           CAST(coalesce(cv.n_cov, 0) AS BIGINT) AS n_dup_tokens,
+           coalesce(kp.txt, '') AS text_dedup
+    FROM toks tk
+    LEFT JOIN (SELECT doc_id, count(*) AS n_cov FROM covered GROUP BY 1) cv
+      ON cv.doc_id = tk.doc_id
+    LEFT JOIN (
+      SELECT tp.doc_id, string_agg(tp.w, ' ' ORDER BY tp.pos) AS txt
+      FROM tokpos tp
+      LEFT JOIN covered c ON c.doc_id = tp.doc_id AND c.pos = tp.pos
+      WHERE c.pos IS NULL
+      GROUP BY tp.doc_id
+    ) kp ON kp.doc_id = tk.doc_id
+    """,
+    note="Substring-level duplicate-span masking "
+    "(operators/dedup.duplicate_span_mask): Lee-et-al ExactSubstr "
+    "semantics via stride-1 sliding shingles — catches duplicated runs "
+    "that straddle segment_dedup's disjoint block boundaries; coverage "
+    "explodes only the duplicated subset; ~3 bounded shuffles",
+)
+def dedup_duplicate_spans(spark, sf_dir):
+    from py_etl_spark.operators.dedup import duplicate_span_mask
+
+    return duplicate_span_mask(
+        _t(spark, sf_dir, "documents"), span_words=5, max_occurrences=1
+    )
+
+
 # =========================================================================
 # Training-data pipeline: dedup / text analysis / similarity
 # =========================================================================

@@ -678,6 +678,45 @@ def test_kmv_sketch_accuracy_exact_below_k_and_merge(spark):
     assert kmv_estimate(merged, 64) == float(su.estimate)
 
 
+def test_duplicate_span_mask_straddles_block_boundaries(spark):
+    from py_etl_spark.operators.dedup import duplicate_span_mask
+
+    df = spark.createDataFrame(
+        [
+            (1, "x1 x2 a b c d e y1 y2"),
+            (2, "z1 a b c d e z2 z3"),
+            (3, "a b c"),
+            (4, ""),
+            (5, "a b c d e a b c d e"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in duplicate_span_mask(df, span_words=5).collect()}
+    # the shared 5-run is masked in every doc; unique remainders survive
+    assert out[1].text_dedup == "x1 x2 y1 y2" and out[1].n_dup_tokens == 5
+    assert out[2].text_dedup == "z1 z2 z3" and out[2].n_dup_tokens == 5
+    # doc 5 repeats the run twice (and "e a b c d" etc. also recur via
+    # doc1/doc2 overlap windows only if duplicated); every covered
+    # position is counted once
+    assert out[5].n_dup_tokens >= 10 - 4
+    # shorter-than-span docs and empty docs pass through untouched
+    assert out[3].text_dedup == "a b c" and out[3].n_dup_tokens == 0
+    assert out[4].n_tokens == 0 and out[4].text_dedup == ""
+
+    # contrast: disjoint-block segment_dedup MISSES the straddling run
+    # (no 5-token block of doc1 equals any block of doc2)
+    from py_etl_spark.operators.dedup import segment_dedup
+
+    seg = {
+        r.doc_id: r
+        for r in segment_dedup(
+            df.filter(F.col("doc_id").isin(1, 2)), segment_words=5
+        ).collect()
+    }
+    assert seg[1].n_kept == seg[1].n_segments
+    assert seg[2].n_kept == seg[2].n_segments
+
+
 def test_bigram_lm_hand_computed_bits_and_oov_backoff(spark):
     from py_etl_spark.operators.lm import lm_score, train_bigram_lm
 
