@@ -93,6 +93,11 @@ HEADLINE = [
     "fuzzy_join_part_names",
     "dedup_incremental_batch",
     "kmv_distinct_rollup",
+    # round 4, fourth batch:
+    "cm_sketch_events",
+    "lm_fluency_bits",
+    "bm25_search_topk",
+    "dedup_duplicate_spans",
 ]
 
 # Scale-sensitive subset for the 10x block: joins, window aggs, Python
@@ -116,6 +121,10 @@ SF1_SUBSET = [
     "kmv_distinct_users",
     "zorder_key_orders",
     "events_rolling_7d",
+    # round 4, fourth batch (cm: counter merge; bm25: map-side scorer —
+    # both key-offset-clean; lm/dup-spans are content ops, excluded)
+    "cm_sketch_events",
+    "bm25_search_topk",
 ]
 
 # key columns to offset per replica copy so FK relationships replicate

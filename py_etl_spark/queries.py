@@ -4789,11 +4789,11 @@ def st_hopping_window_agg(spark, sf_dir):
 # The external driver checks registry entries in dict order and caps its
 # list at 50. Emit the registry in an explicit priority order so the cap
 # lands on queries whose correctness is independently evidenced elsewhere:
-#   _FRONT (r04 late rotation, 50): every query with NO driver row in any
-#           round yet (the 28 added during r04), then bpe_token_count_fixed
-#           (replay oracle hardened r04), then 21 of the 43 whose latest
-#           driver-green row is r02;
-#   middle: the 22 r02-green queries that didn't fit the window (they keep
+#   _FRONT (r04 final rotation, 50): every query with NO driver row in any
+#           round yet (the ones added during r04, newest first), then
+#           bpe_token_count_fixed (replay oracle hardened r04), then the
+#           r02-green queries that still fit;
+#   middle: the r02-green queries that didn't fit the window (they keep
 #           their r02 rows; first in line for r05) plus anything added
 #           after this rotation;
 #   _TAIL (50): the queries with a fresh green r03 driver row —
@@ -4803,6 +4803,11 @@ def st_hopping_window_agg(spark, sf_dir):
 _FRONT = [
     # never driver-checked (added r04 after the last rotation) — highest
     # priority for the 50-slot window:
+    "cm_sketch_events",
+    "cm_estimate_heavy_users",
+    "lm_fluency_bits",
+    "bm25_search_topk",
+    "dedup_duplicate_spans",
     "corpus_pack_examples",
     "quality_repetition_metrics",
     "embedding_quantize_int8",
@@ -4851,11 +4856,6 @@ _FRONT = [
     "q10_returned_revenue",
     "ivf_assign_fixed",
     "q7_nation_volume",
-    "q12_priority_lineclass",
-    "q19_disjunctive_brand_revenue",
-    "token_count_bpe",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
 ]
 _TAIL = [
     "jsonl_roundtrip_documents",

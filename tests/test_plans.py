@@ -457,3 +457,41 @@ def test_dedup_incremental_no_exchange_to_one(spark):
     assert single_partition_exchange_count(df) == 0
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_cm_sketch_bounded_shuffles(spark):
+    df = Q.REGISTRY["cm_sketch_events"].fn(spark, SF_MED)
+    # depth-way explode is map-side; (group, d, pos) count is the only
+    # data-sized shuffle, then two metadata-sized assembly aggs
+    assert shuffle_count(df) == 3
+    assert single_partition_exchange_count(df) == 0
+
+
+def test_lm_score_no_cartesian_no_exchange_to_one(spark):
+    df = Q.REGISTRY["lm_fluency_bits"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # model joins are equi-joins (broadcast or shuffled), never a cross
+    # product; per-doc totals never collapse to one partition
+    assert "CartesianProduct" not in plan
+    assert single_partition_exchange_count(df) == 0
+
+
+def test_bm25_scorer_is_map_side_plus_topk(spark):
+    df = Q.REGISTRY["bm25_search_topk"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # corpus stats collapse into ONE broadcast-scalar agg row; the
+    # per-doc scorer is a map-side expression over the scan and top-k is
+    # TakeOrderedAndProject (per-partition heaps), not a global sort
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+    # the only aggregation shuffle is the single-row stats agg
+    assert shuffle_count(df) <= 1
+
+
+def test_duplicate_span_mask_bounded_shuffles(spark):
+    df = Q.REGISTRY["dedup_duplicate_spans"].fn(spark, SF_MED)
+    # shingle-occurrence window + doc coverage agg + doc join-back
+    assert shuffle_count(df) <= 4
+    assert single_partition_exchange_count(df) == 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
