@@ -234,6 +234,86 @@ def bloom_build(
     )
 
 
+def _half_up(x: float) -> int:
+    """floor(x + 0.5): pinned rounding for driver-side estimates.
+    Python's built-in round() is banker's (half-to-even) while DuckDB's
+    and Spark's round are half-up — any driver-computed value that an
+    oracle re-derives must use ONE convention, so both sides say
+    floor(x + 0.5) explicitly."""
+    import math
+
+    return int(math.floor(x + 0.5))
+
+
+def kmv_set_estimates(
+    sa: list[int], sb: list[int], k: int
+) -> dict[str, int]:
+    """Set-operation estimates from two KMV sketches (Beyer et al. 2007,
+    "On synopses for distinct-value estimation"): merge to the k smallest
+    of the union; the fraction of merged hashes present in BOTH sketches
+    estimates Jaccard; intersection = Jaccard × union. Driver-side over
+    sketch arrays (metadata, ≤ 2k longs) — the distributed build stays
+    in :func:`kmv_distinct`.
+
+    Returns ``{'est_a','est_b','est_union','est_intersection'}`` (all
+    ints; exact when the inputs are below k — a complete sketch IS the
+    value set).
+    """
+    seta, setb = set(sa), set(sb)
+    union = sorted(seta | setb)[:k]
+    big_k = len(union)
+    cnt_both = sum(1 for h in union if h in seta and h in setb)
+    if big_k < k:
+        est_union = big_k
+        est_inter = cnt_both
+    else:
+        kth = union[-1]
+        est_union = _half_up(float(k - 1) * HASH_SPACE / float(kth))
+        est_inter = _half_up(
+            float(cnt_both) / float(big_k) * float(est_union)
+        )
+    def side(s: list[int]) -> int:
+        # same estimator as kmv_estimate but with pinned half-up rounding
+        if len(s) < k:
+            return len(s)
+        return _half_up(float(k - 1) * HASH_SPACE / float(s[k - 1]))
+
+    return {
+        "est_a": side(sa),
+        "est_b": side(sb),
+        "est_union": est_union,
+        "est_intersection": est_inter,
+    }
+
+
+def kmv_join_size_estimate(
+    sa: list[int],
+    sb: list[int],
+    rows_a: int,
+    rows_b: int,
+    k: int,
+) -> dict[str, int]:
+    """Equi-join cardinality estimate from per-table (row count, key
+    sketch) — the cost-based-optimizer NDV formula, made mergeable and
+    engine-portable: |A ⋈ B| ≈ |keys(A) ∩ keys(B)| · avg-multiplicity(A)
+    · avg-multiplicity(B), under per-key uniformity (the same assumption
+    every NDV-based planner makes; skewed keys need the CM sketch's
+    frequency view on top).
+
+    The point at 100 TB: both inputs' statistics are tiny mergeable
+    sketches maintainable per partition/file and rolled up without
+    re-touching data, so broadcast-vs-shuffle and join-order decisions
+    can be made BEFORE launching the join.
+    """
+    est = kmv_set_estimates(sa, sb, k)
+    ma = float(rows_a) / float(max(est["est_a"], 1))
+    mb = float(rows_b) / float(max(est["est_b"], 1))
+    est["est_join_rows"] = _half_up(
+        float(est["est_intersection"]) * ma * mb
+    )
+    return est
+
+
 # ---- Count-min sketch -----------------------------------------------------
 
 

@@ -1737,6 +1737,111 @@ def dedup_duplicate_spans(spark, sf_dir):
     )
 
 
+@query(
+    "kmv_join_size_estimate",
+    """
+    WITH sa AS (
+      SELECT h FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (
+          SELECT DISTINCT
+                 CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+                      AS BIGINT) AS h
+          FROM orders)
+      ) WHERE rn <= 256
+    ), sb AS (
+      SELECT h FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (
+          SELECT DISTINCT
+                 CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))
+                      AS BIGINT) AS h
+          FROM lineitem)
+      ) WHERE rn <= 256
+    ), u AS (
+      SELECT h FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (
+          SELECT DISTINCT h
+          FROM (SELECT h FROM sa UNION ALL SELECT h FROM sb))
+      ) WHERE rn <= 256
+    ), stats AS (
+      SELECT (SELECT count(*) FROM u)  AS big_k,
+             (SELECT max(h)   FROM u)  AS kth,
+             (SELECT count(*) FROM u
+               WHERE h IN (SELECT h FROM sa)
+                 AND h IN (SELECT h FROM sb)) AS cb,
+             (SELECT count(*) FROM sa) AS ka,
+             (SELECT max(h)   FROM sa) AS akth,
+             (SELECT count(*) FROM sb) AS kb,
+             (SELECT max(h)   FROM sb) AS bkth,
+             (SELECT count(*) FROM orders)   AS na,
+             (SELECT count(*) FROM lineitem) AS nb,
+             (SELECT count(*) FROM orders JOIN lineitem
+                ON l_orderkey = o_orderkey) AS exact_join
+    ), est1 AS (
+      SELECT *,
+        CASE WHEN ka < 256 THEN ka ELSE CAST(floor(
+          255.0 * 1152921504606846976.0 / akth + 0.5) AS BIGINT) END AS est_a,
+        CASE WHEN kb < 256 THEN kb ELSE CAST(floor(
+          255.0 * 1152921504606846976.0 / bkth + 0.5) AS BIGINT) END AS est_b,
+        CASE WHEN big_k < 256 THEN big_k ELSE CAST(floor(
+          255.0 * 1152921504606846976.0 / kth + 0.5) AS BIGINT) END
+          AS est_union
+      FROM stats
+    ), est2 AS (
+      SELECT *,
+        CASE WHEN big_k < 256 THEN cb ELSE CAST(floor(
+          CAST(cb AS DOUBLE) / big_k * est_union + 0.5) AS BIGINT) END
+          AS est_intersection
+      FROM est1
+    )
+    SELECT est_a, est_b, est_union, est_intersection,
+           CAST(floor(CAST(est_intersection AS DOUBLE)
+                * (CAST(na AS DOUBLE) / greatest(est_a, 1))
+                * (CAST(nb AS DOUBLE) / greatest(est_b, 1)) + 0.5)
+             AS BIGINT) AS est_join_rows,
+           CAST(exact_join AS BIGINT) AS exact_join_rows
+    FROM est2
+    """,
+    note="Join cardinality from mergeable KMV key sketches "
+    "(operators/sketch.kmv_set_estimates / kmv_join_size_estimate): the "
+    "cost-based-optimizer NDV formula — intersection x avg "
+    "multiplicities — computable from per-file rollup sketches BEFORE "
+    "launching the join; est and exact emitted side by side, rounding "
+    "pinned half-up on both engines",
+)
+def kmv_join_size_estimate(spark, sf_dir):
+    from py_etl_spark.operators.sketch import (
+        kmv_distinct,
+        kmv_join_size_estimate as _est,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    k = 256
+    sa = list(
+        kmv_distinct(orders.select("o_orderkey"), "o_orderkey", k)
+        .collect()[0].sketch
+    )
+    sb = list(
+        kmv_distinct(li.select("l_orderkey"), "l_orderkey", k)
+        .collect()[0].sketch
+    )
+    na, nb = orders.count(), li.count()
+    est = _est(sa, sb, na, nb, k)
+    exact = orders.join(
+        li, orders.o_orderkey == li.l_orderkey
+    ).count()
+    return spark.range(1).select(
+        F.lit(est["est_a"]).cast("long").alias("est_a"),
+        F.lit(est["est_b"]).cast("long").alias("est_b"),
+        F.lit(est["est_union"]).cast("long").alias("est_union"),
+        F.lit(est["est_intersection"]).cast("long").alias(
+            "est_intersection"
+        ),
+        F.lit(est["est_join_rows"]).cast("long").alias("est_join_rows"),
+        F.lit(int(exact)).cast("long").alias("exact_join_rows"),
+    )
+
+
 # =========================================================================
 # Training-data pipeline: dedup / text analysis / similarity
 # =========================================================================
@@ -4805,6 +4910,7 @@ _FRONT = [
     # priority for the 50-slot window:
     "cm_sketch_events",
     "cm_estimate_heavy_users",
+    "kmv_join_size_estimate",
     "lm_fluency_bits",
     "bm25_search_topk",
     "dedup_duplicate_spans",
@@ -4855,7 +4961,6 @@ _FRONT = [
     "q4_order_priority_exists",
     "q10_returned_revenue",
     "ivf_assign_fixed",
-    "q7_nation_volume",
 ]
 _TAIL = [
     "jsonl_roundtrip_documents",

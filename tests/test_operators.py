@@ -678,6 +678,40 @@ def test_kmv_sketch_accuracy_exact_below_k_and_merge(spark):
     assert kmv_estimate(merged, 64) == float(su.estimate)
 
 
+def test_kmv_join_size_estimate_accuracy_and_exact_below_k(spark):
+    from py_etl_spark.operators.sketch import (
+        kmv_distinct,
+        kmv_join_size_estimate,
+        kmv_set_estimates,
+    )
+
+    def sketch(ids, k):
+        df = spark.createDataFrame([(i,) for i in ids], "v long")
+        return list(kmv_distinct(df, "v", k=k).collect()[0].sketch)
+
+    # saturated path: |A|=1000 keys ×3 rows, |B|=1000 keys ×2 rows,
+    # overlap 500 → true join = 500·3·2 = 3000
+    k = 128
+    sa = sketch(range(1000), k)
+    sb = sketch(range(500, 1500), k)
+    est = kmv_join_size_estimate(sa, sb, rows_a=3000, rows_b=2000, k=k)
+    assert abs(est["est_intersection"] - 500) / 500 < 0.35
+    assert abs(est["est_union"] - 1500) / 1500 < 0.30
+    assert abs(est["est_join_rows"] - 3000) / 3000 < 0.45
+
+    # below-k path: when even the UNION stays under k, complete sketches
+    # make every set estimate EXACT
+    k = 128
+    sa = sketch(range(50), k)
+    sb = sketch(range(30, 80), k)
+    est = kmv_set_estimates(sa, sb, k)
+    assert est == {
+        "est_a": 50, "est_b": 50, "est_union": 80, "est_intersection": 20
+    }
+    j = kmv_join_size_estimate(sa, sb, rows_a=50, rows_b=50, k=k)
+    assert j["est_join_rows"] == 20
+
+
 def test_duplicate_span_mask_straddles_block_boundaries(spark):
     from py_etl_spark.operators.dedup import duplicate_span_mask
 
