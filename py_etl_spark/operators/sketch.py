@@ -314,6 +314,118 @@ def kmv_join_size_estimate(
     return est
 
 
+# ---- Fixed-bin histogram sketch -------------------------------------------
+
+
+def hist_sketch(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-group fixed-bin histogram sketch — the HDR-histogram-shaped
+    quantile/distribution primitive: ``bins`` equal-width counters over
+    ``[lo, hi)`` with clamped overflow bins, plus exact n/min/max.
+
+    Why beside ``approxQuantile``/``percentile_approx``: Spark's GK/KLL
+    state is engine-private; these counters are plain longs, so sketches
+    merge by elementwise ``+`` (same linearity as the CM sketch — exact
+    under per-partition rollup, shuffle-order-independent), persist
+    beside the table, and any engine reproduces and reads them. Quantile
+    error is bounded by one bin width — fixed a priori by (hi-lo)/bins,
+    not data-dependent.
+
+    Plan: bin assignment is map-side arithmetic; one (group, bin) count
+    shuffle (map-side partial agg); one metadata-sized assembly agg.
+    Output: ``group_cols + (counts, n, min_v, max_v)``.
+    """
+    width = (float(hi) - float(lo)) / bins
+    v = F.col(col).cast("double")
+    binc = F.least(
+        F.greatest(
+            F.floor((v - F.lit(float(lo))) / F.lit(width)).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(bins - 1),
+    )
+    groups = [F.col(g) for g in group_cols]
+    cells = (
+        df.select(*groups, v.alias("__v"), binc.alias("__b"))
+        .groupBy(*group_cols, "__b")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min("__v").alias("mn"),
+            F.max("__v").alias("mx"),
+        )
+    )
+    entries = F.map_from_entries(
+        F.collect_list(F.struct(F.col("__b"), F.col("c")))
+    )
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(bins - 1)),
+        lambda i: F.coalesce(
+            F.try_element_at(entries, i.cast("int")), F.lit(0).cast("long")
+        ),
+    )
+    return cells.groupBy(*[F.col(g) for g in group_cols]).agg(
+        counts.alias("counts"),
+        F.sum("c").alias("n"),
+        F.min("mn").alias("min_v"),
+        F.max("mx").alias("max_v"),
+    )
+
+
+def hist_quantiles(
+    sketch: DataFrame,
+    lo: float,
+    hi: float,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Quantile estimates from a histogram sketch, as a pure Column
+    expression walk over the counts array (no shuffle): for each q, take
+    the first bin whose cumulative count reaches ``q·n`` and interpolate
+    uniformly within it. Estimate error ≤ one bin width by construction.
+
+    Deterministic cross-engine: the cumulative array is integers, the
+    interpolation is one fixed-association double expression, rounded.
+    Output: ``group_cols + (n, q<q> per requested quantile)``.
+    """
+    cum = F.aggregate(
+        F.col("counts"),
+        F.array().cast("array<long>"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(0)) + x
+            ),
+        ),
+    )
+    out = sketch.withColumn("__cum", cum)
+    n = F.col("n").cast("double")
+    sel = [F.col(g) for g in group_cols] + [F.col("n")]
+    nbins = F.size(F.col("counts"))
+    width = (F.lit(float(hi)) - F.lit(float(lo))) / nbins
+    for q in qs:
+        target = F.lit(float(q)) * n
+        # first index (1-based) whose cumulative count >= target
+        idx = F.array_position(
+            F.transform(F.col("__cum"), lambda c: c >= target), True
+        )
+        cum_at = F.element_at(F.col("__cum"), idx.cast("int"))
+        c_at = F.element_at(F.col("counts"), idx.cast("int"))
+        est = F.lit(float(lo)) + width * (
+            (idx - 1).cast("double")
+            + (target - (cum_at - c_at).cast("double")) / c_at.cast("double")
+        )
+        sel.append(
+            F.round(est, 4).alias(f"q{str(q).replace('.', '_')}")
+        )
+    return out.select(*sel)
+
+
 # ---- Count-min sketch -----------------------------------------------------
 
 

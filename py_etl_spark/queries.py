@@ -1842,6 +1842,76 @@ def kmv_join_size_estimate(spark, sf_dir):
     )
 
 
+@query(
+    "hist_quantile_prices",
+    """
+    WITH binned AS (
+      SELECT l_returnflag,
+             least(greatest(CAST(floor(
+               (CAST(l_extendedprice AS DOUBLE) - 0.0)
+               / ((110000.0 - 0.0) / 256)) AS INT), 0), 255) AS b
+      FROM lineitem
+    ), cells AS (
+      SELECT l_returnflag, b, count(*) AS c FROM binned GROUP BY 1, 2
+    ), grid AS (
+      SELECT gg.l_returnflag, gb.b
+      FROM (SELECT DISTINCT l_returnflag FROM binned) gg
+      CROSS JOIN (SELECT unnest(range(0, 256)) AS b) gb
+    ), filled AS (
+      SELECT grid.l_returnflag, grid.b, coalesce(cells.c, 0) AS c
+      FROM grid LEFT JOIN cells
+        ON cells.l_returnflag = grid.l_returnflag AND cells.b = grid.b
+    ), cum AS (
+      SELECT l_returnflag, b, c,
+             sum(c) OVER (PARTITION BY l_returnflag ORDER BY b) AS cm,
+             sum(c) OVER (PARTITION BY l_returnflag) AS n
+      FROM filled
+    ), firsts AS (
+      SELECT l_returnflag,
+             min(CASE WHEN cm >= 0.5  * CAST(n AS DOUBLE) THEN b END) AS b50,
+             min(CASE WHEN cm >= 0.95 * CAST(n AS DOUBLE) THEN b END) AS b95,
+             min(CASE WHEN cm >= 0.99 * CAST(n AS DOUBLE) THEN b END) AS b99,
+             CAST(max(n) AS BIGINT) AS n
+      FROM cum GROUP BY 1
+    )
+    SELECT f.l_returnflag, f.n,
+      round(0.0 + ((110000.0 - 0.0) / 256) * (CAST(f.b50 AS DOUBLE)
+        + (0.5 * CAST(f.n AS DOUBLE) - CAST(c50.cm - c50.c AS DOUBLE))
+          / CAST(c50.c AS DOUBLE)), 4) AS q0_5,
+      round(0.0 + ((110000.0 - 0.0) / 256) * (CAST(f.b95 AS DOUBLE)
+        + (0.95 * CAST(f.n AS DOUBLE) - CAST(c95.cm - c95.c AS DOUBLE))
+          / CAST(c95.c AS DOUBLE)), 4) AS q0_95,
+      round(0.0 + ((110000.0 - 0.0) / 256) * (CAST(f.b99 AS DOUBLE)
+        + (0.99 * CAST(f.n AS DOUBLE) - CAST(c99.cm - c99.c AS DOUBLE))
+          / CAST(c99.c AS DOUBLE)), 4) AS q0_99
+    FROM firsts f
+    JOIN cum c50 ON c50.l_returnflag = f.l_returnflag AND c50.b = f.b50
+    JOIN cum c95 ON c95.l_returnflag = f.l_returnflag AND c95.b = f.b95
+    JOIN cum c99 ON c99.l_returnflag = f.l_returnflag AND c99.b = f.b99
+    """,
+    note="Histogram-sketch quantiles (operators/sketch.hist_sketch + "
+    "hist_quantiles): plain-long equal-width counters — mergeable by "
+    "elementwise +, engine-portable, error bounded by one bin width a "
+    "priori (the HDR-histogram niche Spark's engine-private GK/KLL "
+    "state can't serve); estimate is a shuffle-free Column walk",
+)
+def hist_quantile_prices(spark, sf_dir):
+    from py_etl_spark.operators.sketch import hist_quantiles, hist_sketch
+
+    sk = hist_sketch(
+        _t(spark, sf_dir, "lineitem"),
+        col="l_extendedprice",
+        lo=0.0,
+        hi=110000.0,
+        bins=256,
+        group_cols=("l_returnflag",),
+    )
+    return hist_quantiles(
+        sk, lo=0.0, hi=110000.0, qs=(0.5, 0.95, 0.99),
+        group_cols=("l_returnflag",),
+    )
+
+
 # =========================================================================
 # Training-data pipeline: dedup / text analysis / similarity
 # =========================================================================
@@ -4911,6 +4981,7 @@ _FRONT = [
     "cm_sketch_events",
     "cm_estimate_heavy_users",
     "kmv_join_size_estimate",
+    "hist_quantile_prices",
     "lm_fluency_bits",
     "bm25_search_topk",
     "dedup_duplicate_spans",

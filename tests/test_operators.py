@@ -678,6 +678,40 @@ def test_kmv_sketch_accuracy_exact_below_k_and_merge(spark):
     assert kmv_estimate(merged, 64) == float(su.estimate)
 
 
+def test_hist_sketch_quantile_error_bounded_by_bin_width(spark):
+    from py_etl_spark.operators.sketch import hist_quantiles, hist_sketch
+
+    # skewed values in [0, 1000): quantile estimates must land within
+    # one bin width of the exact order statistics
+    vals = [float((i * i) % 1000) for i in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    lo, hi, bins = 0.0, 1000.0, 100
+    width = (hi - lo) / bins
+    sk = hist_sketch(df, "v", lo, hi, bins)
+    out = hist_quantiles(sk, lo, hi, qs=(0.5, 0.95, 0.99)).collect()[0]
+    svals = sorted(vals)
+    import math
+
+    for q, got in ((0.5, out.q0_5), (0.95, out.q0_95), (0.99, out.q0_99)):
+        exact = svals[max(int(math.ceil(q * len(vals))) - 1, 0)]
+        assert abs(got - exact) <= width, (q, got, exact)
+    assert out.n == len(vals)
+
+    # counters clamp out-of-range values into the edge bins
+    oob = spark.createDataFrame([(-5.0,), (1e9,)], "v double")
+    c = hist_sketch(oob, "v", lo, hi, bins).collect()[0]
+    assert c.counts[0] == 1 and c.counts[bins - 1] == 1
+    assert c.min_v == -5.0 and c.max_v == 1e9
+
+    # merge linearity: counts(A ∪ B) == counts(A) + counts(B)
+    a = spark.createDataFrame([(float(i % 997),) for i in range(2000)], "v double")
+    b = spark.createDataFrame([(float(i % 61),) for i in range(500)], "v double")
+    ca = hist_sketch(a, "v", lo, hi, bins).collect()[0].counts
+    cb = hist_sketch(b, "v", lo, hi, bins).collect()[0].counts
+    cu = hist_sketch(a.union(b), "v", lo, hi, bins).collect()[0].counts
+    assert [x + y for x, y in zip(ca, cb)] == list(cu)
+
+
 def test_kmv_join_size_estimate_accuracy_and_exact_below_k(spark):
     from py_etl_spark.operators.sketch import (
         kmv_distinct,

@@ -495,3 +495,11 @@ def test_duplicate_span_mask_bounded_shuffles(spark):
     assert single_partition_exchange_count(df) == 0
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_hist_sketch_two_shuffles_quantile_walk_free(spark):
+    df = Q.REGISTRY["hist_quantile_prices"].fn(spark, SF_MED)
+    # bin assignment map-side; (group, bin) count + per-group assembly;
+    # the quantile estimate is a pure Column walk over the counts array
+    assert shuffle_count(df) == 2
+    assert single_partition_exchange_count(df) == 0
