@@ -86,3 +86,74 @@ def compact_state(store, target_bytes: int = 128 << 20, meta: dict | None = None
         df.repartition(n),
         meta={**(meta or {}), "compacted_from": root_ver},
     )
+
+
+def analyze_table(df, cols: list[str], ndv_k: int = 256):
+    """ANALYZE-style per-column statistics in one logical pass — the
+    stats layer that feeds NDV-based planning (see
+    ``sketch.kmv_join_size_estimate``): for each requested column, row
+    count, non-null count, typed min/max (rendered as strings), and a
+    KMV distinct-count estimate (exact below ``ndv_k``).
+
+    Plan shape: typed min/max/counts collapse into ONE global aggregate
+    row (partial agg per partition, single final row — metadata); NDV
+    runs through :func:`~py_etl_spark.operators.sketch.kmv_distinct`
+    over a map-side unpivot of (column, value-hash), so the only
+    data-sized shuffles are the KMV distinct + per-column top-k. The
+    |cols|-way unpivot blowup is the standard ANALYZE cost; restrict
+    ``cols`` to what planning needs.
+
+    Output: one row per column —
+    ``(column, n_rows, n_nonnull, ndv_est, ndv_kept, min_value,
+    max_value)``.
+    """
+    from pyspark.sql import functions as F
+
+    from py_etl_spark.operators.sketch import kmv_distinct
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"nn_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"mx_{c}"),
+        ]
+    onerow = df.agg(*aggs)
+    percol = onerow.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col("n_rows").alias("n_rows"),
+                        F.col(f"nn_{c}").alias("n_nonnull"),
+                        F.col(f"mn_{c}").alias("min_value"),
+                        F.col(f"mx_{c}").alias("max_value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    unpivot = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    ).select("s.*").filter(F.col("v").isNotNull())
+    ndv = kmv_distinct(unpivot, "v", k=ndv_k, group_cols=("column",)).select(
+        "column",
+        F.col("estimate").alias("ndv_est"),
+        F.col("n_kept").alias("ndv_kept"),
+    )
+    return percol.join(ndv, "column", "left").select(
+        "column", "n_rows", "n_nonnull", "ndv_est", "ndv_kept",
+        "min_value", "max_value",
+    )

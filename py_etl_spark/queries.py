@@ -1912,6 +1912,50 @@ def hist_quantile_prices(spark, sf_dir):
     )
 
 
+def _analyze_col_oracle(col: str) -> str:
+    """One UNION-ALL block of the analyze_stats_orders oracle: stats +
+    KMV NDV for one orders column, mirroring maintenance.analyze_table."""
+    return f"""
+    SELECT '{col}' AS "column",
+           (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+           (SELECT CAST(count({col}) AS BIGINT) FROM orders) AS n_nonnull,
+           (SELECT CAST(CASE WHEN count(*) < 256 THEN count(*)
+                   ELSE round(255.0 * 1152921504606846976.0 / max(h))
+                   END AS BIGINT)
+            FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (
+                    SELECT DISTINCT CAST(('0x' || substr(
+                      md5(CAST({col} AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+                    FROM orders WHERE {col} IS NOT NULL))
+            WHERE rn <= 256) AS ndv_est,
+           (SELECT CAST(least(count(DISTINCT {col}), 256) AS BIGINT)
+            FROM orders WHERE {col} IS NOT NULL) AS ndv_kept,
+           (SELECT CAST(min({col}) AS VARCHAR) FROM orders) AS min_value,
+           (SELECT CAST(max({col}) AS VARCHAR) FROM orders) AS max_value
+    """
+
+
+@query(
+    "analyze_stats_orders",
+    " UNION ALL ".join(
+        _analyze_col_oracle(c)
+        for c in ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    ),
+    note="ANALYZE-style column statistics "
+    "(operators/maintenance.analyze_table): typed min/max + null counts "
+    "in ONE global aggregate row, NDV via per-column KMV sketches "
+    "(mergeable — at 100 TB the NDV rolls up per file instead of a "
+    "count-distinct shuffle per column); feeds kmv_join_size_estimate",
+)
+def analyze_stats_orders(spark, sf_dir):
+    from py_etl_spark.operators.maintenance import analyze_table
+
+    return analyze_table(
+        _t(spark, sf_dir, "orders"),
+        cols=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"],
+        ndv_k=256,
+    )
+
+
 # =========================================================================
 # Training-data pipeline: dedup / text analysis / similarity
 # =========================================================================
@@ -4982,6 +5026,7 @@ _FRONT = [
     "cm_estimate_heavy_users",
     "kmv_join_size_estimate",
     "hist_quantile_prices",
+    "analyze_stats_orders",
     "lm_fluency_bits",
     "bm25_search_topk",
     "dedup_duplicate_spans",

@@ -678,6 +678,22 @@ def test_kmv_sketch_accuracy_exact_below_k_and_merge(spark):
     assert kmv_estimate(merged, 64) == float(su.estimate)
 
 
+def test_analyze_table_stats_and_exact_ndv_below_k(spark):
+    from py_etl_spark.operators.maintenance import analyze_table
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 1.5), (3, "b", 2.5), (4, None, 2.5)],
+        "id long, s string, x double",
+    )
+    out = {r.column: r for r in analyze_table(df, ["id", "s", "x"], ndv_k=64).collect()}
+    assert out["id"].n_rows == 4 and out["id"].n_nonnull == 4
+    assert out["id"].ndv_est == 4 and out["id"].min_value == "1"
+    assert out["s"].n_nonnull == 3 and out["s"].ndv_est == 2
+    assert out["s"].min_value == "a" and out["s"].max_value == "b"
+    assert out["x"].n_nonnull == 3 and out["x"].ndv_est == 2
+    assert out["x"].min_value == "1.5" and out["x"].max_value == "2.5"
+
+
 def test_hist_sketch_quantile_error_bounded_by_bin_width(spark):
     from py_etl_spark.operators.sketch import hist_quantiles, hist_sketch
 

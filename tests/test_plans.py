@@ -503,3 +503,13 @@ def test_hist_sketch_two_shuffles_quantile_walk_free(spark):
     # the quantile estimate is a pure Column walk over the counts array
     assert shuffle_count(df) == 2
     assert single_partition_exchange_count(df) == 0
+
+
+def test_analyze_table_bounded_shuffles_no_cartesian(spark):
+    df = Q.REGISTRY["analyze_stats_orders"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # global 1-row agg + KMV distinct/top-k over the unpivot + the tiny
+    # per-column join — never a data-sized exchange-to-one beyond the
+    # single-row stats aggregate
+    assert shuffle_count(df) <= 5
