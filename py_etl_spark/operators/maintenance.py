@@ -157,3 +157,51 @@ def analyze_table(df, cols: list[str], ndv_k: int = 256):
         "column", "n_rows", "n_nonnull", "ndv_est", "ndv_kept",
         "min_value", "max_value",
     )
+
+
+def agg_partial(df, keys: list[str], sum_cols: list[str] = (),
+                min_cols: list[str] = (), max_cols: list[str] = ()):
+    """Partial-aggregate shape for incremental view maintenance: per
+    key-group, a row count plus sums/mins/maxes. The OUTPUT of this is
+    what gets persisted as the materialized aggregate — counts and sums
+    are linear, min/max are idempotent-monotone, so partials from any
+    data partitioning combine exactly (the same algebra Spark's own
+    map-side partial aggregation relies on, lifted to cross-JOB scope).
+    """
+    from pyspark.sql import functions as F
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [F.sum(c).alias(f"sum_{c}") for c in sum_cols]
+    aggs += [F.min(c).alias(f"min_{c}") for c in min_cols]
+    aggs += [F.max(c).alias(f"max_{c}") for c in max_cols]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def incremental_agg_merge(snapshot, delta, keys: list[str]):
+    """Fold a new batch's partial aggregate into the maintained one:
+    union + re-combine. Cost is O(|groups| + |batch groups|) — the fact
+    table is NEVER re-read; a daily refresh over 100 TB touches only the
+    day's partition plus the (tiny) aggregate table. Columns follow the
+    :func:`agg_partial` naming convention; both inputs must share it.
+
+    The rebuild-equivalence guarantee (merge(partial(A), partial(B)) ==
+    partial(A ∪ B)) is pinned by the ``agg_incremental_monthly_revenue``
+    oracle on real data and the unit test on adversarial splits.
+    """
+    from pyspark.sql import functions as F
+
+    cols = [c for c in snapshot.columns if c not in keys]
+    both = snapshot.select(*keys, *cols).unionByName(
+        delta.select(*keys, *cols)
+    )
+    aggs = []
+    for c in cols:
+        if c == "n" or c.startswith("sum_"):
+            aggs.append(F.sum(c).alias(c))
+        elif c.startswith("min_"):
+            aggs.append(F.min(c).alias(c))
+        elif c.startswith("max_"):
+            aggs.append(F.max(c).alias(c))
+        else:
+            raise ValueError(f"unmergeable aggregate column: {c}")
+    return both.groupBy(*keys).agg(*aggs)

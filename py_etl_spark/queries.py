@@ -1912,6 +1912,58 @@ def hist_quantile_prices(spark, sf_dir):
     )
 
 
+@query(
+    "agg_incremental_monthly_revenue",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m')        AS month,
+           CAST(count(*) AS BIGINT)              AS n,
+           round(sum(o_totalprice), 2)           AS revenue,
+           round(min(o_totalprice), 2)           AS min_order,
+           round(max(o_totalprice), 2)           AS max_order
+    FROM orders GROUP BY 1
+    """,
+    note="Incremental materialized-aggregate maintenance "
+    "(operators/maintenance.agg_partial + incremental_agg_merge): the "
+    "Spark path maintains the monthly rollup by merging a pre-cutoff "
+    "snapshot partial with the new batch's partial (union + recombine, "
+    "O(groups + batch) — the fact table is never re-read), while the "
+    "oracle rebuilds from scratch; hash-match IS the rebuild-"
+    "equivalence proof on real data",
+)
+def agg_incremental_monthly_revenue(spark, sf_dir):
+    from py_etl_spark.operators.maintenance import (
+        agg_partial,
+        incremental_agg_merge,
+    )
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    cutoff = "1997-01-01"
+    snap = agg_partial(
+        orders.filter(F.col("o_orderdate") < cutoff),
+        keys=["month"],
+        sum_cols=["o_totalprice"],
+        min_cols=["o_totalprice"],
+        max_cols=["o_totalprice"],
+    )
+    delta = agg_partial(
+        orders.filter(F.col("o_orderdate") >= cutoff),
+        keys=["month"],
+        sum_cols=["o_totalprice"],
+        min_cols=["o_totalprice"],
+        max_cols=["o_totalprice"],
+    )
+    merged = incremental_agg_merge(snap, delta, keys=["month"])
+    return merged.select(
+        "month",
+        F.col("n").cast("long").alias("n"),
+        F.round("sum_o_totalprice", 2).alias("revenue"),
+        F.round("min_o_totalprice", 2).alias("min_order"),
+        F.round("max_o_totalprice", 2).alias("max_order"),
+    )
+
+
 def _analyze_col_oracle(col: str) -> str:
     """One UNION-ALL block of the analyze_stats_orders oracle: stats +
     KMV NDV for one orders column, mirroring maintenance.analyze_table."""
@@ -5027,6 +5079,7 @@ _FRONT = [
     "kmv_join_size_estimate",
     "hist_quantile_prices",
     "analyze_stats_orders",
+    "agg_incremental_monthly_revenue",
     "lm_fluency_bits",
     "bm25_search_topk",
     "dedup_duplicate_spans",

@@ -678,6 +678,39 @@ def test_kmv_sketch_accuracy_exact_below_k_and_merge(spark):
     assert kmv_estimate(merged, 64) == float(su.estimate)
 
 
+def test_incremental_agg_merge_equals_rebuild_on_adversarial_splits(spark):
+    from py_etl_spark.operators.maintenance import (
+        agg_partial,
+        incremental_agg_merge,
+    )
+
+    rows = [(i % 5, float(i), i % 3) for i in range(200)]
+    df = spark.createDataFrame(rows, "g long, x double, y long")
+    kw = dict(keys=["g"], sum_cols=["x"], min_cols=["y"], max_cols=["y"])
+    full = {r.g: r for r in agg_partial(df, **kw).collect()}
+    # adversarial splits: empty delta, single-group delta, interleaved
+    for pred in [F.lit(False), F.col("g") == 2, F.col("x") % 2 == 0]:
+        snap = agg_partial(df.filter(~pred), **kw)
+        delta = agg_partial(df.filter(pred), **kw)
+        merged = {
+            r.g: r for r in incremental_agg_merge(snap, delta, ["g"]).collect()
+        }
+        assert set(merged) == set(full)
+        for g in full:
+            assert merged[g].n == full[g].n
+            assert abs(merged[g].sum_x - full[g].sum_x) < 1e-9
+            assert merged[g].min_y == full[g].min_y
+            assert merged[g].max_y == full[g].max_y
+
+    # unmergeable columns are rejected loudly, not silently misfolded
+    bad = agg_partial(df, keys=["g"]).withColumn("avg_x", F.lit(1.0))
+    try:
+        incremental_agg_merge(bad, bad, ["g"])
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "unmergeable" in str(e)
+
+
 def test_analyze_table_stats_and_exact_ndv_below_k(spark):
     from py_etl_spark.operators.maintenance import analyze_table
 
