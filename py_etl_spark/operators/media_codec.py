@@ -142,3 +142,56 @@ def codec_decode_features(content: bytes | None, dim: int = 8):
         raise ValueError("unsupported media format (PNG/WAV pure-Python "
                          "codecs only; inject PIL/ffmpeg for the rest)")
     return (feats + [0.0] * dim)[:dim]
+
+
+def encode_png(pixels: bytes, width: int, height: int, channels: int) -> bytes:
+    """Encode raw 8-bit pixels back into a valid PNG (filter 0 on every
+    scanline, one zlib-compressed IDAT). With :func:`parse_png` this
+    closes the decode → transform → re-encode loop without any imaging
+    library: ``parse_png(encode_png(px, ...))['pixels'] == px``."""
+    color = {1: 0, 2: 4, 3: 2, 4: 6}.get(channels)
+    if color is None:
+        raise ValueError(f"unsupported channel count {channels}")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer does not match dimensions")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    stride = width * channels
+    raw = b"".join(
+        b"\x00" + bytes(pixels[y * stride:(y + 1) * stride])
+        for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_nearest(
+    pixels: bytes, width: int, height: int, channels: int,
+    new_width: int, new_height: int,
+) -> bytes:
+    """Nearest-neighbor resample of a raw 8-bit pixel buffer — the
+    deterministic, library-free transform stage (source index =
+    ``i * old // new``, the standard NN mapping)."""
+    out = bytearray(new_width * new_height * channels)
+    o = 0
+    for y in range(new_height):
+        sy = y * height // new_height
+        row_off = sy * width * channels
+        for x in range(new_width):
+            sx = x * width // new_width
+            p = row_off + sx * channels
+            out[o:o + channels] = pixels[p:p + channels]
+            o += channels
+    return bytes(out)

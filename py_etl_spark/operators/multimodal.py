@@ -147,3 +147,87 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+THUMBNAIL_SCHEMA = (
+    "media_id long, width int, height int, thumb_width int, "
+    "thumb_height int, thumb_png binary, thumb_error string"
+)
+
+
+def thumbnail_images(
+    media: DataFrame, max_side: int = 16, batch_bucket_bytes: int = 64 << 20
+) -> DataFrame:
+    """Real decode → transform → re-encode media pipeline, end to end in
+    pure Python over Arrow batches: PNG rows are decoded
+    (:func:`media_codec.parse_png`), nearest-neighbor downsampled so the
+    longer side is ≤ ``max_side`` (aspect preserved, never upscaled),
+    and re-encoded as valid PNGs (:func:`media_codec.encode_png`).
+    Non-PNG / undecodable rows route to the ``thumb_error`` channel
+    instead of failing the job — the same error-channel contract as
+    ``extract_features``.
+
+    Same scale posture as the feature extractor: size-bucketed
+    repartition bounds each task's Arrow payload; the UDF is a generator
+    so memory is per-batch; every row is independent (zero shuffles
+    beyond the bucketing repartition).
+    """
+    from py_etl_spark.operators.media_codec import (
+        encode_png,
+        parse_png,
+        resize_nearest,
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: []
+                for k in (
+                    "media_id", "width", "height", "thumb_width",
+                    "thumb_height", "thumb_png", "thumb_error",
+                )
+            }
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                w = h = tw = th = None
+                png = err = None
+                try:
+                    if content is None:
+                        raise ValueError("null content")
+                    m = parse_png(bytes(content))
+                    if m["pixels"] is None:
+                        raise ValueError(
+                            "unsupported PNG variant (palette/16-bit/"
+                            "interlaced)"
+                        )
+                    w, h = m["width"], m["height"]
+                    scale = max(w, h) / max_side
+                    if scale <= 1:
+                        tw, th = w, h
+                        px = bytes(m["pixels"])
+                    else:
+                        tw = max(int(w / scale), 1)
+                        th = max(int(h / scale), 1)
+                        px = resize_nearest(
+                            bytes(m["pixels"]), w, h, m["channels"], tw, th
+                        )
+                    png = encode_png(px, tw, th, m["channels"])
+                except Exception as e:  # noqa: BLE001 — error channel
+                    err = str(e)[:200]
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["thumb_width"].append(tw)
+                out["thumb_height"].append(th)
+                out["thumb_png"].append(png)
+                out["thumb_error"].append(err)
+            yield pd.DataFrame(out)
+
+    bucketed = media.repartition(
+        F.ceil(
+            F.coalesce(F.length("content"), F.lit(0)) / batch_bucket_bytes
+        ).cast("int"),
+        F.col("media_id"),
+    )
+    return bucketed.select("media_id", "content").mapInPandas(
+        op, schema=THUMBNAIL_SCHEMA
+    )

@@ -289,6 +289,47 @@ def test_media_codec_decodes_real_png_and_wav(spark):
     assert out[3].feature is None and "unsupported media format" in out[3].decode_error
 
 
+def test_thumbnail_pipeline_decodes_resizes_reencodes(spark):
+    from py_etl_spark.operators.media_codec import (
+        encode_png,
+        parse_png,
+        resize_nearest,
+    )
+    from py_etl_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        thumbnail_images,
+    )
+
+    # 8x4 RGB gradient: every pixel distinct so resampling errors show
+    w, h, ch = 8, 4, 3
+    px = bytes((y * w + x) * ch + c & 0xFF for y in range(h) for x in range(w) for c in range(ch))
+    png = encode_png(px, w, h, ch)
+    assert bytes(parse_png(png)["pixels"]) == px  # codec roundtrip
+
+    rows = [
+        (1, "image", bytearray(png), "image/png", w, h, None),
+        (2, "image", bytearray(b"not a png"), "image/png", 0, 0, None),
+        (3, "image", None, "image/png", None, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in thumbnail_images(media, max_side=4).collect()}
+
+    t = out[1]
+    assert (t.width, t.height, t.thumb_width, t.thumb_height) == (8, 4, 4, 2)
+    assert t.thumb_error is None
+    m = parse_png(bytes(t.thumb_png))
+    assert (m["width"], m["height"]) == (4, 2)
+    # pixels equal the reference nearest-neighbor resample exactly
+    assert bytes(m["pixels"]) == resize_nearest(px, w, h, ch, 4, 2)
+    # error channel, not job failure
+    assert out[2].thumb_png is None and "not a PNG" in out[2].thumb_error
+    assert out[3].thumb_png is None and "null content" in out[3].thumb_error
+
+    # image already within bounds: re-encoded, pixels unchanged
+    small = {r.media_id: r for r in thumbnail_images(media, max_side=16).collect()}
+    assert bytes(parse_png(bytes(small[1].thumb_png))["pixels"]) == px
+
+
 def test_multimodal_features_and_frames(spark):
     media = synthetic_media(spark, 9)
     feats = extract_features(media).collect()
