@@ -256,3 +256,80 @@ class VersionedState:
                 continue
             if prefix < retained[0]:
                 self._fs.delete(st.getPath(), True)
+
+
+def change_feed(
+    store: "VersionedState",
+    key_cols: tuple[str, ...],
+    from_version: int | None = None,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change-data-feed between two committed versions — the Delta-CDF
+    analog for :class:`VersionedState`: a full-outer join of the two
+    snapshots on ``key_cols`` classifying every key as
+    ``insert`` / ``delete`` / ``update`` (with the changed column names)
+    and dropping unchanged rows.
+
+    This is what downstream consumers poll instead of re-reading the
+    whole table: the output is proportional to the CHANGE volume, and
+    because both sides are versions of the same table (same layout, same
+    partitioning), the join keys co-locate and AQE keeps the exchange
+    minimal. Column comparison is null-safe (``<=>``), so NULL→value and
+    value→NULL both register as changes.
+
+    Output: ``key_cols + (change_type, changed_cols)`` where
+    ``changed_cols`` is the sorted array of differing column names
+    (empty for insert/delete).
+    """
+    from pyspark.sql import functions as F
+
+    lo = from_version
+    hi = to_version
+    # presence markers instead of key-null tests: a NULL key value in the
+    # data must not masquerade as an absent row
+    old = store.read(lo).withColumn("__op", F.lit(True)).alias("o")
+    new = store.read(hi).withColumn("__np", F.lit(True)).alias("n")
+    shared = [
+        c
+        for c in store.read(lo).columns
+        if c in set(store.read(hi).columns) and c not in key_cols
+    ]
+    cond = None
+    for k in key_cols:
+        e = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+        cond = e if cond is None else cond & e
+    j = old.join(new, cond, "full_outer")
+    old_present = F.col("o.__op").isNotNull()
+    new_present = F.col("n.__np").isNotNull()
+    diffs = F.array_sort(
+        F.filter(
+            F.array(
+                *[
+                    F.when(
+                        ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}")),
+                        F.lit(c),
+                    )
+                    for c in shared
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    ctype = (
+        F.when(~old_present, F.lit("insert"))
+        .when(~new_present, F.lit("delete"))
+        .when(F.size(diffs) > 0, F.lit("update"))
+    )
+    return (
+        j.select(
+            *[
+                F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k)
+                for k in key_cols
+            ],
+            ctype.alias("change_type"),
+            F.when(
+                old_present & new_present, diffs
+            ).otherwise(F.array().cast("array<string>")).alias("changed_cols"),
+        )
+        .filter(F.col("change_type").isNotNull())
+    )

@@ -739,3 +739,41 @@ def test_stream_stream_interval_join_matches_batch_range_join(spark):
         (F.col("anchor_ts") <= F.lit(b1_max)) & (F.col("probe_ts") > F.lit(b1_max))
     )
     assert crossers.count() > 0
+
+
+def test_change_feed_classifies_insert_update_delete(spark):
+    """CDF between two committed versions: output proportional to change
+    volume, unchanged rows absent, null-safe column compare, and a NULL
+    key value does not masquerade as an absent row."""
+    import tempfile as _tf
+
+    from py_etl_spark.streaming.state_store import VersionedState, change_feed
+
+    store = VersionedState(
+        spark, _tf.mkdtemp() + "/state", partition_by=(), keep_versions=4
+    )
+    v1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, None, 30), (None, "n", 40)],
+        "k long, v string, x long",
+    )
+    store.commit(v1)
+    v2 = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (4, "d", 40), (None, "n", 41)],
+        "k long, v string, x long",
+    )
+    store.commit(v2)
+
+    rows = {
+        r.k: r
+        for r in change_feed(
+            store, ("k",), from_version=store.versions()[0]
+        ).collect()
+    }
+    assert rows[2].change_type == "update" and rows[2].changed_cols == ["v"]
+    assert rows[3].change_type == "delete" and rows[3].changed_cols == []
+    assert rows[4].change_type == "insert"
+    # NULL key matched null-safely: it is an UPDATE (x 40->41), not a
+    # delete+insert pair
+    assert rows[None].change_type == "update" and rows[None].changed_cols == ["x"]
+    assert 1 not in rows  # unchanged row suppressed
+    assert len(rows) == 4
