@@ -10,6 +10,7 @@ parallelizes linearly with input splits.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -228,4 +229,62 @@ def quality_score_hashed_linear(
         n.cast("long").alias("n_tokens"),
         F.round(logit, 6).alias("logit"),
         (logit >= 0).alias("is_quality"),
+    )
+
+
+# ---- Unicode text normalization ------------------------------------------
+
+# Control chars (minus \t\n\r), zero-width & BOM — dropped outright
+_CTRL_RE = ("[\x00-\x08\x0B\x0C\x0E-\x1F\x7F"
+            "\u200b\u200c\u200d\ufeff]")
+# Unicode space family — folded to ASCII space before collapsing
+_USPACE_RE = "[\u00a0\u1680\u2000-\u200a\u202f\u205f\u3000]"
+
+
+def clean_text_exprs(text: Column) -> Column:
+    """Column-side text cleanup (everything except NFC): drop control and
+    zero-width characters, fold unicode spaces, straighten smart quotes
+    and long dashes, collapse whitespace runs, trim. Pure JVM regex —
+    zero shuffles, codegen'd."""
+    t = F.regexp_replace(text, _CTRL_RE, "")
+    t = F.regexp_replace(t, _USPACE_RE, " ")
+    t = F.translate(t, "‘’‚“”„–—",
+                    "'''\"\"\"--")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_clean"
+) -> DataFrame:
+    """Full normalization: Unicode NFC composition (Python
+    ``unicodedata`` via an Arrow-batched pandas UDF — Spark has no
+    builtin NFC; DuckDB's ``nfc_normalize`` reproduces it exactly, which
+    the oracle exploits) followed by :func:`clean_text_exprs`.
+
+    NFC first, cleanup second: composition can only merge combining
+    marks into precomposed forms, never create the control/space/quote
+    code points the cleanup targets, so the order is confluent — and
+    running the regex family on composed text means offsets seen by
+    downstream tokenizers match what any NFC-normalizing trainer sees.
+
+    Map-side only (the pandas UDF is a scalar batch transform — no
+    grouping, no shuffle); appends ``out_col`` and a ``changed`` flag.
+    """
+    import unicodedata
+
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.StringType())
+    def nfc(col: pd.Series) -> pd.Series:
+        return col.map(
+            lambda s: unicodedata.normalize("NFC", s)
+            if s is not None
+            else None
+        )
+
+    cleaned = clean_text_exprs(nfc(F.col(text_col)))
+    return df.withColumn(out_col, cleaned).withColumn(
+        "changed", ~F.col(out_col).eqNullSafe(F.col(text_col))
     )

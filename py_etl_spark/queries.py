@@ -1913,6 +1913,55 @@ def hist_quantile_prices(spark, sf_dir):
 
 
 @query(
+    "text_normalize_unicode",
+    r"""
+    WITH messed AS (
+      SELECT doc_id,
+             replace(text, 'a', 'a' || chr(769))
+               || chr(160) || chr(8220) || 'quoted' || chr(8221)
+               || chr(7) || ' end' || chr(8203) AS mess
+      FROM documents
+    ), cleaned AS (
+      SELECT doc_id, mess,
+        trim(regexp_replace(
+          translate(
+            regexp_replace(
+              regexp_replace(
+                nfc_normalize(mess),
+                '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200b}\x{200c}\x{200d}\x{feff}]',
+                '', 'g'),
+              '[\x{00a0}\x{1680}\x{2000}-\x{200a}\x{202f}\x{205f}\x{3000}]',
+              ' ', 'g'),
+            chr(8216) || chr(8217) || chr(8218) || chr(8220) || chr(8221)
+              || chr(8222) || chr(8211) || chr(8212),
+            repeat(chr(39), 3) || repeat(chr(34), 3) || '--'),
+          '\s+', ' ', 'g')) AS text_clean
+      FROM messed
+    )
+    SELECT doc_id, text_clean, (text_clean <> mess) AS changed
+    FROM cleaned
+    """,
+    note="Unicode text normalization (operators/textstats.normalize_text "
+    "+ clean_text_exprs): NFC composition via Arrow pandas UDF (DuckDB's "
+    "nfc_normalize reproduces Python unicodedata exactly — the oracle "
+    "injects decomposed accents, smart quotes, unicode spaces, control "
+    "and zero-width chars into every doc and both engines must emit the "
+    "same cleaned string), then JVM-regex cleanup; map-side, 0 shuffles",
+)
+def text_normalize_unicode(spark, sf_dir):
+    from py_etl_spark.operators.textstats import normalize_text
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace(F.col("text"), "a", "á"),
+            F.lit(" “quoted” end​"),
+        ).alias("text"),
+    )
+    return normalize_text(docs).select("doc_id", "text_clean", "changed")
+
+
+@query(
     "agg_incremental_monthly_revenue",
     """
     SELECT strftime(o_orderdate, '%Y-%m')        AS month,
@@ -5080,6 +5129,7 @@ _FRONT = [
     "hist_quantile_prices",
     "analyze_stats_orders",
     "agg_incremental_monthly_revenue",
+    "text_normalize_unicode",
     "lm_fluency_bits",
     "bm25_search_topk",
     "dedup_duplicate_spans",

@@ -719,6 +719,35 @@ def test_kmv_sketch_accuracy_exact_below_k_and_merge(spark):
     assert kmv_estimate(merged, 64) == float(su.estimate)
 
 
+def test_normalize_text_nfc_cleanup_and_idempotence(spark):
+    from py_etl_spark.operators.textstats import normalize_text
+
+    rows = [
+        (1, "cafe\u0301  du\u00a0parc"),          # decomposed + NBSP + runs
+        (2, "\u201csmart\u201d \u2014 quotes\u2019"),
+        (3, "bad\x07chars\u200bhere"),
+        (4, None),
+        (5, "already clean"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in normalize_text(df).collect()}
+    assert out[1].text_clean == "caf\u00e9 du parc"      # composed é
+    assert out[2].text_clean == "\"smart\" - quotes'"
+    assert out[3].text_clean == "badcharshere"
+    assert out[4].text_clean is None and not out[4].changed
+    assert out[5].text_clean == "already clean" and not out[5].changed
+    assert out[1].changed and out[2].changed and out[3].changed
+
+    # idempotence: normalizing the normalized text is the identity
+    again = normalize_text(
+        spark.createDataFrame(
+            [(k, v.text_clean) for k, v in out.items() if v.text_clean],
+            "doc_id long, text string",
+        )
+    )
+    assert all(not r.changed for r in again.collect())
+
+
 def test_incremental_agg_merge_equals_rebuild_on_adversarial_splits(spark):
     from py_etl_spark.operators.maintenance import (
         agg_partial,
