@@ -84,3 +84,80 @@ def rolling_mean(
     return dense.withColumn(
         out_col, F.round(F.avg(value_col).over(w), round_to)
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    start_col: str = "start_s",
+    end_col: str = "end_s",
+    bucket_seconds: int = 3600,
+    suffixes: tuple[str, str] = ("_l", "_r"),
+) -> DataFrame:
+    """Interval-interval overlap join — the two-sided generalization of
+    the banded point-in-interval range join (queries.
+    range_join_followup_events): emit one row per (left, right) pair
+    with the same ``key_col`` whose ``[start, end]`` intervals overlap
+    (closed-interval semantics: ``l.start <= r.end AND r.start <=
+    l.end``).
+
+    A naive theta join is a per-key cross product. Banding fixes it:
+    each interval explodes to every ``bucket_seconds`` bucket it
+    touches, the join becomes an equi-join on (key, bucket) with the
+    exact overlap predicate as a residual — but an overlapping pair now
+    meets in EVERY shared bucket. The standard dedup trick keeps the
+    plan distinct-free: accept the pair only in the bucket containing
+    ``max(l.start, r.start)`` — exactly one bucket qualifies per pair
+    (both intervals span it: it's inside each one's [start, end]), so no
+    ``distinct()`` and no second shuffle.
+
+    Columns: both inputs must carry ``key_col`` + integer-second
+    ``start_col``/``end_col``; all other columns pass through with
+    ``suffixes``. Cost: shuffle ∝ Σ interval-width/bucket; choose
+    ``bucket_seconds`` near the typical interval length so most
+    intervals explode to ≤2 buckets.
+    """
+    sl, sr = suffixes
+
+    def banded(df: DataFrame, suf: str) -> DataFrame:
+        renamed = df.select(
+            F.col(key_col),
+            *[
+                F.col(c).alias(f"{c}{suf}")
+                for c in df.columns
+                if c != key_col
+            ],
+        )
+        lo = (F.col(f"{start_col}{suf}") / bucket_seconds).cast("long")
+        hi = (F.col(f"{end_col}{suf}") / bucket_seconds).cast("long")
+        return renamed.withColumn(
+            "__bucket", F.explode(F.sequence(lo, hi))
+        )
+    lb = banded(left, sl)
+    rb = banded(right, sr)
+    ls, le = F.col(f"{start_col}{sl}"), F.col(f"{end_col}{sl}")
+    rs, re_ = F.col(f"{start_col}{sr}"), F.col(f"{end_col}{sr}")
+    anchor_bucket = (
+        F.greatest(ls, rs) / bucket_seconds
+    ).cast("long")
+    joined = lb.alias("l").join(
+        rb.alias("r"),
+        (F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
+        & (F.col("l.__bucket") == F.col("r.__bucket"))
+        & (ls <= re_)
+        & (rs <= le)
+        & (F.col("l.__bucket") == anchor_bucket),
+    )
+    keep = [F.col(f"l.{key_col}").alias(key_col)]
+    keep += [
+        F.col(f"l.{c}{sl}").alias(f"{c}{sl}")
+        for c in left.columns
+        if c != key_col
+    ]
+    keep += [
+        F.col(f"r.{c}{sr}").alias(f"{c}{sr}")
+        for c in right.columns
+        if c != key_col
+    ]
+    return joined.select(*keep)

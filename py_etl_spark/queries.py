@@ -1962,6 +1962,54 @@ def text_normalize_unicode(spark, sf_dir):
 
 
 @query(
+    "interval_overlap_signup_purchase",
+    """
+    WITH iv AS (
+      SELECT user_id, event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT)        AS s,
+             CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS e
+      FROM events
+    )
+    SELECT l.user_id,
+           l.event_id AS event_id_l,
+           r.event_id AS event_id_r
+    FROM iv l JOIN iv r
+      ON l.user_id = r.user_id
+     AND l.event_type = 'signup' AND r.event_type = 'purchase'
+     AND l.s <= r.e AND r.s <= l.e
+    """,
+    note="Interval-interval overlap join "
+    "(operators/timeseries.interval_overlap_join): both sides banded "
+    "into epoch-hour buckets, equi-join on (key, bucket) + residual "
+    "overlap predicate, pair accepted ONLY in the bucket containing "
+    "max(starts) — exactly one bucket qualifies, so no distinct() and "
+    "no dedup shuffle; the two-sided generalization of the range join",
+)
+def interval_overlap_signup_purchase(spark, sf_dir):
+    from py_etl_spark.operators.timeseries import interval_overlap_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.floor(F.col("ts").cast("double")).cast("long").alias("start_s"),
+    ).withColumn("end_s", F.col("start_s") + 1800)
+    left = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "event_id", "start_s", "end_s"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "start_s", "end_s"
+    )
+    return interval_overlap_join(
+        left, right, key_col="user_id", bucket_seconds=3600
+    ).select(
+        "user_id",
+        F.col("event_id_l"),
+        F.col("event_id_r"),
+    )
+
+
+@query(
     "agg_incremental_monthly_revenue",
     """
     SELECT strftime(o_orderdate, '%Y-%m')        AS month,
@@ -5130,6 +5178,7 @@ _FRONT = [
     "analyze_stats_orders",
     "agg_incremental_monthly_revenue",
     "text_normalize_unicode",
+    "interval_overlap_signup_purchase",
     "lm_fluency_bits",
     "bm25_search_topk",
     "dedup_duplicate_spans",

@@ -719,6 +719,31 @@ def test_kmv_sketch_accuracy_exact_below_k_and_merge(spark):
     assert kmv_estimate(merged, 64) == float(su.estimate)
 
 
+def test_interval_overlap_join_once_per_pair_closed_endpoints(spark):
+    from py_etl_spark.operators.timeseries import interval_overlap_join
+
+    # bucket=10s; the 100s-long intervals share MANY buckets — the
+    # max-start anchor must still emit each pair exactly once
+    left = spark.createDataFrame(
+        [("u", 1, 0, 100), ("u", 2, 50, 60), ("v", 3, 0, 10)],
+        "k string, id long, start_s long, end_s long",
+    )
+    right = spark.createDataFrame(
+        [("u", 10, 90, 200),   # overlaps 1 (90..100) but not 2
+         ("u", 11, 60, 70),    # touches 2 at 60 (closed) and is inside 1
+         ("u", 12, 101, 110),  # disjoint from 1 (starts after end)
+         ("w", 13, 0, 100)],   # same times, different key
+        "k string, id long, start_s long, end_s long",
+    )
+    out = interval_overlap_join(
+        left, right, key_col="k", bucket_seconds=10
+    ).collect()
+    pairs = sorted((r.id_l, r.id_r) for r in out)
+    assert pairs == [(1, 10), (1, 11), (2, 11)]
+    # no duplicate pairs despite multi-bucket overlap spans
+    assert len(pairs) == len(set(pairs))
+
+
 def test_normalize_text_nfc_cleanup_and_idempotence(spark):
     from py_etl_spark.operators.textstats import normalize_text
 

@@ -513,3 +513,15 @@ def test_analyze_table_bounded_shuffles_no_cartesian(spark):
     # per-column join — never a data-sized exchange-to-one beyond the
     # single-row stats aggregate
     assert shuffle_count(df) <= 5
+
+
+def test_interval_overlap_join_no_cartesian_no_dedup_agg(spark):
+    df = Q.REGISTRY["interval_overlap_signup_purchase"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # banded equi-join with the max-start anchor: no cross product AND no
+    # dedup aggregate anywhere (pairs are emitted exactly once by
+    # construction); one exchange per join side at most
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Aggregate" not in plan
+    assert shuffle_count(df) <= 2
