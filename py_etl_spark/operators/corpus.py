@@ -368,3 +368,50 @@ def sample_mixture(
     default_thr = F.lit(int(round(default_rate * 1_000_000)))
     thr = default_thr if thr is None else thr.otherwise(default_thr)
     return df.filter(bucket < thr)
+
+
+def sample_stratified_exact(
+    df: DataFrame,
+    n_per_stratum: int,
+    strata_cols: tuple[str, ...] = ("source",),
+    id_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Exact-count stratified sampling: the ``n_per_stratum`` rows of
+    each stratum with the smallest salted id-hashes — a uniform draw
+    without replacement, but with a GUARANTEED per-stratum count
+    (eval-set construction wants "exactly 500 per language", which
+    rate-based :func:`sample_mixture` can only hit in expectation).
+
+    Same determinism doctrine as every sampler here: the order key is
+    ``md5(id:salt)``, never ``rand()`` — task retries, repartitioning and
+    re-runs pick the identical sample, a different salt draws an
+    independent one, and any engine reproduces it bit-for-bit.
+    Ties are impossible for distinct ids (hash injective on the 15-hex
+    prefix up to astronomically unlikely collisions, and ``id`` breaks
+    even those).
+
+    One shuffle: the per-stratum top-n window. At extreme per-stratum
+    cardinality the same refactor as KMV applies: local per-partition
+    top-n, then re-top-n — safe because "n smallest of n-smallest
+    unions" composes.
+
+    Output: the sampled rows (all input columns) plus ``sample_rank``
+    (1-based within the stratum).
+    """
+    from pyspark.sql import Window as W
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    w = W.partitionBy(*[F.col(c) for c in strata_cols]).orderBy(
+        h.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n_per_stratum)
+    )

@@ -2010,6 +2010,37 @@ def interval_overlap_signup_purchase(spark, sf_dir):
 
 
 @query(
+    "corpus_sample_stratified",
+    """
+    SELECT doc_id, source, lang, sample_rank FROM (
+      SELECT doc_id, source, lang,
+             row_number() OVER (
+               PARTITION BY source, lang
+               ORDER BY CAST(('0x' || substr(
+                   md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 15))
+                 AS BIGINT) ASC, doc_id ASC
+             ) AS sample_rank
+      FROM documents
+    ) WHERE sample_rank <= 10
+    """,
+    note="Exact-count stratified sampling "
+    "(operators/corpus.sample_stratified_exact): guaranteed n per "
+    "stratum via salted-hash top-n — uniform without replacement, "
+    "retry/repartition-stable, independent draws per salt; one "
+    "window shuffle, same local-top-n rollup refactor as KMV at "
+    "extreme stratum cardinality",
+)
+def corpus_sample_stratified(spark, sf_dir):
+    from py_etl_spark.operators.corpus import sample_stratified_exact
+
+    return sample_stratified_exact(
+        _t(spark, sf_dir, "documents").select("doc_id", "source", "lang"),
+        n_per_stratum=10,
+        strata_cols=("source", "lang"),
+    )
+
+
+@query(
     "agg_incremental_monthly_revenue",
     """
     SELECT strftime(o_orderdate, '%Y-%m')        AS month,
@@ -5179,6 +5210,7 @@ _FRONT = [
     "agg_incremental_monthly_revenue",
     "text_normalize_unicode",
     "interval_overlap_signup_purchase",
+    "corpus_sample_stratified",
     "lm_fluency_bits",
     "bm25_search_topk",
     "dedup_duplicate_spans",

@@ -719,6 +719,40 @@ def test_kmv_sketch_accuracy_exact_below_k_and_merge(spark):
     assert kmv_estimate(merged, 64) == float(su.estimate)
 
 
+def test_sample_stratified_exact_counts_and_salt_independence(spark):
+    from py_etl_spark.operators.corpus import sample_stratified_exact
+
+    rows = [(i, "web" if i % 3 else "books") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sample_stratified_exact(df, 20, strata_cols=("source",))
+    by_src = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_src == {"web": 20, "books": 20}  # EXACT counts, not expected
+    ids1 = sorted(r.doc_id for r in out.collect())
+    # retry/repartition-stable
+    ids2 = sorted(
+        r.doc_id
+        for r in sample_stratified_exact(
+            df.repartition(13), 20, strata_cols=("source",)
+        ).collect()
+    )
+    assert ids1 == ids2
+    # a different salt draws a (almost surely) different sample
+    ids3 = sorted(
+        r.doc_id
+        for r in sample_stratified_exact(
+            df, 20, strata_cols=("source",), salt="other"
+        ).collect()
+    )
+    assert ids1 != ids3
+    # stratum smaller than n: whole stratum kept, ranks 1..|stratum|
+    tiny = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id long, source string")
+    t = sample_stratified_exact(tiny, 20, strata_cols=("source",)).collect()
+    assert sorted(r.sample_rank for r in t) == [1, 2]
+
+
 def test_interval_overlap_join_once_per_pair_closed_endpoints(spark):
     from py_etl_spark.operators.timeseries import interval_overlap_join
 
