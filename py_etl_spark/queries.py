@@ -2041,6 +2041,80 @@ def corpus_sample_stratified(spark, sf_dir):
 
 
 @query(
+    "pagerank_part_supplier",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT 'p:' || CAST(l_partkey AS VARCHAR) AS src,
+                      's:' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM lineitem
+    ), e AS (
+      SELECT src, dst FROM pairs
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM pairs
+    ), nodes AS (
+      SELECT DISTINCT node
+      FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+    ), deg AS (
+      SELECT src AS node, count(*) AS deg FROM e GROUP BY 1
+    ), consts AS (
+      SELECT 1000000 // count(*) AS init,
+             (CAST(150000 AS BIGINT) * 1000000 // count(*)) // 1000000 AS base
+      FROM nodes
+    ), pr0 AS (
+      SELECT node, CAST((SELECT init FROM consts) AS BIGINT) AS r
+      FROM nodes
+    ), c1 AS (
+      SELECT e.dst AS node, sum(pr0.r // deg.deg) AS im
+      FROM e JOIN pr0 ON pr0.node = e.src JOIN deg ON deg.node = e.src
+      GROUP BY 1
+    ), pr1 AS (
+      SELECT nodes.node,
+             CAST((SELECT base FROM consts)
+                  + CAST(850000 AS BIGINT) * coalesce(c1.im, 0) // 1000000 AS BIGINT) AS r
+      FROM nodes LEFT JOIN c1 ON c1.node = nodes.node
+    ), c2 AS (
+      SELECT e.dst AS node, sum(pr1.r // deg.deg) AS im
+      FROM e JOIN pr1 ON pr1.node = e.src JOIN deg ON deg.node = e.src
+      GROUP BY 1
+    ), pr2 AS (
+      SELECT nodes.node,
+             CAST((SELECT base FROM consts)
+                  + CAST(850000 AS BIGINT) * coalesce(c2.im, 0) // 1000000 AS BIGINT) AS r
+      FROM nodes LEFT JOIN c2 ON c2.node = nodes.node
+    ), c3 AS (
+      SELECT e.dst AS node, sum(pr2.r // deg.deg) AS im
+      FROM e JOIN pr2 ON pr2.node = e.src JOIN deg ON deg.node = e.src
+      GROUP BY 1
+    ), pr3 AS (
+      SELECT nodes.node,
+             CAST((SELECT base FROM consts)
+                  + CAST(850000 AS BIGINT) * coalesce(c3.im, 0) // 1000000 AS BIGINT) AS r
+      FROM nodes LEFT JOIN c3 ON c3.node = nodes.node
+    )
+    SELECT node, r AS rank_micro FROM pr3
+    """,
+    note="Fixed-point integer PageRank (operators/graph."
+    "pagerank_fixed_point) over the bipartite part↔supplier co-supply "
+    "graph: ranks in micro-units, per-edge shares are integer floor-"
+    "divisions, per-node sums exact BIGINT — iterative graph analytics "
+    "with order-free distributed sums, bit-exact vs the 3-iteration "
+    "unrolled oracle; 2 key-partitioned shuffles per iteration",
+)
+def pagerank_part_supplier(spark, sf_dir):
+    from py_etl_spark.operators.graph import pagerank_fixed_point
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    ).distinct()
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank_fixed_point(edges, damping=0.85, iterations=3)
+
+
+@query(
     "agg_incremental_monthly_revenue",
     """
     SELECT strftime(o_orderdate, '%Y-%m')        AS month,
@@ -5211,6 +5285,7 @@ _FRONT = [
     "text_normalize_unicode",
     "interval_overlap_signup_purchase",
     "corpus_sample_stratified",
+    "pagerank_part_supplier",
     "lm_fluency_bits",
     "bm25_search_topk",
     "dedup_duplicate_spans",

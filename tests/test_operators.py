@@ -719,6 +719,38 @@ def test_kmv_sketch_accuracy_exact_below_k_and_merge(spark):
     assert kmv_estimate(merged, 64) == float(su.estimate)
 
 
+def test_pagerank_fixed_point_matches_python_reference(spark):
+    from py_etl_spark.operators.graph import MICRO, pagerank_fixed_point
+
+    # star: everyone links to hub 0; hub links back to 1
+    edges = [(i, 0) for i in range(1, 6)] + [(0, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.rank_micro
+        for r in pagerank_fixed_point(df, iterations=3).collect()
+    }
+
+    # python replay of the exact integer recurrence
+    nodes = sorted({u for e in edges for u in e})
+    n = len(nodes)
+    deg = {}
+    for s_, _ in edges:
+        deg[s_] = deg.get(s_, 0) + 1
+    d_micro = 850000
+    init = MICRO // n
+    base = ((MICRO - d_micro) * MICRO // n) // MICRO
+    r = {v: init for v in nodes}
+    for _ in range(3):
+        inm = {v: 0 for v in nodes}
+        for s_, t_ in edges:
+            inm[t_] += r[s_] // deg[s_]
+        r = {v: base + d_micro * inm[v] // MICRO for v in nodes}
+    assert got == r
+    # hub dominates; total mass stays near MICRO (leak-free graph here)
+    assert got[0] == max(got.values())
+    assert abs(sum(got.values()) - MICRO) < n * 10
+
+
 def test_sample_stratified_exact_counts_and_salt_independence(spark):
     from py_etl_spark.operators.corpus import sample_stratified_exact
 
