@@ -777,3 +777,87 @@ def test_change_feed_classifies_insert_update_delete(spark):
     assert rows[None].change_type == "update" and rows[None].changed_cols == ["x"]
     assert 1 not in rows  # unchanged row suppressed
     assert len(rows) == 4
+
+
+def test_stream_stream_interval_join_checkpoint_restart(spark):
+    """Kill the joining query after the first (anchor-heavy) half, then
+    resume a NEW query from the same checkpoint: buffered join state for
+    not-yet-matched anchors must survive the restart — the final pair
+    set equals the oracle-checked batch range join, which is impossible
+    if the first incarnation's buffered anchors were lost."""
+    from py_etl_spark.schemas import load_table
+    from py_etl_spark.streaming.interval_join import interval_join_stream
+    from tests.conftest import SF_SMALL
+
+    events = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    # split at an anchor that has a follower (same construction as the
+    # parity test) so cross-incarnation pairs are guaranteed
+    sig = events.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("a_user"), F.col("ts").alias("a_ts")
+    )
+    tmid = (
+        sig.join(
+            events,
+            (F.col("user_id") == F.col("a_user"))
+            & (F.col("ts") > F.col("a_ts"))
+            & (F.col("ts") <= F.col("a_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .agg(F.min("a_ts"))
+        .first()[0]
+    )
+    tmp = tempfile.mkdtemp()
+    src = os.path.join(tmp, "src")
+    out = os.path.join(tmp, "out")
+    ckpt = os.path.join(tmp, "ckpt")
+    events.filter(F.col("ts") <= F.lit(tmid)).coalesce(1).write.parquet(
+        os.path.join(src, "b1")
+    )
+
+    def run_once():
+        def stream():
+            return (
+                spark.readStream.schema(events.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src + "/*")
+            )
+
+        anchors = stream().filter(F.col("event_type") == "signup")
+        q = (
+            interval_join_stream(anchors, stream(), window_seconds=3600)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        assert q.exception() is None
+
+    run_once()  # incarnation 1: first time-half only
+    events.filter(F.col("ts") > F.lit(tmid)).coalesce(1).write.parquet(
+        os.path.join(src, "b2")
+    )
+    run_once()  # incarnation 2: resumes from checkpoint, sees second half
+
+    outdf = spark.read.parquet(out)
+    got = {
+        r.anchor_id: r.n
+        for r in outdf.groupBy("anchor_id").agg(F.count("*").alias("n")).collect()
+    }
+    import py_etl_spark.queries as Q
+
+    want = {
+        r.event_id: r.n_follow
+        for r in Q.REGISTRY["range_join_followup_events"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    assert got == want and len(want) > 0
+    # at least one pair spans the incarnations
+    crossers = outdf.filter(
+        (F.col("anchor_ts") <= F.lit(tmid)) & (F.col("probe_ts") > F.lit(tmid))
+    )
+    assert crossers.count() > 0
