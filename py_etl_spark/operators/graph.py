@@ -36,17 +36,25 @@ def pagerank_fixed_point(
     dst_col: str = "dst",
 ) -> DataFrame:
     """PageRank over a directed edge list, ``iterations`` fixed steps,
-    all arithmetic in integer micro-units.
+    all arithmetic in integer micro-units, in the N-SCALED form (rank of
+    the uniform distribution ≙ 1.0 per node, not 1/N):
 
-        rank_0(v)   = MICRO // N
-        rank_t+1(v) = base + (d_micro * Σ_{u→v} (rank_t(u) // deg(u)))
-                              // MICRO
-        base        = ((MICRO - d_micro) * MICRO // N) // MICRO
+        rank_0(v)   = MICRO
+        rank_t+1(v) = (MICRO - d_micro)
+                      + (d_micro * Σ_{u→v} (rank_t(u) // deg(u))) // MICRO
+
+    The N-scaling matters at scale: the conventional 1/N form would
+    quantize init to ``1e6 // N`` micro-units — zero beyond a million
+    nodes, rank collapse long before that. Per-node ranks here stay
+    O(MICRO) regardless of graph size (ranking order is identical; divide
+    by N·MICRO for the normalized view), quantization error stays ≤
+    out-degree micro-units per node per iteration, and no driver-side
+    N scalar is needed at all — the plan is fully lazy.
 
     Nodes = every id appearing as src or dst. Dangling nodes (no
     out-edges) contribute nothing (their mass leaks — the standard
     simplification when ranking is the goal). Output:
-    ``(node, rank_micro)`` — divide by 1e6 for the float view.
+    ``(node, rank_micro)``.
     """
     d_micro = int(round(damping * MICRO))
     nodes = (
@@ -54,9 +62,8 @@ def pagerank_fixed_point(
         .unionByName(edges.select(F.col(dst_col).alias("node")))
         .distinct()
     )
-    n_nodes = nodes.count()  # one scalar, drives two literals
-    init = MICRO // n_nodes
-    base = ((MICRO - d_micro) * MICRO // n_nodes) // MICRO
+    init = MICRO
+    base = MICRO - d_micro
     deg = edges.groupBy(F.col(src_col).alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )

@@ -100,6 +100,7 @@ def lm_score(
     bigrams: DataFrame,
     total_tokens: int,
     id_col: str = "doc_id",
+    text_col: str = "text",
     max_avg_bits: float = 8.0,
 ) -> DataFrame:
     """Per-document fluency: total/average stupid-backoff code length in
@@ -111,7 +112,7 @@ def lm_score(
     count — a single driver scalar (bounded metadata, same class as the
     broadcast-scalar subquery patterns).
     """
-    pairs = _pairs(docs, id_col, "text")
+    pairs = _pairs(docs, id_col, text_col)
     scored = (
         pairs.join(bigrams, ["w1", "w2"], "left")
         .join(

@@ -153,9 +153,18 @@ def analyze_table(df, cols: list[str], ndv_k: int = 256):
         F.col("estimate").alias("ndv_est"),
         F.col("n_kept").alias("ndv_kept"),
     )
+    # an all-NULL column has no NDV row after the isNotNull unpivot
+    # filter — report 0 (matching the SQL mirror), not NULL
     return percol.join(ndv, "column", "left").select(
-        "column", "n_rows", "n_nonnull", "ndv_est", "ndv_kept",
-        "min_value", "max_value",
+        "column",
+        "n_rows",
+        "n_nonnull",
+        F.coalesce(F.col("ndv_est"), F.lit(0)).cast("long").alias("ndv_est"),
+        F.coalesce(F.col("ndv_kept"), F.lit(0)).cast("long").alias(
+            "ndv_kept"
+        ),
+        "min_value",
+        "max_value",
     )
 
 

@@ -50,8 +50,24 @@ def bm25_topk(
     Output: ``(id_col, n_match, score_bm25)`` ordered by score desc with
     id tie-break; ``n_match`` = how many query terms the doc contains.
     """
+    import re as _re
+
     if not terms:
         raise ValueError("terms must be non-empty")
+    # normalize query terms through the SAME tokenizer documents get:
+    # lowercase, and each must be exactly one TOKEN_RE token (a
+    # capitalized or multi-word term would otherwise silently match
+    # nothing and score 0 everywhere)
+    norm_terms = []
+    for t in terms:
+        toks_t = _re.findall(TOKEN_RE, t.lower())
+        if len(toks_t) != 1 or toks_t[0] != t.lower():
+            raise ValueError(
+                f"query term {t!r} is not a single corpus token; "
+                f"tokenize the query upstream (got {toks_t})"
+            )
+        norm_terms.append(toks_t[0])
+    terms = norm_terms
     toks = F.regexp_extract_all(
         F.lower(F.col(text_col)), F.lit(TOKEN_RE), F.lit(0)
     )

@@ -47,6 +47,17 @@ def _portable_hash60(col) -> F.Column:
     )
 
 
+def _hash_pair(col) -> tuple[F.Column, F.Column]:
+    """Two independent 60-bit md5 slices — the Kirsch-Mitzenmacher
+    (h1, h2) pair shared by the Bloom and count-min builders and their
+    point probes (one definition keeps build and probe provably
+    consistent)."""
+    md5v = F.md5(col.cast("string"))
+    h1 = F.conv(F.substring(md5v, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(md5v, 16, 15), 16, 10).cast("long")
+    return h1, h2
+
+
 def kmv_distinct(
     df: DataFrame,
     col: str,
@@ -185,9 +196,7 @@ def bloom_build(
     with m = words·63; size for your n upstream.
     """
     m = words * _BLOOM_BITS_PER_WORD
-    md5v = F.md5(F.col(col).cast("string"))
-    h1 = F.conv(F.substring(md5v, 1, 15), 16, 10).cast("long")
-    h2 = F.conv(F.substring(md5v, 16, 15), 16, 10).cast("long")
+    h1, h2 = _hash_pair(F.col(col))
     groups = [F.col(g) for g in group_cols]
     pos = df.select(
         *groups,
@@ -342,6 +351,10 @@ def hist_sketch(
     Output: ``group_cols + (counts, n, min_v, max_v)``.
     """
     width = (float(hi) - float(lo)) / bins
+    # NULL values carry no distribution signal; exclude them so they
+    # can't masquerade as bin-0 mass (greatest() skips NULL args) and so
+    # n counts only real observations
+    df = df.filter(F.col(col).isNotNull())
     v = F.col(col).cast("double")
     binc = F.least(
         F.greatest(
@@ -461,10 +474,13 @@ def cm_sketch(
     item count (= the sum of any single row — every row sums to n, which
     doubles as a self-check).
     """
-    md5v = F.md5(F.col(col).cast("string"))
-    h1 = F.conv(F.substring(md5v, 1, 15), 16, 10).cast("long")
-    h2 = F.conv(F.substring(md5v, 16, 15), 16, 10).cast("long")
+    h1, h2 = _hash_pair(F.col(col))
     groups = [F.col(g) for g in group_cols]
+    # NULLs are not a frequency signal: drop them up front (a NULL hash
+    # would otherwise become a NULL map key in the gap-fill and fail the
+    # job; the SQL mirror's grid join drops them silently — align on
+    # explicit exclusion instead)
+    df = df.filter(F.col(col).isNotNull())
     pos = df.select(
         *groups,
         F.explode(
@@ -517,9 +533,7 @@ def cm_point_estimate(cm: list[list[int]], value) -> F.Column:
     collected row of :func:`cm_sketch` — depth·width·8 bytes of metadata).
     ``min`` over depth rows; never less than the true count."""
     width = len(cm[0])
-    md5v = F.md5(value.cast("string"))
-    h1 = F.conv(F.substring(md5v, 1, 15), 16, 10).cast("long")
-    h2 = F.conv(F.substring(md5v, 16, 15), 16, 10).cast("long")
+    h1, h2 = _hash_pair(value)
     ests = []
     for d, row in enumerate(cm):
         arr = F.array(*[F.lit(int(c)).cast("long") for c in row])
@@ -551,9 +565,7 @@ def bloom_contains(
     import hashlib as _hl
 
     m = len(bloom) * _BLOOM_BITS_PER_WORD
-    md5v = F.md5(value.cast("string"))
-    h1 = F.conv(F.substring(md5v, 1, 15), 16, 10).cast("long")
-    h2 = F.conv(F.substring(md5v, 16, 15), 16, 10).cast("long")
+    h1, h2 = _hash_pair(value)
     arr = F.array(*[F.lit(int(w)).cast("long") for w in bloom])
     cond = F.lit(True)
     for i in range(k_hashes):

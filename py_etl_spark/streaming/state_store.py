@@ -283,16 +283,30 @@ def change_feed(
     """
     from pyspark.sql import functions as F
 
-    lo = from_version
-    hi = to_version
+    hi = store.current_version() if to_version is None else to_version
+    if from_version is None:
+        # default: diff against the previous retained version — "what
+        # changed in the latest commit", the polling consumer's question
+        older = [v for v in store.versions() if v < hi]
+        if not older:
+            raise ValueError(
+                f"change_feed needs two versions; only {hi} exists"
+            )
+        lo = older[-1]
+    else:
+        lo = from_version
+    # read each side exactly once (a commit landing mid-call must not
+    # shift which snapshot is being diffed)
+    old_df = store.read(lo)
+    new_df = store.read(hi)
     # presence markers instead of key-null tests: a NULL key value in the
     # data must not masquerade as an absent row
-    old = store.read(lo).withColumn("__op", F.lit(True)).alias("o")
-    new = store.read(hi).withColumn("__np", F.lit(True)).alias("n")
+    old = old_df.withColumn("__op", F.lit(True)).alias("o")
+    new = new_df.withColumn("__np", F.lit(True)).alias("n")
     shared = [
         c
-        for c in store.read(lo).columns
-        if c in set(store.read(hi).columns) and c not in key_cols
+        for c in old_df.columns
+        if c in set(new_df.columns) and c not in key_cols
     ]
     cond = None
     for k in key_cols:

@@ -737,8 +737,8 @@ def test_pagerank_fixed_point_matches_python_reference(spark):
     for s_, _ in edges:
         deg[s_] = deg.get(s_, 0) + 1
     d_micro = 850000
-    init = MICRO // n
-    base = ((MICRO - d_micro) * MICRO // n) // MICRO
+    init = MICRO
+    base = MICRO - d_micro
     r = {v: init for v in nodes}
     for _ in range(3):
         inm = {v: 0 for v in nodes}
@@ -746,9 +746,10 @@ def test_pagerank_fixed_point_matches_python_reference(spark):
             inm[t_] += r[s_] // deg[s_]
         r = {v: base + d_micro * inm[v] // MICRO for v in nodes}
     assert got == r
-    # hub dominates; total mass stays near MICRO (leak-free graph here)
+    # hub dominates; total mass stays near n*MICRO (leak-free graph,
+    # N-scaled form: uniform rank == MICRO per node)
     assert got[0] == max(got.values())
-    assert abs(sum(got.values()) - MICRO) < n * 10
+    assert abs(sum(got.values()) - n * MICRO) < n * 10
 
 
 def test_sample_stratified_exact_counts_and_salt_independence(spark):
@@ -870,6 +871,16 @@ def test_incremental_agg_merge_equals_rebuild_on_adversarial_splits(spark):
         assert False, "expected ValueError"
     except ValueError as e:
         assert "unmergeable" in str(e)
+
+
+def test_analyze_table_all_null_column_reports_zero_ndv(spark):
+    from py_etl_spark.operators.maintenance import analyze_table
+
+    df = spark.createDataFrame([(1, None), (2, None)], "id long, z string")
+    out = {r.column: r for r in analyze_table(df, ["z"], ndv_k=16).collect()}
+    assert out["z"].n_nonnull == 0
+    assert out["z"].ndv_est == 0 and out["z"].ndv_kept == 0
+    assert out["z"].min_value is None and out["z"].max_value is None
 
 
 def test_analyze_table_stats_and_exact_ndv_below_k(spark):
@@ -1043,6 +1054,23 @@ def test_bigram_lm_hand_computed_bits_and_oov_backoff(spark):
     assert rep == {k: (v.n_pairs, v.total_bits) for k, v in out.items()}
 
 
+def test_bm25_normalizes_and_validates_query_terms(spark):
+    from py_etl_spark.operators.search import bm25_topk
+
+    df = spark.createDataFrame(
+        [(1, "hash join wins"), (2, "scan only")], "doc_id long, text string"
+    )
+    # capitalized term is folded through the corpus tokenizer, not
+    # silently mismatched
+    out = {r.doc_id: r for r in bm25_topk(df, ["Hash"], k=2).collect()}
+    assert out[1].n_match == 1 and out[2].n_match == 0
+    try:
+        bm25_topk(df, ["hash join"], k=2)
+        assert False, "expected ValueError for multi-token term"
+    except ValueError as e:
+        assert "single corpus token" in str(e)
+
+
 def test_bm25_topk_matches_python_reference_and_ranks_sensibly(spark):
     import math
 
@@ -1087,6 +1115,19 @@ def test_bm25_topk_matches_python_reference_and_ranks_sensibly(spark):
     # rarer term (elephant, df=2) outweighs common join at equal tf —
     # and doc 3 (both terms) must outrank doc 1 (3x join only)
     assert out[0].doc_id == 3
+
+
+def test_sketches_ignore_null_values(spark):
+    from py_etl_spark.operators.sketch import cm_sketch, hist_sketch
+
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (2.0,), (None,)], "v double"
+    )
+    cm = cm_sketch(df, "v", width=16, depth=2).collect()[0]
+    assert cm.n_items == 2 and all(sum(r) == 2 for r in cm.cm)
+    h = hist_sketch(df, "v", 0.0, 10.0, 10).collect()[0]
+    assert h.n == 2 and h.counts[0] == 0  # NULLs neither counted nor bin-0
+    assert sum(h.counts) == 2
 
 
 def test_cm_sketch_one_sided_error_merge_and_invariants(spark):

@@ -33,3 +33,15 @@ def test_each_query_runs_small(spark):
         except Exception as e:  # noqa: BLE001
             failures[name] = str(e).splitlines()[0][:120]
     assert not failures, failures
+
+
+def test_rotation_window_exactly_fifty_and_valid():
+    """The driver caps its check at the first 50 registry entries; the
+    priority roster must fill that window exactly — no phantom names, no
+    silent overflow pushing 'prioritized' queries out of the window."""
+    from py_etl_spark.queries import _FRONT, _TAIL, REGISTRY
+
+    assert len(_FRONT) == 50
+    unknown = [n for n in _FRONT + _TAIL if n not in REGISTRY]
+    assert not unknown, f"roster names not in registry: {unknown}"
+    assert len(set(_FRONT)) == 50 and not set(_FRONT) & set(_TAIL)

@@ -769,6 +769,10 @@ def test_change_feed_classifies_insert_update_delete(spark):
             store, ("k",), from_version=store.versions()[0]
         ).collect()
     }
+    # defaults = previous-vs-current ("what changed in the latest
+    # commit"), which here is the same diff
+    dflt = {r.k: r.change_type for r in change_feed(store, ("k",)).collect()}
+    assert dflt == {k: v.change_type for k, v in rows.items()}
     assert rows[2].change_type == "update" and rows[2].changed_cols == ["v"]
     assert rows[3].change_type == "delete" and rows[3].changed_cols == []
     assert rows[4].change_type == "insert"
