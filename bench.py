@@ -98,6 +98,11 @@ HEADLINE = [
     "lm_fluency_bits",
     "bm25_search_topk",
     "dedup_duplicate_spans",
+    # round 4, fifth batch:
+    "hist_quantile_prices",
+    "pagerank_part_supplier",
+    "interval_overlap_signup_purchase",
+    "agg_incremental_monthly_revenue",
 ]
 
 # Scale-sensitive subset for the 10x block: joins, window aggs, Python
@@ -125,6 +130,10 @@ SF1_SUBSET = [
     # both key-offset-clean; lm/dup-spans are content ops, excluded)
     "cm_sketch_events",
     "bm25_search_topk",
+    # round 4, fifth batch (key-offset-clean)
+    "hist_quantile_prices",
+    "pagerank_part_supplier",
+    "interval_overlap_signup_purchase",
 ]
 
 # key columns to offset per replica copy so FK relationships replicate
