@@ -67,3 +67,55 @@ def zorder_layout(
         else keyed.repartitionByRange(key_col)
     )
     return parted.sortWithinPartitions(key_col).drop(key_col)
+
+
+def file_minmax_stats(
+    spark, path: str, cols: list[str]
+) -> "DataFrame":
+    """Data-skipping index: per-FILE min/max/null/row statistics for the
+    given columns — the persistable complement to :func:`zorder_layout`
+    (clustering only pays off when a planner can consult tight per-file
+    bounds and skip files; parquet footers hold these stats, but a
+    standalone stats table lets ANY engine — or a driver-side planner
+    deciding which partitions to even list — prune without touching
+    footers, the Delta/Iceberg data-skipping idea in plain parquet).
+
+    One scan of the target columns, one groupBy on the file name
+    (map-side partial agg; output is file-count-sized metadata).
+    Combine with :func:`zorder_key`: after Z-ordering, each file's
+    [min, max] boxes are tight, so a point/range predicate intersects
+    few boxes — `prune_files` below turns that into a file list.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path).select(
+        F.input_file_name().alias("file"), *cols
+    )
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}"),
+        ]
+    return df.groupBy("file").agg(*aggs)
+
+
+def prune_files(
+    stats: "DataFrame", predicates: dict[str, tuple]
+) -> list[str]:
+    """Driver-side file pruning from a :func:`file_minmax_stats` table:
+    keep files whose [min, max] box intersects every ``col: (lo, hi)``
+    range (None bounds are open). Returns the surviving file list —
+    feed it back to ``spark.read.parquet(*files)`` for a scan that never
+    opens the skipped files. The stats table is metadata-sized, so the
+    collect is bounded by file count, not data."""
+    from pyspark.sql import functions as F
+
+    cond = F.lit(True)
+    for c, (lo, hi) in predicates.items():
+        if lo is not None:
+            cond = cond & (F.col(f"max_{c}") >= lo)
+        if hi is not None:
+            cond = cond & (F.col(f"min_{c}") <= hi)
+    return [r.file for r in stats.filter(cond).select("file").collect()]

@@ -719,6 +719,50 @@ def test_kmv_sketch_accuracy_exact_below_k_and_merge(spark):
     assert kmv_estimate(merged, 64) == float(su.estimate)
 
 
+def test_file_minmax_stats_and_pruning_with_zorder(spark):
+    import tempfile
+
+    from py_etl_spark.operators.layout import (
+        file_minmax_stats,
+        prune_files,
+        zorder_layout,
+    )
+
+    rows = [(i % 97, (i * 7) % 89, i) for i in range(20000)]
+    df = spark.createDataFrame(rows, "a long, b long, v long")
+    tmp = tempfile.mkdtemp()
+    zpath = tmp + "/z"
+    rpath = tmp + "/r"
+    zorder_layout(df, ["a", "b"], bits=8, num_partitions=16).write.parquet(zpath)
+    df.repartition(16).write.parquet(rpath)
+
+    zstats = file_minmax_stats(spark, zpath, ["a", "b"])
+    rstats = file_minmax_stats(spark, rpath, ["a", "b"])
+    assert zstats.agg(F.sum("n_rows")).first()[0] == 20000
+
+    pred = {"a": (10, 20), "b": (10, 20)}
+    zkeep = prune_files(zstats, pred)
+    rkeep = prune_files(rstats, pred)
+    # Z-ordered layout yields tight per-file boxes: the range predicate
+    # skips most files; the random layout skips none
+    assert len(zkeep) < zstats.count()
+    assert len(rkeep) == rstats.count()
+    assert len(zkeep) < len(rkeep)
+
+    # pruning is SOUND: scanning only the kept files loses no matching row
+    full = (
+        spark.read.parquet(zpath)
+        .filter("a between 10 and 20 and b between 10 and 20")
+        .count()
+    )
+    pruned = (
+        spark.read.parquet(*zkeep)
+        .filter("a between 10 and 20 and b between 10 and 20")
+        .count()
+    )
+    assert pruned == full > 0
+
+
 def test_pagerank_fixed_point_matches_python_reference(spark):
     from py_etl_spark.operators.graph import MICRO, pagerank_fixed_point
 
