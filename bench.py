@@ -103,6 +103,13 @@ HEADLINE = [
     "pagerank_part_supplier",
     "interval_overlap_signup_purchase",
     "agg_incremental_monthly_revenue",
+    # round 4, sixth batch:
+    "hll_distinct_event_ids",
+    "st_session_window_agg",
+    "quality_boilerplate_lines",
+    "events_anomaly_days",
+    "dq_check_orders",
+    "quality_compression_ratio",
 ]
 
 # Scale-sensitive subset for the 10x block: joins, window aggs, Python
@@ -134,6 +141,14 @@ SF1_SUBSET = [
     "hist_quantile_prices",
     "pagerank_part_supplier",
     "interval_overlap_signup_purchase",
+    # round 4, sixth batch (key-offset-clean; boilerplate is intra-doc so
+    # replicas scale its work linearly; compression_ratio is excluded —
+    # 10x the zlib CPU measures the codec, not the plan)
+    "hll_distinct_event_ids",
+    "st_session_window_agg",
+    "quality_boilerplate_lines",
+    "events_anomaly_days",
+    "dq_check_orders",
 ]
 
 # key columns to offset per replica copy so FK relationships replicate

@@ -1,0 +1,143 @@
+"""Data-quality constraint checking (the Deequ/Great-Expectations niche).
+
+A declarative constraint list compiles into the FEWEST passes the
+constraint mix allows:
+
+- all row-level predicates (not-null, range, set-membership, regex)
+  become conditional sums in ONE map-side-combined aggregation over a
+  single scan — adding a tenth check costs zero extra I/O;
+- ``unique`` adds one count-shuffle on its key columns (map-side
+  partial agg; the violation count is metadata after that);
+- ``fk`` adds one broadcast LEFT ANTI join against the (small) dimension
+  — the referential check never shuffles the fact table.
+
+Everything lands in one report row per constraint:
+``(check_name, n_violations, passed)`` — metadata-sized, safe to
+collect, trivially unioned across tables for a warehouse-wide report.
+At 100 TB: one scan + K tiny aggs; the report is what a CI gate or a
+freshness monitor consumes before publishing a table version.
+
+Reference parity: the reference validates rows in its sync loop and
+routes invalid ones to an error channel (refsync P10); this module is
+the table-level batch complement, shaped like Amazon Deequ's analyzers
+(public algorithm/API shape, reimplemented on DataFrame aggregates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+Constraint = tuple  # (name, kind, payload) — see builders below
+
+
+def not_null(col: str) -> Constraint:
+    return (f"not_null({col})", "row", F.col(col).isNull())
+
+
+def in_range(col: str, lo, hi) -> Constraint:
+    c = F.col(col)
+    return (
+        f"in_range({col})",
+        "row",
+        c.isNotNull() & ((c < F.lit(lo)) | (c > F.lit(hi))),
+    )
+
+
+def in_set(col: str, values) -> Constraint:
+    c = F.col(col)
+    return (
+        f"in_set({col})",
+        "row",
+        c.isNotNull() & ~c.isin(list(values)),
+    )
+
+
+def matches(col: str, pattern: str) -> Constraint:
+    c = F.col(col)
+    return (
+        f"matches({col})",
+        "row",
+        c.isNotNull() & ~c.rlike(pattern),
+    )
+
+
+def unique(*cols: str) -> Constraint:
+    return ("unique(" + ",".join(cols) + ")", "unique", tuple(cols))
+
+
+def foreign_key(col: str, dim: DataFrame, dim_col: str) -> Constraint:
+    return (f"fk({col})", "fk", (col, dim, dim_col))
+
+
+def check_constraints(df: DataFrame, constraints: list[Constraint]) -> DataFrame:
+    """Compile ``constraints`` into the minimal-pass violation report.
+
+    Row-level violation predicates are NULL-safe by construction (each
+    builder decides whether NULL violates — only ``not_null`` counts
+    NULLs), so conditional sums never silently skip rows.
+    """
+    reports: list[DataFrame] = []
+
+    row_checks = [(n, p) for (n, k, p) in constraints if k == "row"]
+    if row_checks:
+        aggs = [
+            # coalesce: an EMPTY table has zero violations, not NULL ones
+            F.coalesce(F.sum(F.when(pred, 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias(name)
+            for name, pred in row_checks
+        ]
+        wide = df.agg(*aggs)
+        # unpivot the single wide row into (constraint, n_violations)
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("check_name"),
+                    F.col(name).alias("n_violations"),
+                )
+                for name, _ in row_checks
+            ]
+        )
+        reports.append(
+            wide.select(F.explode(pairs).alias("r")).select(
+                "r.check_name", "r.n_violations"
+            )
+        )
+
+    for name, kind, payload in constraints:
+        if kind == "unique":
+            cols = list(payload)
+            # violations = rows beyond the first in each duplicated group
+            dup = (
+                df.groupBy(*cols)
+                .agg(F.count(F.lit(1)).alias("__c"))
+                .filter(F.col("__c") > 1)
+                .agg(
+                    F.coalesce(
+                        F.sum(F.col("__c") - 1), F.lit(0)
+                    ).cast("long").alias("n_violations")
+                )
+            )
+            reports.append(dup.select(F.lit(name).alias("check_name"), "n_violations"))
+        elif kind == "fk":
+            col, dim, dim_col = payload
+            orphans = (
+                df.filter(F.col(col).isNotNull())
+                .join(
+                    F.broadcast(
+                        dim.select(F.col(dim_col).alias(col)).distinct()
+                    ),
+                    on=col,
+                    how="left_anti",
+                )
+                .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+            )
+            reports.append(
+                orphans.select(F.lit(name).alias("check_name"), "n_violations")
+            )
+
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.withColumn("passed", F.col("n_violations") == 0)

@@ -576,3 +576,140 @@ def bloom_contains(
         ).cast("long")
         cond = cond & (word.bitwiseAND(bit) != 0)
     return cond
+
+
+# ---- HyperLogLog ----------------------------------------------------------
+#
+# Completes the sketch family's cardinality corner: KMV answers distinct
+# counts with O(k) 8-byte hashes, HLL answers the same question in m
+# 6-bit registers (here: m longs for portability) with a fixed ~1.04/sqrt(m)
+# relative error — the industry-standard shape for per-partition /
+# per-file NDV that must merge associatively (register-wise max) across
+# a 100 TB rollup tree. Same portability posture as KMV/Bloom/CM: the
+# hash is the md5-prefix family, the registers are plain integers, and
+# the estimator is a fixed-association expression over those integers,
+# so any engine rebuilds and reads the sketch bit-identically
+# (tests/test_operators.py pins merge ≡ direct; the driver oracle
+# replays the whole construction in DuckDB SQL).
+
+HLL_P = 8  # m = 256 registers; relative error ~1.04/16 = 6.5%
+_HLL_M = 1 << HLL_P
+_HLL_WBITS = 60 - HLL_P  # low bits that feed the rank
+_HLL_RMAX = _HLL_WBITS + 1  # rank when the low bits are all zero
+
+
+def _hll_rank(w) -> F.Column:
+    """Position of the highest set bit measured from the top of the
+    _HLL_WBITS-wide field, plus one — i.e. leading zeros + 1. Integer-only:
+    bit length via base-2 string conversion (minimal-width in both Spark
+    ``conv`` and DuckDB ``bin``), no float log in the plan."""
+    bitlen = F.length(F.conv(w, 10, 2))
+    return F.when(w == 0, F.lit(_HLL_RMAX)).otherwise(
+        F.lit(_HLL_WBITS) - bitlen + 1
+    )
+
+
+def hll_estimate_cols(registers) -> dict[str, F.Column]:
+    """Estimator columns over a registers array (1-indexed Spark array of
+    m longs): ``n_zero`` empty registers, ``sum_scaled`` = Σ 2^(RMAX-reg)
+    as a BIGINT (the harmonic-mean denominator scaled by 2^RMAX so it
+    sums exactly — max m·2^RMAX = 2^61 fits a long; a double sum would
+    lose low bits past 2^53), and ``estimate``: the standard HLL
+    bias-corrected branch — linear counting when raw ≤ 2.5m and zero
+    registers exist, else the harmonic estimate. Both branches are the
+    same single expression over the same integers in Spark and DuckDB,
+    so the rounded estimate is cross-engine identical."""
+    n_zero = F.aggregate(
+        registers,
+        F.lit(0).cast("long"),
+        lambda acc, r: acc + F.when(r == 0, 1).otherwise(0),
+    )
+    sum_scaled = F.aggregate(
+        registers,
+        F.lit(0).cast("long"),
+        lambda acc, r: acc
+        + F.pow(F.lit(2.0), F.lit(_HLL_RMAX) - r).cast("long"),
+    )
+    alpha_mm = (
+        F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(_HLL_M)))
+    ) * F.lit(float(_HLL_M) * float(_HLL_M))
+    raw = (
+        alpha_mm
+        * F.pow(F.lit(2.0), F.lit(_HLL_RMAX))
+        / F.col("sum_scaled").cast("double")
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * _HLL_M)) & (F.col("n_zero") > 0),
+        F.round(
+            F.lit(float(_HLL_M))
+            * F.log(F.lit(float(_HLL_M)) / F.col("n_zero").cast("double"))
+        ),
+    ).otherwise(F.round(raw))
+    return {
+        "n_zero": n_zero,
+        "sum_scaled": sum_scaled,
+        "estimate": est.cast("long"),
+    }
+
+
+def _hll_assemble(cells: DataFrame, group_cols: tuple[str, ...]) -> DataFrame:
+    """(group, bucket, reg) cells → per-group registers array + estimator
+    columns. Metadata-sized input (≤ m rows per group)."""
+    entries = F.map_from_entries(
+        F.collect_list(F.struct(F.col("__bucket"), F.col("__reg")))
+    )
+    registers = F.transform(
+        F.sequence(F.lit(0), F.lit(_HLL_M - 1)),
+        lambda i: F.coalesce(
+            F.try_element_at(entries, i.cast("int")), F.lit(0).cast("long")
+        ),
+    )
+    sk = cells.groupBy(*[F.col(g) for g in group_cols]).agg(
+        registers.alias("registers")
+    )
+    cols = hll_estimate_cols(F.col("registers"))
+    sk = sk.withColumn("n_zero", cols["n_zero"]).withColumn(
+        "sum_scaled", cols["sum_scaled"]
+    )
+    return sk.withColumn("estimate", cols["estimate"])
+
+
+def hll_sketch(
+    df: DataFrame, col: str, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Per-group HLL sketch of ``col``.
+
+    Plan: bucket/rank are map-side arithmetic on the 60-bit md5 prefix
+    (top HLL_P bits select the register, leading zeros of the rest set
+    the rank); one (group, bucket) max-shuffle with map-side partial
+    aggregation — at 100 TB each task emits at most m partial rows per
+    group, so shuffle volume is bounded by groups·m·16 bytes regardless
+    of row count. Output: ``group_cols + (registers, n_zero, sum_scaled,
+    estimate)``.
+    """
+    h = _portable_hash60(F.col(col))
+    df = df.filter(F.col(col).isNotNull())
+    cells = (
+        df.select(
+            *[F.col(g) for g in group_cols],
+            F.shiftright(h, _HLL_WBITS).alias("__bucket"),
+            _hll_rank(
+                h.bitwiseAND(F.lit((1 << _HLL_WBITS) - 1))
+            ).alias("__reg0"),
+        )
+        .groupBy(*group_cols, "__bucket")
+        .agg(F.max("__reg0").cast("long").alias("__reg"))
+    )
+    return _hll_assemble(cells, group_cols)
+
+
+def hll_merge(sketches: DataFrame) -> DataFrame:
+    """Merge per-group sketches (rows of ``registers`` arrays) into ONE
+    global sketch: register-wise max — the associativity that makes HLL
+    the rollup-tree NDV primitive (merge(sketch(A), sketch(B)) ≡
+    sketch(A ∪ B), pinned by the rollup query's oracle). Explode is over
+    groups·m metadata rows, never over data."""
+    cells = sketches.select(
+        F.posexplode("registers").alias("__bucket", "__r")
+    ).groupBy("__bucket").agg(F.max("__r").alias("__reg"))
+    return _hll_assemble(cells, ())

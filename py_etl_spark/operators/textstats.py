@@ -288,3 +288,82 @@ def normalize_text(
     return df.withColumn(out_col, cleaned).withColumn(
         "changed", ~F.col(out_col).eqNullSafe(F.col(text_col))
     )
+
+
+def boilerplate_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_line_chars: int = 10,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Line-level boilerplate removal — the jusText/RefinedWeb-shaped
+    cleanup step between raw extraction and document-level dedup: split
+    the document into lines, drop navigation/chrome lines (too short, or
+    less than half alphabetic after trimming), and re-join the survivors.
+
+    Complements ``dedup.segment_dedup`` (which removes lines *repeated
+    across documents*): this gate is purely intra-document, needs no
+    corpus statistics, and therefore runs map-side with ZERO shuffles —
+    at 100 TB it parallelizes linearly with input splits and belongs in
+    the same single scan as the Gopher quality gate.
+
+    Integer-only predicate (2·alpha ≥ len, not a float ratio) so the
+    keep decision is bit-identical in any engine. Appends
+    ``n_lines`` / ``n_kept`` / ``out_col``.
+    """
+    lines = F.split(F.col(text_col), "\n")
+
+    def _keep(line: Column) -> Column:
+        t = F.trim(line)
+        alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+        return (F.length(t) >= min_line_chars) & (
+            alpha * 2 >= F.length(t)
+        )
+
+    kept = F.filter(lines, _keep)
+    return (
+        df.withColumn("n_lines", F.size(lines))
+        .withColumn("n_kept", F.size(kept))
+        .withColumn(out_col, F.array_join(kept, "\n"))
+    )
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """Deflate-compressibility quality signal — the classic "too
+    repetitive / too random" corpus gate (boilerplate and template spam
+    compress far below natural prose; encrypted/binary junk barely
+    compresses at all). Appends ``n_bytes`` (UTF-8 length), ``c_bytes``
+    (zlib level-``level`` deflate size) and the integer percentage
+    ``ratio_pct = 100·n_bytes // c_bytes``.
+
+    Arrow-batched scalar pandas UDF (zlib is C-speed; the per-row Python
+    overhead is one dict lookup), map-side only — no shuffle, linear in
+    input splits at 100 TB. Integer ratio so downstream threshold
+    predicates are engine-exact; deflate output itself is
+    zlib-version-dependent, which is why this ships as a rows-only gate
+    entry with property-based unit coverage instead of a byte-level
+    DuckDB oracle (DuckDB has no deflate).
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.LongType())
+    def csize(s: pd.Series) -> pd.Series:
+        import zlib
+
+        return s.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), level))
+            if t is not None
+            else None
+        )
+
+    out = df.withColumn("n_bytes", F.octet_length(F.col(text_col)).cast("long"))
+    out = out.withColumn("c_bytes", csize(F.col(text_col)))
+    return out.withColumn(
+        "ratio_pct",
+        F.floor(F.lit(100) * F.col("n_bytes") / F.col("c_bytes")).cast("long"),
+    )

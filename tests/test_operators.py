@@ -1575,3 +1575,138 @@ def test_bloom_filter_no_false_negatives_and_sane_fpr(spark):
     a = bloom_build(df.filter(F.col("v") < 100), "v", words=64).collect()[0]
     b = bloom_build(df.filter(F.col("v") >= 100), "v", words=64).collect()[0]
     assert [x | y for x, y in zip(a.bloom, b.bloom)] == bloom
+
+
+# ---- batch 6: HLL / boilerplate / compression / DQ ------------------------
+
+
+def test_hll_estimate_within_error_and_merge_equals_direct(spark):
+    from py_etl_spark.operators.sketch import hll_merge, hll_sketch
+
+    df = spark.range(0, 5000).selectExpr(
+        "CAST(id AS STRING) AS v",
+        "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS half",
+    )
+    direct = hll_sketch(df, col="v").collect()[0]
+    # m=256 → stderr ~6.5%; assert a generous 4-sigma envelope
+    assert abs(direct["estimate"] - 5000) <= 5000 * 0.26
+    per_half = hll_sketch(df, col="v", group_cols=("half",))
+    merged = hll_merge(per_half.select("registers")).collect()[0]
+    assert merged["registers"] == direct["registers"]
+    assert merged["estimate"] == direct["estimate"]
+
+
+def test_hll_linear_counting_branch_small_n(spark):
+    from py_etl_spark.operators.sketch import hll_sketch
+
+    df = spark.range(0, 40).selectExpr("CAST(id AS STRING) AS v")
+    row = hll_sketch(df, col="v").collect()[0]
+    # n=40 ≪ 2.5m → the linear-counting branch, which is near-exact there
+    assert row["n_zero"] >= 256 - 40
+    assert abs(row["estimate"] - 40) <= 4
+
+
+def test_hll_ignores_nulls_and_duplicates(spark):
+    from py_etl_spark.operators.sketch import hll_sketch
+
+    df = spark.createDataFrame(
+        [("x",), ("x",), ("y",), (None,)], ["v"]
+    )
+    row = hll_sketch(df, col="v").collect()[0]
+    assert row["estimate"] == 2
+
+
+def test_boilerplate_line_filter_keeps_prose_drops_chrome(spark):
+    from py_etl_spark.operators.textstats import boilerplate_line_filter
+
+    text = "\n".join(
+        [
+            "This is a perfectly reasonable sentence of prose.",
+            "HOME",  # too short
+            ">> | :: 123 456 789 --- |",  # low alpha ratio
+            "Another informative line that should survive the gate.",
+            "   ",  # blank
+        ]
+    )
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    row = boilerplate_line_filter(df).collect()[0]
+    assert row["n_lines"] == 5
+    assert row["n_kept"] == 2
+    assert row["clean_text"].splitlines() == [
+        "This is a perfectly reasonable sentence of prose.",
+        "Another informative line that should survive the gate.",
+    ]
+
+
+def test_compression_ratio_orders_repetitive_above_random(spark):
+    import random
+
+    from py_etl_spark.operators.textstats import compression_ratio
+
+    rng = random.Random(7)
+    rand_text = "".join(
+        rng.choice("abcdefghijklmnopqrstuvwxyz0123456789") for _ in range(2000)
+    )
+    rows = [
+        (1, "spam " * 400),  # highly repetitive
+        (2, "The quick brown fox jumps over the lazy dog. " * 40),
+        (3, rand_text),  # incompressible
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r for r in compression_ratio(df).collect()
+    }
+    assert got[1]["ratio_pct"] > got[2]["ratio_pct"] > got[3]["ratio_pct"]
+    # deflate never inflates prose by more than its tiny header
+    assert got[2]["ratio_pct"] > 100
+    # deterministic across runs
+    again = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    assert {k: v["c_bytes"] for k, v in got.items()} == {
+        k: v["c_bytes"] for k, v in again.items()
+    }
+
+
+def test_dq_check_constraints_counts_each_violation_kind(spark):
+    from py_etl_spark.operators import dq
+
+    facts = spark.createDataFrame(
+        [
+            (1, 10, "OK", 100.0),
+            (1, 11, "OK", -5.0),     # dup key=1, out-of-range
+            (2, None, "OK", 50.0),   # null fk col
+            (3, 99, "BAD", 200.0),   # fk orphan, bad status
+            (4, 12, "OK", 1500.0),   # out-of-range high
+        ],
+        ["k", "fk", "status", "amount"],
+    )
+    dim = spark.createDataFrame([(10,), (11,), (12,)], ["id"])
+    rep = {
+        r["check_name"]: r
+        for r in dq.check_constraints(
+            facts,
+            [
+                dq.not_null("fk"),
+                dq.in_range("amount", 0, 1000),
+                dq.in_set("status", ["OK"]),
+                dq.unique("k"),
+                dq.foreign_key("fk", dim, "id"),
+            ],
+        ).collect()
+    }
+    assert rep["not_null(fk)"]["n_violations"] == 1
+    assert rep["in_range(amount)"]["n_violations"] == 2
+    assert rep["in_set(status)"]["n_violations"] == 1
+    assert rep["unique(k)"]["n_violations"] == 1
+    assert rep["fk(fk)"]["n_violations"] == 1
+    assert not any(r["passed"] for r in rep.values())
+    # an all-clean table passes everything
+    clean = dq.check_constraints(
+        facts.filter("k = 1 AND amount = 100.0"),
+        [dq.unique("k"), dq.not_null("k")],
+    ).collect()
+    assert all(r["passed"] for r in clean)
+    # and so does an EMPTY one (zero violations, not NULL ones)
+    empty = dq.check_constraints(
+        facts.filter("k < 0"), [dq.not_null("k"), dq.unique("k")]
+    ).collect()
+    assert all(r["passed"] and r["n_violations"] == 0 for r in empty)

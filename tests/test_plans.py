@@ -525,3 +525,70 @@ def test_interval_overlap_join_no_cartesian_no_dedup_agg(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Aggregate" not in plan
     assert shuffle_count(df) <= 2
+
+
+def test_hll_sketch_two_shuffles_no_exchange_to_one(spark):
+    df = Q.REGISTRY["hll_distinct_event_ids"].fn(spark, SF_MED)
+    # bucket/rank map-side on the hash; one (group, bucket) max-shuffle
+    # (map-side partial — shuffle volume ≤ groups·m rows); one per-group
+    # register assembly agg. Estimator is a Column walk, shuffle-free.
+    assert shuffle_count(df) == 2
+    assert single_partition_exchange_count(df) == 0
+
+
+def test_hll_rollup_merges_metadata_not_data(spark):
+    df = Q.REGISTRY["hll_rollup_doc_ids"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # two sketch builds (2 shuffles each) + the register-wise-max merge
+    # over groups·m metadata rows + the 1-row × 1-row broadcast join —
+    # never a cross product over data, never Python
+    assert "CartesianProduct" not in plan
+    assert broadcast_join_count(df) == 1
+    assert shuffle_count(df) <= 6
+
+
+def test_session_window_single_shuffle(spark):
+    df = Q.REGISTRY["st_session_window_agg"].fn(spark, SF_MED)
+    # one exchange on the session-window grouping; gap-merge is a
+    # sort-based within-partition pass (same plan under readStream)
+    assert shuffle_count(df) == 1
+    assert single_partition_exchange_count(df) == 0
+
+
+def test_boilerplate_filter_mapside_jvm_only(spark):
+    df = Q.REGISTRY["quality_boilerplate_lines"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # pure Column HOFs over the scan: zero shuffles, zero Python workers
+    assert shuffle_count(df) == 0
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_anomaly_days_windows_daily_rollup_only(spark):
+    df = Q.REGISTRY["events_anomaly_days"].fn(spark, SF_MED)
+    # raw events see exactly ONE shuffle (the map-side-combined daily
+    # count); the trailing-baseline window then runs over ≤ one row per
+    # day — the global sort is metadata-scale by construction
+    assert shuffle_count(df) == 2
+    assert single_partition_exchange_count(df) == 0
+
+
+def test_dq_report_minimal_passes(spark):
+    df = Q.REGISTRY["dq_check_orders"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # 4 row checks fold into ONE conditional-sum scan; unique() adds one
+    # key-count shuffle; fk() is a broadcast anti-join (fact table never
+    # shuffles for the referential check)
+    assert "CartesianProduct" not in plan
+    assert broadcast_join_count(df) == 1
+    assert shuffle_count(df) <= 5
+
+
+def test_compression_ratio_arrow_batched_no_shuffle(spark):
+    df = Q.REGISTRY["quality_compression_ratio"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the zlib pass is Arrow-batched (never row-at-a-time Python) and
+    # fully map-side
+    assert shuffle_count(df) == 0
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
