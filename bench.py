@@ -110,6 +110,10 @@ HEADLINE = [
     "events_anomaly_days",
     "dq_check_orders",
     "quality_compression_ratio",
+    # round 4, seventh batch:
+    "corpus_sample_weighted",
+    "trending_event_types_hourly",
+    "audio_window_features_synthetic",
 ]
 
 # Scale-sensitive subset for the 10x block: joins, window aggs, Python
@@ -149,6 +153,10 @@ SF1_SUBSET = [
     "quality_boilerplate_lines",
     "events_anomaly_days",
     "dq_check_orders",
+    # round 4, seventh batch (key-offset-clean; audio is a fixed-size
+    # synthetic corpus — scale-invariant by construction, excluded)
+    "corpus_sample_weighted",
+    "trending_event_types_hourly",
 ]
 
 # key columns to offset per replica copy so FK relationships replicate

@@ -415,3 +415,51 @@ def sample_stratified_exact(
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= n_per_stratum)
     )
+
+
+def sample_weighted(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wrs",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — Efraimidis–Spirakis
+    exponential keys: each row gets ``key = u^(1/w)`` with ``u`` a
+    deterministic hash-uniform in [0,1) from ``md5(id:salt)``, and the
+    sample is the global top-k by key (inclusion probability ∝ weight,
+    exactly the A-ES result). The curation use: sample a token-weighted
+    or quality-weighted subset of a corpus reproducibly — task retries,
+    repartitioning, and re-runs all see the same sample because the
+    "randomness" is a hash of the row id, never ``rand()``.
+
+    Scale: the key is map-side arithmetic; top-k compiles to
+    TakeOrderedAndProject (per-partition heaps of k, one k-row merge on
+    the driver side of the exchange) — no global sort, no shuffle of
+    the corpus. Rows with NULL or non-positive weight are excluded (they
+    have zero inclusion probability in A-ES semantics).
+
+    Ordering note: the float key is used ONLY for selection/ordering;
+    ties are broken by id so the emitted id set is stable cross-engine
+    (a 1-ulp ``pow`` divergence would need two keys within 1 ulp to
+    flip membership — measure-zero with continuous weights).
+    """
+    w = F.col(weight_col).cast("double")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = h.cast("double") / F.lit(float(1 << 60))
+    key = F.pow(u, F.lit(1.0) / w)
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("__wrs_key", key)
+        .orderBy(F.col("__wrs_key").desc(), F.col(id_col))
+        .limit(k)
+        .drop("__wrs_key")
+    )

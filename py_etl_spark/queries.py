@@ -5252,6 +5252,133 @@ def st_hopping_window_agg(spark, sf_dir):
 
 
 # =========================================================================
+# Weighted sampling without replacement (operators/corpus.sample_weighted)
+# =========================================================================
+
+@query(
+    "corpus_sample_weighted",
+    """
+    SELECT doc_id, source, lang, n_chars FROM (
+      SELECT doc_id, source, lang, n_chars,
+             pow(CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                           || ':wrs'), 1, 15)) AS BIGINT)
+                      AS DOUBLE) / 1152921504606846976.0,
+                 1.0 / CAST(n_chars AS DOUBLE)) AS k
+      FROM documents
+      WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0
+    ) ORDER BY k DESC, doc_id LIMIT 200
+    """,
+    note="Weighted sampling without replacement "
+    "(corpus.sample_weighted): Efraimidis–Spirakis exponential keys "
+    "u^(1/w) over the deterministic md5(id:salt) uniform — inclusion "
+    "probability ∝ n_chars, bit-reproducible (no rand()), top-k "
+    "compiles to TakeOrderedAndProject so the corpus never shuffles",
+)
+def corpus_sample_weighted(spark, sf_dir):
+    from py_etl_spark.operators.corpus import sample_weighted
+
+    return sample_weighted(
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", "source", "lang", "n_chars"
+        ),
+        k=200,
+        weight_col="n_chars",
+    )
+
+
+# =========================================================================
+# Trending top-k per window (streaming-dashboard shape)
+# =========================================================================
+
+@query(
+    "trending_event_types_hourly",
+    """
+    SELECT window_start_ms, event_type, n, rnk FROM (
+      SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start_ms,
+             event_type, count(*) AS n,
+             row_number() OVER (
+               PARTITION BY time_bucket(INTERVAL 1 HOUR, ts)
+               ORDER BY count(*) DESC, event_type) AS rnk
+      FROM events GROUP BY time_bucket(INTERVAL 1 HOUR, ts), event_type
+    ) WHERE rnk <= 3
+    """,
+    note="Trending top-k per hour — the streaming-dashboard rollup: "
+    "windowed counts then rank ≤ 3 within each window (deterministic "
+    "count-desc/type tiebreak); the rank window runs over the "
+    "window×type ROLLUP (metadata-scale), not raw events",
+)
+def trending_event_types_hourly(spark, sf_dir):
+    from pyspark.sql import Window
+
+    counts = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rw = Window.partitionBy("w").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(rw))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.unix_millis("w.start").alias("window_start_ms"),
+            "event_type",
+            "n",
+            "rnk",
+        )
+    )
+
+
+# =========================================================================
+# Audio windowed features (operators/multimodal.audio_window_features)
+# =========================================================================
+
+@query(
+    "audio_window_features_synthetic",
+    None,
+    note="Audio frame-sample/feature pipeline "
+    "(multimodal.audio_window_features): RIFF-walk 16-bit PCM WAVs in "
+    "Arrow batches, emit integer-exact per-window energy (Σs², peak) — "
+    "the audio analog of the thumbnail loop. Rows-only: the WAV corpus "
+    "is synthesized deterministically from doc ids (no audio column in "
+    "the star schema; DuckDB has no RIFF walker); integer-exactness is "
+    "pinned in tests/test_operators.py against a struct-unpacked replay",
+)
+def audio_window_features_synthetic(spark, sf_dir):
+    import struct
+
+    from py_etl_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_window_features,
+    )
+
+    ids = [
+        r["doc_id"]
+        for r in _t(spark, sf_dir, "documents")
+        .select("doc_id").orderBy("doc_id").limit(32).collect()
+    ]
+    rows = []
+    for did in ids:
+        # deterministic integer square wave: amplitude keyed by doc_id
+        amp = 1000 + (did % 7) * 500
+        pcm = b"".join(
+            struct.pack("<h", amp if (i // 8) % 2 == 0 else -amp)
+            for i in range(800)
+        )
+        hdr = (
+            b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+            + b"data" + struct.pack("<I", len(pcm))
+        )
+        rows.append(
+            (did, "audio", bytearray(hdr + pcm), "audio/wav", None, None, 100)
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return audio_window_features(media, window_ms=25)
+
+
+# =========================================================================
 # Data-quality constraint report (operators/dq.check_constraints)
 # =========================================================================
 
@@ -5640,6 +5767,8 @@ def hll_rollup_doc_ids(spark, sf_dir):
 _FRONT = [
     # never driver-checked (added r04 after the last rotation) — highest
     # priority for the 50-slot window:
+    "corpus_sample_weighted",
+    "trending_event_types_hourly",
     "hll_distinct_event_ids",
     "hll_rollup_doc_ids",
     "st_session_window_agg",
@@ -5688,11 +5817,10 @@ _FRONT = [
     "kmv_distinct_rollup",
     "bloom_build_users",
     "bloom_semi_join_prune",
-    # replay oracle hardened this round — keep under rotation:
-    "bpe_token_count_fixed",
-    # the r02-green queries that still fit the window; the rest keep
-    # their r02 rows and lead the middle for r05:
-    "q1_pricing_summary",
+    # bpe_token_count_fixed (r03-green) and the remaining r02-green
+    # queries ceded their slots to this batch; they keep their rows and
+    # lead the middle for r05 along with audio_window_features_synthetic
+    # (rows-only, unit-backed), the one new query that missed the cap
 ]
 _TAIL = [
     "jsonl_roundtrip_documents",

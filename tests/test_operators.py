@@ -1710,3 +1710,61 @@ def test_dq_check_constraints_counts_each_violation_kind(spark):
         facts.filter("k < 0"), [dq.not_null("k"), dq.unique("k")]
     ).collect()
     assert all(r["passed"] and r["n_violations"] == 0 for r in empty)
+
+
+def test_audio_window_features_integer_exact_and_error_channel(spark):
+    import struct
+
+    from py_etl_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_window_features,
+    )
+
+    wav = _make_wav(rate=8000, n=800, amp=16384)  # 100 ms of mono sine
+    rows = [
+        (1, "audio", bytearray(wav), "audio/wav", None, None, 100),
+        (2, "audio", bytearray(b"not audio at all"), "audio/wav",
+         None, None, 100),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        (r["media_id"], r["window_idx"]): r
+        for r in audio_window_features(media, window_ms=25).collect()
+    }
+    # 800 samples at 8 kHz = 100 ms → four full 25 ms windows of 200
+    wins = [got[(1, i)] for i in range(4)]
+    assert all(w["n_samples"] == 200 for w in wins)
+    assert (1, 4) not in got
+    # integer-exact replay against the same PCM bytes
+    data = wav[wav.index(b"data") + 8:]
+    samples = struct.unpack(f"<{len(data) // 2}h", data[: len(data) // 2 * 2])
+    for i, w in enumerate(wins):
+        seg = samples[i * 200:(i + 1) * 200]
+        assert w["sum_sq"] == sum(s * s for s in seg)
+        assert w["peak"] == max(abs(s) for s in seg)
+        assert w["audio_error"] is None
+    bad = got[(2, None)]
+    assert bad["audio_error"] is not None and bad["sum_sq"] is None
+
+
+def test_sample_weighted_deterministic_and_weight_sensitive(spark):
+    from py_etl_spark.operators.corpus import sample_weighted
+
+    rows = [(i, 0.000001) for i in range(100)] + [
+        (1000, 1e9),
+        (1001, None),
+        (1002, -5.0),
+        (1003, 0.0),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = sample_weighted(df, k=10, weight_col="w").collect()
+    ids = [r["doc_id"] for r in got]
+    assert len(ids) == 10
+    # the one enormous weight wins the top slot: u^(1/1e9) ≈ 1 while the
+    # tiny weights' keys are u^1e6 ≈ 0
+    assert ids[0] == 1000
+    # null / zero / negative weights are excluded outright
+    assert not {1001, 1002, 1003} & set(ids)
+    again = [r["doc_id"] for r in sample_weighted(
+        df.repartition(7), k=10, weight_col="w").collect()]
+    assert ids == again  # hash-keyed, stable under repartition

@@ -592,3 +592,32 @@ def test_compression_ratio_arrow_batched_no_shuffle(spark):
     assert shuffle_count(df) == 0
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_weighted_sample_is_take_ordered_no_shuffle(spark):
+    df = Q.REGISTRY["corpus_sample_weighted"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # A-ES key is map-side arithmetic; top-k compiles to
+    # TakeOrderedAndProject (per-partition heaps) — the corpus is never
+    # globally sorted or shuffled
+    assert "TakeOrderedAndProject" in plan
+    assert shuffle_count(df) == 0
+    assert single_partition_exchange_count(df) == 0
+
+
+def test_trending_ranks_over_rollup_not_raw_events(spark):
+    df = Q.REGISTRY["trending_event_types_hourly"].fn(spark, SF_MED)
+    # one map-side-combined (window, type) count; the rank window then
+    # partitions by window over the rollup (metadata-scale) — 2 total
+    assert shuffle_count(df) == 2
+    assert single_partition_exchange_count(df) == 0
+
+
+def test_audio_windows_arrow_batched_single_bucketing_shuffle(spark):
+    df = Q.REGISTRY["audio_window_features_synthetic"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the only exchange is the size-bucket repartition bounding task
+    # payloads; the codec runs in Arrow batches, never row-Python
+    assert "MapInPandas" in plan
+    assert shuffle_count(df) == 1
+    assert "BatchEvalPython" not in plan
