@@ -114,6 +114,10 @@ HEADLINE = [
     "corpus_sample_weighted",
     "trending_event_types_hourly",
     "audio_window_features_synthetic",
+    # round 4, eighth batch:
+    "embedding_moments_matrix",
+    "hll_grouping_sets_docs",
+    "fuzzy_rerank_levenshtein",
 ]
 
 # Scale-sensitive subset for the 10x block: joins, window aggs, Python
@@ -157,6 +161,11 @@ SF1_SUBSET = [
     # synthetic corpus — scale-invariant by construction, excluded)
     "corpus_sample_weighted",
     "trending_event_types_hourly",
+    # round 4, eighth batch (embeddings replicate by vec_id offset —
+    # moment sums scale linearly; fuzzy rerank is content-bounded by the
+    # <300-key probe side, excluded like the other content ops)
+    "embedding_moments_matrix",
+    "hll_grouping_sets_docs",
 ]
 
 # key columns to offset per replica copy so FK relationships replicate

@@ -105,3 +105,50 @@ def fuzzy_join(
         .filter(F.col("__j") >= threshold)
         .select("id_a", "id_b", F.round("__j", 6).alias("jaccard"))
     )
+
+
+def levenshtein_rerank(
+    candidates: DataFrame,
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_id: str,
+    right_id: str,
+    max_dist: int | None = None,
+) -> DataFrame:
+    """Exact edit-distance re-rank of :func:`fuzzy_join` candidates — the
+    standard two-stage ER pipeline: the gram index proposes (cheap,
+    recall-oriented), Levenshtein disposes (exact, precision-oriented).
+    Appends ``lev`` (raw distance, INT) and ``lev_sim`` = round(1 −
+    lev/max(len), 6); optionally filters to ``lev ≤ max_dist``.
+
+    Scale: the DP runs ONLY on candidate pairs (Σ gram-collisions,
+    bounded by the stop-gram cap), never all-pairs; strings re-join via
+    two id-keyed joins that AQE broadcasts when the candidate set is
+    small. JVM `levenshtein` expression — integer-exact, identical in
+    DuckDB, no Python in the path.
+    """
+    l_s = left.select(
+        F.col(left_id).alias("id_a"), F.col(left_on).alias("__sa")
+    )
+    r_s = right.select(
+        F.col(right_id).alias("id_b"), F.col(right_on).alias("__sb")
+    )
+    out = (
+        candidates.join(l_s, "id_a")
+        .join(r_s, "id_b")
+        .withColumn("lev", F.levenshtein(F.col("__sa"), F.col("__sb")))
+        .withColumn(
+            "lev_sim",
+            F.round(
+                F.lit(1.0)
+                - F.col("lev")
+                / F.greatest(F.length("__sa"), F.length("__sb")),
+                6,
+            ),
+        )
+    )
+    if max_dist is not None:
+        out = out.filter(F.col("lev") <= max_dist)
+    return out.drop("__sa", "__sb")

@@ -487,3 +487,112 @@ def semantic_dedup(
             F.col("__dup").isNull().alias("is_kept"),
         )
     )
+
+
+# ---- Exact integer moment matrix / PCA feed -------------------------------
+
+
+def embedding_moments_int(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: float = 100000.0,
+) -> DataFrame:
+    """Exact second-moment matrix of an embedding column in scaled-integer
+    arithmetic — the distributed statistics feed for PCA / whitening /
+    covariance-based outlier scoring over a 100 TB corpus.
+
+    Every element is quantized once (``q = round(x·scale)`` as BIGINT,
+    same half-away-from-zero rounding in Spark and DuckDB), and all
+    sums are integer sums — order-free, partitioning-free, so the
+    moment matrix is bit-identical on any cluster AND any engine (the
+    float-dot-product alternative would differ per shuffle order).
+    Output rows, all BIGINT ``s``:
+
+    - ``(i, j, s)`` for 0 ≤ i ≤ j < dim: Σ qᵢ·qⱼ (upper triangle);
+    - ``(i, -1, s)``: first moments Σ qᵢ;
+    - ``(-1, -1, n)``: the row count.
+
+    Driver-side :func:`pca_from_moments` turns this into mean/cov/PCA.
+
+    Plan: the d(d+1)/2 pair terms are built as ONE nested-transform
+    array expression and exploded map-side; the only shuffle is the
+    (i, j) sum, and with map-side partial aggregation each task emits
+    at most d(d+1)/2 + d + 1 partial rows — shuffle volume is bounded
+    by tasks·d², independent of row count (same posture as the CM/HLL
+    sketch builds). Overflow bound: n·(scale·max|x|)² must stay below
+    2^63 — at scale=1e5 and |x| ≤ 1 that allows ~9×10⁸ rows per job;
+    shard-and-merge (the moment rows are plain-sum mergeable) or lower
+    the scale beyond that.
+    """
+    q = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * F.lit(scale)).cast("long"),
+    )
+    base = df.select(q.alias("__q"))
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    qi = lambda i: F.element_at(F.col("__q"), (i + 1).cast("int"))  # noqa: E731
+    pair_terms = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.sequence(i, F.lit(dim - 1)),
+                lambda j: F.struct(
+                    i.cast("int").alias("i"),
+                    j.cast("int").alias("j"),
+                    (qi(i) * qi(j)).alias("p"),
+                ),
+            ),
+        )
+    )
+    moments = (
+        base.select(F.explode(pair_terms).alias("t"))
+        .groupBy(F.col("t.i").alias("i"), F.col("t.j").alias("j"))
+        .agg(F.sum("t.p").alias("s"))
+    )
+    first_terms = F.transform(
+        idx, lambda i: F.struct(i.cast("int").alias("i"), qi(i).alias("p"))
+    )
+    firsts = (
+        base.select(F.explode(first_terms).alias("t"))
+        .groupBy(F.col("t.i").alias("i"))
+        .agg(F.lit(-1).cast("int").alias("j"), F.sum("t.p").alias("s"))
+    )
+    count = base.agg(
+        F.lit(-1).cast("int").alias("i"),
+        F.lit(-1).cast("int").alias("j"),
+        F.count(F.lit(1)).alias("s"),
+    )
+    return moments.unionByName(firsts).unionByName(count)
+
+
+def pca_from_moments(
+    rows, dim: int, scale: float = 100000.0
+):
+    """Driver-side PCA from collected :func:`embedding_moments_int` rows
+    (d² + d + 1 integers — metadata, never data). Returns
+    ``(mean, cov, eigvals, components)`` as numpy arrays; eigenvectors
+    are sorted by descending eigenvalue. Deterministic: the integer
+    moments fix cov exactly (up to quantization), and ``numpy.linalg.eigh``
+    on an identical matrix is reproducible."""
+    import numpy as np
+
+    n = 0
+    s1 = np.zeros(dim)
+    s2 = np.zeros((dim, dim))
+    for r in rows:
+        i, j, s = r["i"], r["j"], r["s"]
+        if i == -1:
+            n = s
+        elif j == -1:
+            s1[i] = s
+        else:
+            s2[i, j] = s
+            s2[j, i] = s
+    if n == 0:
+        raise ValueError("moment rows contain no count row / empty input")
+    mean = s1 / (n * scale)
+    cov = s2 / (n * scale * scale) - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1]
+    return mean, cov, vals[order], vecs[:, order].T

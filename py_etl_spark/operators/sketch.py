@@ -703,13 +703,25 @@ def hll_sketch(
     return _hll_assemble(cells, group_cols)
 
 
-def hll_merge(sketches: DataFrame) -> DataFrame:
-    """Merge per-group sketches (rows of ``registers`` arrays) into ONE
-    global sketch: register-wise max — the associativity that makes HLL
-    the rollup-tree NDV primitive (merge(sketch(A), sketch(B)) ≡
-    sketch(A ∪ B), pinned by the rollup query's oracle). Explode is over
-    groups·m metadata rows, never over data."""
-    cells = sketches.select(
-        F.posexplode("registers").alias("__bucket", "__r")
-    ).groupBy("__bucket").agg(F.max("__r").alias("__reg"))
-    return _hll_assemble(cells, ())
+def hll_merge(
+    sketches: DataFrame, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Merge sketches (rows of ``registers`` arrays) down to one sketch
+    per ``group_cols`` value (default: ONE global sketch): register-wise
+    max — the associativity that makes HLL the rollup-tree NDV primitive
+    (merge(sketch(A), sketch(B)) ≡ sketch(A ∪ B), pinned by the rollup
+    queries' oracles, which compute each rollup level DIRECTLY from the
+    raw column). With ``group_cols`` this is the GROUPING-SETS move:
+    build the finest-grain sketches once, then answer every coarser NDV
+    (per-dim, global) by merging metadata — the raw data is scanned
+    exactly once. Explode is over input_rows·m metadata rows, never
+    over data."""
+    cells = (
+        sketches.select(
+            *[F.col(g) for g in group_cols],
+            F.posexplode("registers").alias("__bucket", "__r"),
+        )
+        .groupBy(*group_cols, "__bucket")
+        .agg(F.max("__r").alias("__reg"))
+    )
+    return _hll_assemble(cells, group_cols)

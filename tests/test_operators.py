@@ -1768,3 +1768,77 @@ def test_sample_weighted_deterministic_and_weight_sensitive(spark):
     again = [r["doc_id"] for r in sample_weighted(
         df.repartition(7), k=10, weight_col="w").collect()]
     assert ids == again  # hash-keyed, stable under repartition
+
+
+def test_embedding_moments_and_pca_recover_principal_axis(spark):
+    import numpy as np
+
+    from py_etl_spark.operators.similarity import (
+        embedding_moments_int,
+        pca_from_moments,
+    )
+
+    rng = np.random.RandomState(3)
+    d = 8
+    axis = np.zeros(d)
+    axis[2] = 1.0
+    pts = (
+        rng.randn(300, 1) * 5.0 * axis  # dominant variance on dim 2
+        + rng.randn(300, d) * 0.1
+        + 0.5
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(pts)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = embedding_moments_int(df, dim=d).collect()
+    assert len(rows) == d * (d + 1) // 2 + d + 1
+    mean, cov, vals, comps = pca_from_moments(rows, dim=d)
+    assert np.allclose(mean, pts.mean(axis=0), atol=1e-4)
+    assert np.allclose(cov, np.cov(pts.T, bias=True), atol=1e-3)
+    assert abs(comps[0] @ axis) > 0.99
+    # moments are integer-exact: repartitioning changes nothing at all
+    again = embedding_moments_int(df.repartition(13), dim=d).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_hll_grouped_merge_equals_direct_per_group(spark):
+    from py_etl_spark.operators.sketch import hll_merge, hll_sketch
+
+    df = spark.range(0, 3000).selectExpr(
+        "CAST(id AS STRING) AS v",
+        "CASE WHEN id % 3 = 0 THEN 'a' WHEN id % 3 = 1 THEN 'b' "
+        "ELSE 'c' END AS src",
+        "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END AS lang",
+    )
+    base = hll_sketch(df, col="v", group_cols=("src", "lang"))
+    rolled = {
+        r["src"]: r["registers"]
+        for r in hll_merge(base, ("src",)).collect()
+    }
+    direct = {
+        r["src"]: r["registers"]
+        for r in hll_sketch(df, col="v", group_cols=("src",)).collect()
+    }
+    assert rolled == direct
+
+
+def test_levenshtein_rerank_known_distances(spark):
+    from py_etl_spark.operators.fuzzy import levenshtein_rerank
+
+    left = spark.createDataFrame([(1, "kitten")], ["id", "name"])
+    right = spark.createDataFrame(
+        [(2, "sitting"), (3, "kitten"), (4, "zzzzzzzzzz")], ["id", "name"]
+    )
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], ["id_a", "id_b"]
+    )
+    got = {
+        r["id_b"]: r
+        for r in levenshtein_rerank(
+            cands, left, right, "name", "name", "id", "id", max_dist=5
+        ).collect()
+    }
+    assert got[2]["lev"] == 3 and got[3]["lev"] == 0
+    assert 4 not in got  # distance 10 > max_dist
+    assert abs(got[2]["lev_sim"] - round(1 - 3 / 7, 6)) < 1e-9

@@ -621,3 +621,34 @@ def test_audio_windows_arrow_batched_single_bucketing_shuffle(spark):
     assert "MapInPandas" in plan
     assert shuffle_count(df) == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_embedding_moments_bounded_shuffles_no_python(spark):
+    df = Q.REGISTRY["embedding_moments_matrix"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # pair/first/count aggs — each map-side partial bounds shuffle volume
+    # at tasks·d² rows; the nested-transform outer product is pure JVM
+    assert shuffle_count(df) == 3
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hll_grouping_sets_no_cartesian_bounded(spark):
+    df = Q.REGISTRY["hll_grouping_sets_docs"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # three rollup levels over the shared finest-grain sketch; Spark's
+    # exchange reuse collapses the common base at execution — statically
+    # each level shows its build + merge pair
+    assert "CartesianProduct" not in plan
+    assert shuffle_count(df) <= 12
+    assert single_partition_exchange_count(df) == 0
+
+
+def test_fuzzy_rerank_single_extra_shuffle_no_python(spark):
+    df = Q.REGISTRY["fuzzy_rerank_levenshtein"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # candidate stage reuses fuzzy_join's plan; the re-rank's string
+    # joins broadcast (candidates are small), Levenshtein is a JVM
+    # expression — no Python, no cross product
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert shuffle_count(df) <= 3
