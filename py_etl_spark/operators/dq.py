@@ -66,8 +66,14 @@ def unique(*cols: str) -> Constraint:
     return ("unique(" + ",".join(cols) + ")", "unique", tuple(cols))
 
 
-def foreign_key(col: str, dim: DataFrame, dim_col: str) -> Constraint:
-    return (f"fk({col})", "fk", (col, dim, dim_col))
+def foreign_key(
+    col: str, dim: DataFrame, dim_col: str, broadcast: bool = True
+) -> Constraint:
+    """``broadcast=True`` (default) for genuinely small dimensions;
+    pass ``False`` for fact-sized referenced tables (orders under
+    lineitem) — the anti-join then shuffles both sides on the key,
+    which is the correct plan when neither side fits an executor."""
+    return (f"fk({col})", "fk", (col, dim, dim_col, broadcast))
 
 
 def check_constraints(df: DataFrame, constraints: list[Constraint]) -> DataFrame:
@@ -121,16 +127,13 @@ def check_constraints(df: DataFrame, constraints: list[Constraint]) -> DataFrame
             )
             reports.append(dup.select(F.lit(name).alias("check_name"), "n_violations"))
         elif kind == "fk":
-            col, dim, dim_col = payload
+            col, dim, dim_col, bcast = payload
+            keys = dim.select(F.col(dim_col).alias(col)).distinct()
+            if bcast:
+                keys = F.broadcast(keys)
             orphans = (
                 df.filter(F.col(col).isNotNull())
-                .join(
-                    F.broadcast(
-                        dim.select(F.col(dim_col).alias(col)).distinct()
-                    ),
-                    on=col,
-                    how="left_anti",
-                )
+                .join(keys, on=col, how="left_anti")
                 .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
             )
             reports.append(
@@ -141,3 +144,79 @@ def check_constraints(df: DataFrame, constraints: list[Constraint]) -> DataFrame
     for r in reports[1:]:
         out = out.unionByName(r)
     return out.withColumn("passed", F.col("n_violations") == 0)
+
+
+def distribution_drift(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    lo: float,
+    hi: float,
+    bins: int = 64,
+) -> DataFrame:
+    """Distribution-drift report between two slices of a table — the
+    training-data monitor for "did source X's length/score/price
+    distribution move?": equal-width histograms of ``col`` for the two
+    groups, compared by total-variation distance and a KS-style max
+    cumulative gap.
+
+    EXACT integer comparison: with bin counts cᵃ/cᵇ and totals nᵃ/nᵇ,
+    the report carries ``tv_num = Σ|cᵃᵢ·nᵇ − cᵇᵢ·nᵃ|`` and ``ks_num =
+    max |Cᵃᵢ·nᵇ − Cᵇᵢ·nᵃ|`` (cross-multiplied BIGINTs — no float ratio
+    until the final rounded display columns tv = tv_num/(2·nᵃ·nᵇ) and
+    ks = ks_num/(nᵃ·nᵇ)), so thresholds compare engine-exactly.
+
+    Plan: one scan of the two slices into the same (group, bin) count
+    shuffle as :func:`~py_etl_spark.operators.sketch.hist_sketch` (the
+    histogram primitive is reused verbatim); the comparison is a
+    zip_with/aggregate Column walk over two metadata rows. Output: ONE
+    row ``(n_a, n_b, tv_num, tv, ks_num, ks)``.
+    """
+    from py_etl_spark.operators.sketch import hist_sketch
+
+    def side(val, alias_n, alias_c):
+        sk = hist_sketch(
+            df.filter(F.col(group_col) == val), col, lo, hi, bins
+        )
+        return sk.select(
+            F.col("n").alias(alias_n), F.col("counts").alias(alias_c)
+        )
+
+    both = side(group_a, "n_a", "__ca").crossJoin(
+        side(group_b, "n_b", "__cb")
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    tv_num = F.aggregate(
+        F.zip_with(
+            F.col("__ca"), F.col("__cb"), lambda x, y: F.abs(x * nb - y * na)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    cum = lambda c: F.aggregate(  # noqa: E731 — running-sum array walk
+        F.col(c),
+        F.array().cast("array<long>"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(0)) + x),
+        ),
+    )
+    ks_num = F.array_max(
+        F.zip_with(
+            cum("__ca"), cum("__cb"), lambda x, y: F.abs(x * nb - y * na)
+        )
+    )
+    return both.select(
+        "n_a",
+        "n_b",
+        tv_num.alias("tv_num"),
+        F.round(
+            tv_num.cast("double") / (2.0 * na.cast("double") * nb.cast("double")), 6
+        ).alias("tv"),
+        ks_num.alias("ks_num"),
+        F.round(
+            ks_num.cast("double") / (na.cast("double") * nb.cast("double")), 6
+        ).alias("ks"),
+    )

@@ -1842,3 +1842,53 @@ def test_levenshtein_rerank_known_distances(spark):
     assert got[2]["lev"] == 3 and got[3]["lev"] == 0
     assert 4 not in got  # distance 10 > max_dist
     assert abs(got[2]["lev_sim"] - round(1 - 3 / 7, 6)) < 1e-9
+
+
+def test_interleave_sources_prefix_proportions_and_determinism(spark):
+    import pytest as _pytest
+
+    from py_etl_spark.operators.corpus import interleave_sources
+
+    rows = [(i, f"s{i % 3}") for i in range(700)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = interleave_sources(
+        df, weights={"s0": 4, "s1": 2, "s2": 1}
+    ).orderBy("mix_key", "source").collect()
+    # every prefix ending at a full stride cycle carries exactly 4:2:1
+    seq = [r["source"] for r in out]
+    for cut in (70, 140, 350):
+        from collections import Counter
+
+        c = Counter(seq[:cut])
+        assert c["s0"] == 4 * cut // 7
+        assert c["s1"] == 2 * cut // 7
+        assert c["s2"] == 1 * cut // 7
+    again = interleave_sources(
+        df.repartition(11), weights={"s0": 4, "s1": 2, "s2": 1}
+    ).orderBy("mix_key", "source").collect()
+    assert [r["doc_id"] for r in out] == [r["doc_id"] for r in again]
+    with _pytest.raises(ValueError):
+        interleave_sources(df, weights={"s0": 0})
+
+
+def test_distribution_drift_bounds(spark):
+    from py_etl_spark.operators.dq import distribution_drift
+
+    same = spark.createDataFrame(
+        [(i, "a", float(i % 50)) for i in range(200)]
+        + [(i + 1000, "b", float(i % 50)) for i in range(200)],
+        ["id", "g", "v"],
+    )
+    r = distribution_drift(same, "v", "g", "a", "b", 0.0, 50.0, 25).collect()[0]
+    assert r["tv_num"] == 0 and r["ks_num"] == 0
+    disjoint = spark.createDataFrame(
+        [(i, "a", 5.0) for i in range(100)]
+        + [(i + 1000, "b", 45.0) for i in range(150)],
+        ["id", "g", "v"],
+    )
+    r = distribution_drift(
+        disjoint, "v", "g", "a", "b", 0.0, 50.0, 25
+    ).collect()[0]
+    # fully separated mass: tv = 1, ks = 1 exactly (integer numerators)
+    assert r["tv_num"] == 2 * 100 * 150 and abs(r["tv"] - 1.0) < 1e-12
+    assert r["ks_num"] == 100 * 150 and abs(r["ks"] - 1.0) < 1e-12

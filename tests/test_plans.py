@@ -652,3 +652,33 @@ def test_fuzzy_rerank_single_extra_shuffle_no_python(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert shuffle_count(df) <= 3
+
+
+def test_interleave_single_source_window_shuffle(spark):
+    df = Q.REGISTRY["corpus_interleave_sources"].fn(spark, SF_MED)
+    # per-source rank window is the only exchange; stride key is
+    # map-side BIGINT arithmetic
+    assert shuffle_count(df) == 1
+    assert single_partition_exchange_count(df) == 0
+
+
+def test_drift_report_reuses_hist_shuffles(spark):
+    df = Q.REGISTRY["dq_drift_doc_lengths"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # two hist_sketch builds (2 shuffles each); the TV/KS comparison is
+    # a zip_with walk over the two single-row sketches (their join is a
+    # 1-row broadcast, not a data cross product)
+    assert shuffle_count(df) == 4
+    assert single_partition_exchange_count(df) == 0
+    assert "CartesianProduct" not in plan
+
+
+def test_star_fk_audit_broadcasts_small_dims_only(spark):
+    df = Q.REGISTRY["dq_check_star_fks"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # part/supplier/customer/nation anti-joins broadcast; the
+    # lineitem→orders edge is declared broadcast=False (both sides
+    # key-shuffled at scale — AQE may still locally convert at sf0.01)
+    assert "CartesianProduct" not in plan
+    assert broadcast_join_count(df) >= 4
+    assert shuffle_count(df) <= 10
