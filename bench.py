@@ -122,6 +122,10 @@ HEADLINE = [
     "corpus_interleave_sources",
     "dq_drift_doc_lengths",
     "dq_check_star_fks",
+    # round 4, tenth batch:
+    "user_event_sequences",
+    "corpus_top_bigrams",
+    "feature_bucketize_order_prices",
 ]
 
 # Scale-sensitive subset for the 10x block: joins, window aggs, Python
@@ -174,6 +178,10 @@ SF1_SUBSET = [
     "corpus_interleave_sources",
     "dq_drift_doc_lengths",
     "dq_check_star_fks",
+    # round 4, tenth batch (sequences/bucketize key-offset-clean;
+    # top_bigrams is a content op, excluded)
+    "user_event_sequences",
+    "feature_bucketize_order_prices",
 ]
 
 # key columns to offset per replica copy so FK relationships replicate

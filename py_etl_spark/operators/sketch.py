@@ -725,3 +725,74 @@ def hll_merge(
         .agg(F.max("__r").alias("__reg"))
     )
     return _hll_assemble(cells, group_cols)
+
+
+def equi_depth_buckets(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int = 128,
+    n_buckets: int = 4,
+) -> DataFrame:
+    """Equi-depth bucketizer — the two-phase "compute stats, apply to
+    data" pattern in ONE plan: a global :func:`hist_sketch` derives the
+    quantile cut bins (INTEGER comparison ``cum·n_buckets ≥ q·n`` — no
+    float quantile math), the cuts broadcast back as one metadata row,
+    and every row gets ``bucket`` = number of cuts strictly below its
+    bin. The ML-preproc use: quantile feature binning / monotone target
+    encoding that reproduces bit-identically on any engine.
+
+    Error posture: bucket boundaries are resolved at bin granularity
+    (error ≤ one bin width, fixed a priori — same contract as
+    hist_quantiles). Plan: the sketch's two bounded shuffles + a 1-row
+    broadcast join; bucket assignment is map-side arithmetic. Appends
+    ``__bin`` and ``bucket``.
+    """
+    width = (float(hi) - float(lo)) / bins
+    v = F.col(col).cast("double")
+    binc = F.least(
+        F.greatest(
+            F.floor((v - F.lit(float(lo))) / F.lit(width)).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(bins - 1),
+    )
+    sk = hist_sketch(df, col, lo, hi, bins)
+    cum = F.aggregate(
+        F.col("counts"),
+        F.array().cast("array<long>"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(0)) + x
+            ),
+        ),
+    )
+    cuts = F.transform(
+        F.sequence(F.lit(1), F.lit(n_buckets - 1)),
+        lambda q: F.array_position(
+            F.transform(
+                F.col("__cum"),
+                lambda c: c * F.lit(n_buckets) >= q.cast("long") * F.col("n"),
+            ),
+            True,
+        )
+        - 1,  # 0-based cut bin
+    )
+    cuts_row = (
+        sk.withColumn("__cum", cum)
+        .select(cuts.alias("__cuts"))
+    )
+    out = df.filter(v.isNotNull()).crossJoin(F.broadcast(cuts_row))
+    bucket = F.aggregate(
+        F.col("__cuts"),
+        F.lit(0),
+        lambda acc, cut: acc
+        + F.when(F.col("__bin").cast("long") > cut, 1).otherwise(0),
+    )
+    return (
+        out.withColumn("__bin", binc)
+        .withColumn("bucket", bucket)
+        .drop("__cuts")
+    )

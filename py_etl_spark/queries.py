@@ -5886,6 +5886,164 @@ def hll_grouping_sets_docs(spark, sf_dir):
 
 
 # =========================================================================
+# Equi-depth bucketizer (operators/sketch.equi_depth_buckets)
+# =========================================================================
+
+@query(
+    "feature_bucketize_order_prices",
+    """
+    WITH binned AS (
+      SELECT least(greatest(CAST(floor(CAST(o_totalprice AS DOUBLE)
+               / (500000.0 / 128)) AS INT), 0), 127) AS b
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ), cells AS (
+      SELECT b, count(*) AS c FROM binned GROUP BY 1
+    ), filled AS (
+      SELECT gb.b, coalesce(cells.c, 0) AS c
+      FROM (SELECT unnest(range(0, 128)) AS b) gb
+      LEFT JOIN cells ON cells.b = gb.b
+    ), cum AS (
+      SELECT b, c, sum(c) OVER (ORDER BY b) AS cm, sum(c) OVER () AS n
+      FROM filled
+    ), cuts AS (
+      SELECT q, min(CASE WHEN cm * 4 >= q * n THEN b END) AS cut
+      FROM cum CROSS JOIN (SELECT unnest(range(1, 4)) AS q) qs
+      GROUP BY q
+    ), assigned AS (
+      SELECT binned.b,
+             (SELECT count(*) FROM cuts WHERE binned.b > cuts.cut)
+               AS bucket
+      FROM binned
+    )
+    SELECT CAST(bucket AS INT) AS bucket, count(*) AS n,
+           CAST(min(b) AS INT) AS min_bin, CAST(max(b) AS INT) AS max_bin
+    FROM assigned GROUP BY 1
+    """,
+    note="Equi-depth quantile bucketizer (sketch.equi_depth_buckets): "
+    "the two-phase compute-stats→apply-to-data pattern in ONE plan — "
+    "hist_sketch derives the quartile cut bins via the INTEGER test "
+    "cum·4 ≥ q·n, the cuts broadcast back as one metadata row, bucket "
+    "assignment is map-side; boundaries resolve at bin granularity "
+    "(error ≤ one a-priori bin width)",
+)
+def feature_bucketize_order_prices(spark, sf_dir):
+    from py_etl_spark.operators.sketch import equi_depth_buckets
+
+    out = equi_depth_buckets(
+        _t(spark, sf_dir, "orders"),
+        col="o_totalprice",
+        lo=0.0,
+        hi=500000.0,
+        bins=128,
+        n_buckets=4,
+    )
+    return out.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("__bin").alias("min_bin"),
+        F.max("__bin").alias("max_bin"),
+    )
+
+
+# =========================================================================
+# Ordered per-user event sequences (sequence-dataset assembly)
+# =========================================================================
+
+@query(
+    "user_event_sequences",
+    """
+    SELECT user_id,
+           count(*) AS n_events,
+           array_agg(event_type ORDER BY ts, event_id) AS seq_types,
+           array_agg(epoch_ms(ts) ORDER BY ts, event_id) AS seq_ts_ms
+    FROM events GROUP BY user_id
+    """,
+    note="Sequence-dataset assembly: per-user event history as ORDERED "
+    "arrays — the construction step for behavioral-sequence training "
+    "examples. One user-keyed shuffle with map-side partial "
+    "collect_list; the (ts, event_id) sort key makes the array order "
+    "total and deterministic (ties broken by id), so arrays hash-match "
+    "cross-engine",
+)
+def user_event_sequences(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    item = F.struct(
+        F.col("ts").alias("ts"),
+        F.col("event_id").alias("event_id"),
+        F.col("event_type").alias("event_type"),
+    )
+    seq = F.sort_array(F.collect_list(item))
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            seq.alias("__seq"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.transform(F.col("__seq"), lambda s: s["event_type"]).alias(
+                "seq_types"
+            ),
+            F.transform(
+                F.col("__seq"), lambda s: F.unix_millis(s["ts"])
+            ).alias("seq_ts_ms"),
+        )
+    )
+
+
+# =========================================================================
+# Corpus-wide top-k n-grams
+# =========================================================================
+
+@query(
+    "corpus_top_bigrams",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(regexp_replace(text,
+               '[^A-Za-z ]', ' ', 'g')), ' '), t -> t <> '') AS ts
+      FROM documents
+    ), bi AS (
+      SELECT ts[i] || ' ' || ts[i + 1] AS bigram
+      FROM toks, (SELECT unnest(range(1, 10000)) AS i) ix
+      WHERE i < len(ts)
+    )
+    SELECT bigram, count(*) AS n
+    FROM bi GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 50
+    """,
+    note="Corpus-wide top-k bigram counts — the vocabulary/collocation "
+    "profile: lowercase alpha tokenization, adjacent-pair explode "
+    "map-side, ONE count shuffle with map-side partials, top-k via "
+    "TakeOrderedAndProject (per-partition heaps, no global sort)",
+)
+def corpus_top_bigrams(spark, sf_dir):
+    toks = F.filter(
+        F.split(
+            F.lower(F.regexp_replace(F.col("text"), "[^A-Za-z ]", " ")),
+            " ",
+        ),
+        lambda t: t != "",
+    )
+    pairs = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, 1000000),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+        lambda p: ~p.rlike("^\\S+$") & (p != ""),
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(pairs).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(50)
+    )
+
+
+# =========================================================================
 # Stride-scheduled source interleaving (operators/corpus.interleave_sources)
 # =========================================================================
 
@@ -6139,6 +6297,9 @@ REGISTRY["fuzzy_rerank_levenshtein"].oracle = (
 _FRONT = [
     # never driver-checked (added r04 after the last rotation) — highest
     # priority for the 50-slot window:
+    "feature_bucketize_order_prices",
+    "user_event_sequences",
+    "corpus_top_bigrams",
     "corpus_interleave_sources",
     "dq_drift_doc_lengths",
     "dq_check_star_fks",
@@ -6184,9 +6345,9 @@ _FRONT = [
     "bpe_train_merges",
     "orc_roundtrip_documents",
     "funnel_signup_click_purchase",
-    "cohort_retention_weekly",
-    "zorder_key_orders",
-    "dedup_incremental_batch",
+    # cohort_retention_weekly, zorder_key_orders, dedup_incremental_batch
+    # ceded to the tenth batch (unit/plan covered; lead the middle for
+    # r05):
     "scd2_apply_incremental",
     "corpus_curation_pipeline",
     # events_daily/rolling, fuzzy_join_part_names, kmv_distinct_rollup

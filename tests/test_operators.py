@@ -1892,3 +1892,26 @@ def test_distribution_drift_bounds(spark):
     # fully separated mass: tv = 1, ks = 1 exactly (integer numerators)
     assert r["tv_num"] == 2 * 100 * 150 and abs(r["tv"] - 1.0) < 1e-12
     assert r["ks_num"] == 100 * 150 and abs(r["ks"] - 1.0) < 1e-12
+
+
+def test_equi_depth_buckets_balanced_on_uniform_data(spark):
+    from py_etl_spark.operators.sketch import equi_depth_buckets
+
+    df = spark.range(0, 1000).selectExpr("CAST(id AS DOUBLE) AS v")
+    out = equi_depth_buckets(
+        df, "v", lo=0.0, hi=1000.0, bins=100, n_buckets=4
+    )
+    sizes = {
+        r["bucket"]: r["n"]
+        for r in out.groupBy("bucket").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    assert set(sizes) == {0, 1, 2, 3}
+    # uniform data → quartiles within one bin width (10 values) of 250
+    assert all(abs(n - 250) <= 10 for n in sizes.values())
+    # buckets are monotone in the underlying value
+    rows = out.select("v", "bucket").collect()
+    lo_max = max(r["v"] for r in rows if r["bucket"] == 0)
+    hi_min = min(r["v"] for r in rows if r["bucket"] == 3)
+    assert lo_max < hi_min

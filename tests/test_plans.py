@@ -682,3 +682,30 @@ def test_star_fk_audit_broadcasts_small_dims_only(spark):
     assert "CartesianProduct" not in plan
     assert broadcast_join_count(df) >= 4
     assert shuffle_count(df) <= 10
+
+
+def test_event_sequences_single_user_shuffle(spark):
+    df = Q.REGISTRY["user_event_sequences"].fn(spark, SF_MED)
+    # one user-keyed exchange with map-side partial collect_list; the
+    # total (ts, event_id) sort key orders arrays deterministically
+    assert shuffle_count(df) == 1
+    assert single_partition_exchange_count(df) == 0
+
+
+def test_top_bigrams_one_count_shuffle_then_topk(spark):
+    df = Q.REGISTRY["corpus_top_bigrams"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # adjacent-pair explode map-side; ONE count shuffle; top-k is
+    # per-partition heaps, never a global sort
+    assert shuffle_count(df) == 1
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bucketizer_broadcasts_cuts_row(spark):
+    df = Q.REGISTRY["feature_bucketize_order_prices"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # hist build (2) + final per-bucket agg (1); the quantile-cut row
+    # reaches the data side as a 1-row broadcast, assignment map-side
+    assert shuffle_count(df) == 3
+    assert broadcast_join_count(df) == 1
+    assert "CartesianProduct" not in plan
