@@ -126,6 +126,9 @@ HEADLINE = [
     "user_event_sequences",
     "corpus_top_bigrams",
     "feature_bucketize_order_prices",
+    # round 4, eleventh batch:
+    "dedup_keep_canonical",
+    "asof_next_order_within_30d",
 ]
 
 # Scale-sensitive subset for the 10x block: joins, window aggs, Python
@@ -182,6 +185,9 @@ SF1_SUBSET = [
     # top_bigrams is a content op, excluded)
     "user_event_sequences",
     "feature_bucketize_order_prices",
+    # round 4, eleventh batch (asof key-offset-clean; keep_canonical is a
+    # content op, excluded)
+    "asof_next_order_within_30d",
 ]
 
 # key columns to offset per replica copy so FK relationships replicate

@@ -16,7 +16,7 @@ Scale design (the whole point of these):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from py_etl_spark.operators.textstats import fingerprint_md5
@@ -631,3 +631,34 @@ def incremental_exact_dedup(
         fresh.select("fingerprint")
     ).distinct()
     return fresh, updated
+
+
+def keep_canonical_per_cluster(
+    clusters: DataFrame,
+    docs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Canonical-representative selection — the step after clustering
+    that near-dup dedup exists for: in each cluster keep exactly one
+    document (highest ``quality_col``, ties to the smallest id — a total
+    order, so the survivor set is deterministic) and mark the rest as
+    drops. Feeding a quality score here (Gopher gate, LM bits,
+    compression ratio) is what turns "dedup" into "dedup keeping the
+    BEST copy" instead of an arbitrary one.
+
+    Plan: one cluster-keyed window shuffle over the (id, cluster,
+    quality) triples — the document TEXT is never shuffled; join the
+    surviving ids back to the corpus afterwards (hash or broadcast
+    depending on survivor count). Appends ``is_canonical``.
+    """
+    scored = clusters.join(
+        docs.select(F.col(id_col), F.col(quality_col)), id_col
+    )
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn(
+        "is_canonical", F.row_number().over(w) == 1
+    )

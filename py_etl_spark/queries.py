@@ -5886,6 +5886,111 @@ def hll_grouping_sets_docs(spark, sf_dir):
 
 
 # =========================================================================
+# Canonical representative per dup-cluster (operators/dedup)
+# =========================================================================
+
+@query(
+    "dedup_keep_canonical",
+    None,  # oracle assigned below — wraps the cluster stage's SQL
+    note="Canonical-representative dedup (dedup.keep_canonical_per_"
+    "cluster): after MinHash-LSH + connected components, keep the "
+    "highest-quality doc per cluster (n_chars here; any gate score "
+    "plugs in), ties to smallest id — dedup that keeps the BEST copy, "
+    "deterministically. One cluster-keyed window over id/quality "
+    "triples; the text never shuffles",
+)
+def dedup_keep_canonical(spark, sf_dir):
+    from py_etl_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(docs, hash_family="md5")
+    cc = dedup.connected_components(pairs, nodes=docs.select("doc_id"))
+    clusters = cc.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+    return dedup.keep_canonical_per_cluster(
+        clusters, docs, quality_col="n_chars"
+    ).select("doc_id", "cluster_id", "n_chars", "is_canonical")
+
+
+REGISTRY["dedup_keep_canonical"].oracle = f"""
+    WITH cc AS ({REGISTRY["dedup_cc_clusters"].oracle})
+    SELECT doc_id, cluster_id, n_chars,
+           rn = 1 AS is_canonical
+    FROM (
+      SELECT cc.doc_id, cc.cluster_id, d.n_chars,
+             row_number() OVER (PARTITION BY cc.cluster_id
+                                ORDER BY d.n_chars DESC, cc.doc_id ASC)
+               AS rn
+      FROM cc JOIN documents d ON d.doc_id = cc.doc_id
+    )
+    """
+
+
+# =========================================================================
+# Forward as-of join with tolerance
+# =========================================================================
+
+@query(
+    "asof_next_order_within_30d",
+    """
+    SELECT l_orderkey, l_linenumber, next_orderkey FROM (
+      SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+             o2.o_orderkey AS next_orderkey,
+             row_number() OVER (
+               PARTITION BY l.l_orderkey, l.l_linenumber
+               ORDER BY o2.o_orderdate ASC, o2.o_orderkey ASC) AS rn
+      FROM lineitem l
+      JOIN orders o1 ON l.l_orderkey = o1.o_orderkey
+      JOIN orders o2 ON o2.o_custkey = o1.o_custkey
+                     AND o2.o_orderdate > l.l_shipdate
+                     AND o2.o_orderdate <= l.l_shipdate
+                                           + INTERVAL 30 DAY
+      WHERE l.l_orderkey < 100
+    ) WHERE rn = 1
+    """,
+    note="FORWARD as-of join with tolerance (mirror of "
+    "asof_latest_order_at_shipdate): earliest same-customer order "
+    "STRICTLY AFTER each line's shipdate but within 30 days — the "
+    "look-ahead variant (next-event attribution); range join + "
+    "windowed argmin, the tolerance bound is what keeps the banded "
+    "fan-out finite at scale",
+)
+def asof_next_order_within_30d(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    o1 = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k1"), F.col("o_custkey").alias("c1")
+    )
+    o2 = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("next_orderkey"),
+        F.col("o_custkey").alias("c2"),
+        F.col("o_orderdate").alias("d2"),
+    )
+    j = (
+        li.join(F.broadcast(o1), li.l_orderkey == F.col("k1"))
+        .join(
+            F.broadcast(o2),
+            (F.col("c2") == F.col("c1"))
+            & (F.col("d2") > F.col("l_shipdate"))
+            & (F.col("d2") <= F.col("l_shipdate") + F.expr("INTERVAL 30 DAY")),
+        )
+    )
+    w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+        F.asc("d2"), F.asc("next_orderkey")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_orderkey",
+            F.col("l_linenumber").cast("long").alias("l_linenumber"),
+            "next_orderkey",
+        )
+    )
+
+
+# =========================================================================
 # Equi-depth bucketizer (operators/sketch.equi_depth_buckets)
 # =========================================================================
 
@@ -6297,6 +6402,8 @@ REGISTRY["fuzzy_rerank_levenshtein"].oracle = (
 _FRONT = [
     # never driver-checked (added r04 after the last rotation) — highest
     # priority for the 50-slot window:
+    "dedup_keep_canonical",
+    "asof_next_order_within_30d",
     "feature_bucketize_order_prices",
     "user_event_sequences",
     "corpus_top_bigrams",
@@ -6343,8 +6450,8 @@ _FRONT = [
     "ann_cosine_topk_twostage",
     "semantic_dedup_fixed",
     "bpe_train_merges",
-    "orc_roundtrip_documents",
-    "funnel_signup_click_purchase",
+    # orc_roundtrip_documents / funnel_signup_click_purchase ceded to
+    # the eleventh batch (pushdown/plan/unit covered; lead middle for r05)
     # cohort_retention_weekly, zorder_key_orders, dedup_incremental_batch
     # ceded to the tenth batch (unit/plan covered; lead the middle for
     # r05):

@@ -1915,3 +1915,25 @@ def test_equi_depth_buckets_balanced_on_uniform_data(spark):
     lo_max = max(r["v"] for r in rows if r["bucket"] == 0)
     hi_min = min(r["v"] for r in rows if r["bucket"] == 3)
     assert lo_max < hi_min
+
+
+def test_keep_canonical_picks_best_quality_then_smallest_id(spark):
+    from py_etl_spark.operators.dedup import keep_canonical_per_cluster
+
+    clusters = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (4, 200), (5, 200), (6, 300)],
+        ["doc_id", "cluster_id"],
+    )
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (4, 5), (5, 5), (6, 1)],
+        ["doc_id", "quality"],
+    )
+    got = {
+        r["doc_id"]: r["is_canonical"]
+        for r in keep_canonical_per_cluster(
+            clusters, docs, quality_col="quality"
+        ).collect()
+    }
+    # cluster 100: quality tie 99 between 2 and 3 → smallest id (2) wins
+    # cluster 200: tie between 4 and 5 → 4; singleton cluster → itself
+    assert got == {1: False, 2: True, 3: False, 4: True, 5: False, 6: True}

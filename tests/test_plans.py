@@ -709,3 +709,25 @@ def test_bucketizer_broadcasts_cuts_row(spark):
     assert shuffle_count(df) == 3
     assert broadcast_join_count(df) == 1
     assert "CartesianProduct" not in plan
+
+
+def test_keep_canonical_windows_metadata_not_text(spark):
+    df = Q.REGISTRY["dedup_keep_canonical"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the canonical-pick window shuffles only (id, cluster, quality)
+    # triples (CC stages are localCheckpoint-bounded upstream); the
+    # clusters↔quality join broadcasts
+    assert "CartesianProduct" not in plan
+    assert shuffle_count(df) <= 2
+    assert single_partition_exchange_count(df) == 0
+
+
+def test_asof_forward_equi_join_with_residual_range(spark):
+    df = Q.REGISTRY["asof_next_order_within_30d"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # customer equi-join with the 30-day bound as residual — hash join,
+    # never a nested-loop over dates; argmin window partitioned by line
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert broadcast_join_count(df) == 2
+    assert shuffle_count(df) <= 2

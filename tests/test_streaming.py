@@ -865,3 +865,71 @@ def test_stream_stream_interval_join_checkpoint_restart(spark):
         (F.col("anchor_ts") <= F.lit(tmid)) & (F.col("probe_ts") > F.lit(tmid))
     )
     assert crossers.count() > 0
+
+
+def test_streaming_session_window_matches_batch_query(spark):
+    """Stream-vs-batch parity for the NATIVE session-window operator
+    (F.session_window under readStream + watermark — the engine-managed
+    sibling of the custom applyInPandasWithState sessionizer): append
+    mode must emit exactly the sessions the DuckDB-oracle-checked batch
+    query derives once the watermark passes their ends."""
+    import time as _time
+
+    from py_etl_spark.schemas import load_table
+    from tests.conftest import SF_SMALL
+
+    events = load_table(spark, SF_SMALL, "events").select("user_id", "ts")
+    tmp = tempfile.mkdtemp()
+    src = os.path.join(tmp, "src")
+    events.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b1"))
+    # one shared far-future sentinel timestamp: advances the watermark
+    # past every real session's end; the sentinel sessions themselves
+    # stay open (watermark never passes sentinel + gap) and are dropped
+    global_max = events.agg(F.max("ts")).first()[0]
+    sentinels = (
+        events.select("user_id")
+        .distinct()
+        .withColumn("ts", F.lit(global_max) + F.expr("INTERVAL 2 DAYS"))
+    )
+    _time.sleep(1.1)  # file source orders triggers by mtime
+    sentinels.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b2"))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    agg = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis("w.start").alias("session_start_ms"),
+            F.unix_millis("w.end").alias("session_end_ms"),
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("native_sess_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert q.exception() is None
+
+    got = {
+        (r.user_id, r.session_start_ms): (r.session_end_ms, r.n_events)
+        for r in spark.table("native_sess_out").collect()
+    }
+    import py_etl_spark.queries as Q
+
+    want = {
+        (r.user_id, r.session_start_ms): (r.session_end_ms, r.n_events)
+        for r in Q.REGISTRY["st_session_window_agg"].fn(
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert got == want
