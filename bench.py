@@ -129,6 +129,10 @@ HEADLINE = [
     # round 4, eleventh batch:
     "dedup_keep_canonical",
     "asof_next_order_within_30d",
+    # round 4, twelfth batch:
+    "scd2_point_in_time_features",
+    "split_leakage_report",
+    "part_pair_cooccurrence",
 ]
 
 # Scale-sensitive subset for the 10x block: joins, window aggs, Python
@@ -188,6 +192,10 @@ SF1_SUBSET = [
     # round 4, eleventh batch (asof key-offset-clean; keep_canonical is a
     # content op, excluded)
     "asof_next_order_within_30d",
+    # round 4, twelfth batch (pit/cooccurrence key-offset-clean;
+    # split_leakage is a content op, excluded)
+    "scd2_point_in_time_features",
+    "part_pair_cooccurrence",
 ]
 
 # key columns to offset per replica copy so FK relationships replicate

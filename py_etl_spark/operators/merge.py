@@ -247,3 +247,54 @@ def scd2_apply(
         .unionByName(old.select(*out_cols))
         .unionByName(new.select(*out_cols))
     )
+
+
+def scd2_point_in_time_join(
+    facts: DataFrame,
+    history: DataFrame,
+    keys: list[str],
+    fact_ts: str,
+    prefix: str = "pit_",
+) -> DataFrame:
+    """Point-in-time-correct dimension join — THE leakage-safe feature
+    join for training data: each fact row picks up the SCD2 attribute
+    values that were valid AT its own timestamp (``valid_from ≤ t <
+    valid_to``, open interval = still current), never the later state a
+    naive latest-value join would leak. Facts before a key's first
+    interval keep NULL features (left join) — "the feature did not
+    exist yet" is itself the correct training signal.
+
+    No window needed: a key's intervals partition its timeline, so at
+    most ONE history row matches each fact — the join IS the argmax.
+    Plan: key equi-join (hash-partitioned both sides; the interval
+    bounds ride along as residual predicates), output ∝ facts. History
+    columns come back ``prefix``-renamed to keep fact columns collision-
+    free.
+    """
+    h = history
+    for c in h.columns:
+        if c not in keys:
+            h = h.withColumnRenamed(c, prefix + c)
+    # explicit aliases: facts and history often derive from the SAME
+    # source table (state-from-events), where bare column references
+    # resolve ambiguously and a drop() can strip the wrong side's key
+    f, h = facts.alias("__pit_f"), h.alias("__pit_h")
+    t = F.col("__pit_f." + fact_ts)
+    cond = None
+    for k in keys:
+        e = F.col("__pit_f." + k) == F.col("__pit_h." + k)
+        cond = e if cond is None else cond & e
+    cond = (
+        cond
+        & (F.col("__pit_h." + prefix + "valid_from") <= t)
+        & (
+            F.col("__pit_h." + prefix + "valid_to").isNull()
+            | (t < F.col("__pit_h." + prefix + "valid_to"))
+        )
+    )
+    out_cols = [F.col("__pit_f." + c) for c in facts.columns] + [
+        F.col("__pit_h." + c)
+        for c in h.columns
+        if c.startswith(prefix)
+    ]
+    return f.join(h, cond, "left").select(*out_cols)

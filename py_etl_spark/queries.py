@@ -5886,6 +5886,181 @@ def hll_grouping_sets_docs(spark, sf_dir):
 
 
 # =========================================================================
+# Point-in-time SCD2 feature join (operators/merge.scd2_point_in_time_join)
+# =========================================================================
+
+@query(
+    "scd2_point_in_time_features",
+    None,  # oracle assigned below — wraps the history build's SQL
+    note="Point-in-time-correct feature join "
+    "(merge.scd2_point_in_time_join): each event picks up the SCD2 "
+    "state valid ONE HOUR BEFORE its own timestamp — the leakage-safe "
+    "training join (a naive latest-value join would leak the future); "
+    "facts before a key's first interval keep NULL features. No window: "
+    "intervals partition the timeline, so the key equi-join with "
+    "residual bounds matches at most one row per fact",
+)
+def scd2_point_in_time_features(spark, sf_dir):
+    from py_etl_spark.operators.merge import (
+        scd2_history,
+        scd2_point_in_time_join,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    hist = scd2_history(
+        ev,
+        keys=["user_id"],
+        ts_col="ts",
+        tracked=["event_type"],
+        tie_breakers=["event_id"],
+    )
+    facts = ev.select(
+        "event_id",
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("asof_ts"),
+    ).filter(F.col("event_id") < 2000)
+    out = scd2_point_in_time_join(
+        facts, hist.drop("is_current"), keys=["user_id"], fact_ts="asof_ts"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("pit_event_type").alias("pit_type"),
+        F.col("pit_version").alias("pit_version"),
+    )
+
+
+REGISTRY["scd2_point_in_time_features"].oracle = f"""
+    WITH hist AS ({REGISTRY["scd2_history_from_events"].oracle}),
+    facts AS (
+      SELECT event_id, user_id,
+             epoch_ms(ts - INTERVAL 1 HOUR) AS t_ms
+      FROM events WHERE event_id < 2000
+    )
+    SELECT f.event_id, f.user_id,
+           h.event_type AS pit_type,
+           h.version AS pit_version
+    FROM facts f LEFT JOIN hist h
+      ON h.user_id = f.user_id
+     AND h.valid_from_ms <= f.t_ms
+     AND (h.valid_to_ms IS NULL OR f.t_ms < h.valid_to_ms)
+    """
+
+
+# =========================================================================
+# Split-leakage report (dedup fingerprints crossing train/test)
+# =========================================================================
+
+@query(
+    "split_leakage_report",
+    """
+    WITH assigned AS (
+      SELECT doc_id, md5(text) AS fp,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 8)) AS BIGINT) % 100 < 80
+                  THEN 'train'
+                  WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 8)) AS BIGINT) % 100 < 90
+                  THEN 'val' ELSE 'test' END AS split
+      FROM documents
+    ), groups AS (
+      SELECT fp,
+             count(*) AS n_docs,
+             count(DISTINCT split) AS n_splits,
+             sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
+             sum(CASE WHEN split = 'test'  THEN 1 ELSE 0 END) AS n_test
+      FROM assigned GROUP BY fp
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_fingerprints,
+           CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_groups,
+           CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_leaking_groups,
+           CAST(sum(CASE WHEN n_train > 0 AND n_test > 0
+                         THEN n_train * n_test ELSE 0 END) AS BIGINT)
+             AS n_train_test_pairs
+    FROM groups
+    """,
+    note="Split-leakage audit — eval hygiene: exact-dup fingerprints "
+    "that span deterministic_split's train/test assignment (the "
+    "contamination a random split invites and hash-dedup-then-split "
+    "prevents); ONE fingerprint-keyed count shuffle, then a metadata "
+    "rollup — train·test pair counts are exact integers",
+)
+def split_leakage_report(spark, sf_dir):
+    from py_etl_spark.operators.corpus import deterministic_split
+
+    docs = deterministic_split(
+        _t(spark, sf_dir, "documents"), id_col="doc_id"
+    ).select(F.md5("text").alias("fp"), "split")
+    groups = docs.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("split").alias("n_splits"),
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias(
+            "n_train"
+        ),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias(
+            "n_test"
+        ),
+    )
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_groups"),
+        F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_leaking_groups"),
+        F.sum(
+            F.when(
+                (F.col("n_train") > 0) & (F.col("n_test") > 0),
+                F.col("n_train") * F.col("n_test"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_train_test_pairs"),
+    )
+
+
+# =========================================================================
+# Item co-occurrence edges (market-basket pair counts)
+# =========================================================================
+
+@query(
+    "part_pair_cooccurrence",
+    """
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           count(*) AS n_orders
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY n_orders DESC, part_a, part_b LIMIT 100
+    """,
+    note="Market-basket co-occurrence edges: parts bought together in "
+    "one order — the graph-edge builder for item-similarity / "
+    "recommendation. Order-keyed self-join (baskets are small, so "
+    "fan-out is Σ basket² — bounded like LSH buckets), one pair-count "
+    "shuffle, top-k via TakeOrderedAndProject",
+)
+def part_pair_cooccurrence(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(100)
+    )
+
+
+# =========================================================================
 # Canonical representative per dup-cluster (operators/dedup)
 # =========================================================================
 
@@ -6402,6 +6577,9 @@ REGISTRY["fuzzy_rerank_levenshtein"].oracle = (
 _FRONT = [
     # never driver-checked (added r04 after the last rotation) — highest
     # priority for the 50-slot window:
+    "scd2_point_in_time_features",
+    "split_leakage_report",
+    "part_pair_cooccurrence",
     "dedup_keep_canonical",
     "asof_next_order_within_30d",
     "feature_bucketize_order_prices",
@@ -6447,9 +6625,9 @@ _FRONT = [
     "corpus_sample_mixture",
     "quality_score_hashed_linear",
     "dedup_segments_corpus",
-    "ann_cosine_topk_twostage",
-    "semantic_dedup_fixed",
-    "bpe_train_merges",
+    # ann_cosine_topk_twostage / semantic_dedup_fixed / bpe_train_merges
+    # ceded to the twelfth batch (bit-exact unit/plan covered, bpe_train
+    # is rows-only anyway; lead the middle for r05):
     # orc_roundtrip_documents / funnel_signup_click_purchase ceded to
     # the eleventh batch (pushdown/plan/unit covered; lead middle for r05)
     # cohort_retention_weekly, zorder_key_orders, dedup_incremental_batch

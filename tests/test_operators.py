@@ -1937,3 +1937,46 @@ def test_keep_canonical_picks_best_quality_then_smallest_id(spark):
     # cluster 100: quality tie 99 between 2 and 3 → smallest id (2) wins
     # cluster 200: tie between 4 and 5 → 4; singleton cluster → itself
     assert got == {1: False, 2: True, 3: False, 4: True, 5: False, 6: True}
+
+
+def test_scd2_point_in_time_join_picks_interval_or_null(spark):
+    from py_etl_spark.operators.merge import (
+        scd2_history,
+        scd2_point_in_time_join,
+    )
+
+    changes = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", "bronze"),
+            (1, "2024-01-10 00:00:00", "silver"),
+            (1, "2024-01-20 00:00:00", "gold"),
+            (2, "2024-01-05 00:00:00", "bronze"),
+        ],
+        ["uid", "t", "tier"],
+    ).select("uid", F.to_timestamp("t").alias("t"), "tier")
+    hist = scd2_history(changes, keys=["uid"], ts_col="t", tracked=["tier"])
+    facts = spark.createDataFrame(
+        [
+            (100, 1, "2023-12-31 23:00:00"),  # before first interval
+            (101, 1, "2024-01-01 00:00:00"),  # inclusive start
+            (102, 1, "2024-01-10 00:00:00"),  # boundary: new interval
+            (103, 1, "2024-01-15 12:00:00"),  # mid-interval
+            (104, 1, "2024-06-01 00:00:00"),  # open current interval
+            (105, 3, "2024-01-15 00:00:00"),  # unknown key
+        ],
+        ["fid", "uid", "t"],
+    ).select("fid", "uid", F.to_timestamp("t").alias("asof"))
+    got = {
+        r["fid"]: r["pit_tier"]
+        for r in scd2_point_in_time_join(
+            facts, hist, keys=["uid"], fact_ts="asof"
+        ).collect()
+    }
+    assert got == {
+        100: None,
+        101: "bronze",
+        102: "silver",
+        103: "silver",
+        104: "gold",
+        105: None,
+    }

@@ -731,3 +731,32 @@ def test_asof_forward_equi_join_with_residual_range(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert broadcast_join_count(df) == 2
     assert shuffle_count(df) <= 2
+
+
+def test_pit_join_key_equi_with_residual_bounds(spark):
+    df = Q.REGISTRY["scd2_point_in_time_features"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the interval bounds ride the user-keyed equi-join as residuals —
+    # never a nested loop over time; history build + join co-partition
+    # on the key so one exchange family serves both
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert shuffle_count(df) <= 2
+
+
+def test_split_leakage_single_fp_shuffle_then_metadata(spark):
+    df = Q.REGISTRY["split_leakage_report"].fn(spark, SF_MED)
+    # split assignment is map-side hash arithmetic; ONE fingerprint
+    # count shuffle; the report is a metadata rollup
+    assert shuffle_count(df) <= 3
+    assert single_partition_exchange_count(df) == 0
+
+
+def test_cooccurrence_basket_join_then_topk(spark):
+    df = Q.REGISTRY["part_pair_cooccurrence"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # order-keyed self-join (fan-out Σ basket², bounded) + one pair
+    # count; top-k per-partition heaps
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert shuffle_count(df) <= 2
