@@ -133,6 +133,10 @@ HEADLINE = [
     "scd2_point_in_time_features",
     "split_leakage_report",
     "part_pair_cooccurrence",
+    # round 4, thirteenth batch:
+    "embedding_label_centroids",
+    "ann_hard_negatives",
+    "knn_label_agreement",
 ]
 
 # Scale-sensitive subset for the 10x block: joins, window aggs, Python
@@ -196,6 +200,9 @@ SF1_SUBSET = [
     # split_leakage is a content op, excluded)
     "scd2_point_in_time_features",
     "part_pair_cooccurrence",
+    # round 4, thirteenth batch (vec_id-offset-clean)
+    "embedding_label_centroids",
+    "ann_hard_negatives",
 ]
 
 # key columns to offset per replica copy so FK relationships replicate

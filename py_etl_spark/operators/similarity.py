@@ -596,3 +596,98 @@ def pca_from_moments(
     vals, vecs = np.linalg.eigh(cov)
     order = np.argsort(vals)[::-1]
     return mean, cov, vals[order], vecs[:, order].T
+
+
+def label_centroids_int(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int = 64,
+    scale: float = 100000.0,
+) -> DataFrame:
+    """Per-label class centroids in EXACT integer space — the
+    nearest-centroid classifier / per-class drift feed: each vector is
+    quantized once (``round(x·scale)`` BIGINT) and summed element-wise
+    per label, so the centroid numerators are order-free integer sums —
+    bit-identical on any cluster/engine (mean = sum/(n·scale) is one
+    deterministic division away, done by the consumer).
+
+    Plan: (label, i, q) explode map-side; ONE (label, i) sum shuffle
+    whose map-side partials bound volume at tasks·labels·d rows; array
+    assembly per label is metadata. Output: ``label, n, sums`` (BIGINT
+    array). Same overflow contract as embedding_moments_int at first
+    power: n·scale·max|x| < 2^63 — effectively unbounded.
+    """
+    q = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * F.lit(scale)).cast("long"),
+    )
+    cells = (
+        df.filter(F.col(label_col).isNotNull())
+        .select(F.col(label_col).alias("label"), F.posexplode(q).alias("i", "q"))
+        .groupBy("label", "i")
+        .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("c"))
+    )
+    entries = F.map_from_entries(
+        F.collect_list(F.struct(F.col("i"), F.col("s")))
+    )
+    sums = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(
+            F.try_element_at(entries, i.cast("int")), F.lit(0).cast("long")
+        ),
+    )
+    return cells.groupBy("label").agg(
+        (F.max("c")).alias("n"), sums.alias("sums")
+    )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-k most-similar vectors with a DIFFERENT label — the pairs that
+    teach an embedding model the most. Same plan as the brute-force ANN
+    baseline (broadcast probes ⋈ corpus, per-query top-k window over
+    (id, id, score) triples); the label filter happens BEFORE ranking,
+    map-side. Swap the scorer for the IVF/LSH candidate paths at corpus
+    scale — the ranking contract is identical.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(label_col).alias("q_label"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(label_col).alias("n_label"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .filter(~F.col("n_label").eqNullSafe(F.col("q_label")))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "n_label",
+            (
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    out = scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)
+    if round_to is not None:
+        out = out.withColumn("cosine", F.round("cosine", round_to))
+    return out

@@ -5886,6 +5886,149 @@ def hll_grouping_sets_docs(spark, sf_dir):
 
 
 # =========================================================================
+# Labeled-embedding training prep (operators/similarity)
+# =========================================================================
+
+@query(
+    "embedding_label_centroids",
+    """
+    WITH q AS (
+      SELECT label,
+             list_transform(embedding::DOUBLE[],
+               x -> CAST(round(x * 100000.0) AS BIGINT)) AS qv
+      FROM embeddings WHERE label IS NOT NULL
+    ), cells AS (
+      SELECT label, gi.i AS i, sum(qv[gi.i + 1]) AS s, count(*) AS c
+      FROM q CROSS JOIN (SELECT unnest(range(0, 64)) AS i) gi
+      GROUP BY label, gi.i
+    )
+    SELECT label, CAST(max(c) AS BIGINT) AS n,
+           array_agg(CAST(s AS BIGINT) ORDER BY i) AS sums
+    FROM cells GROUP BY label
+    """,
+    note="Per-label class centroids in exact integer space "
+    "(similarity.label_centroids_int): order-free BIGINT numerators — "
+    "the nearest-centroid classifier / per-class drift feed; ONE "
+    "(label, i) sum shuffle bounded at tasks·labels·d partial rows",
+)
+def embedding_label_centroids(spark, sf_dir):
+    from py_etl_spark.operators.similarity import label_centroids_int
+
+    return label_centroids_int(_t(spark, sf_dir, "embeddings"), dim=64)
+
+
+@query(
+    "ann_hard_negatives",
+    """
+    WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+               FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  c.label AS n_label,
+                  round(list_dot_product(q.v, c.v) /
+                        (sqrt(list_dot_product(q.v, q.v))
+                         * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+           FROM q JOIN c ON q.vec_id <> c.vec_id
+           WHERE c.label IS DISTINCT FROM q.label
+         )
+    SELECT query_id, neighbor_id, n_label, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id)
+                AS BIGINT) AS rank
+    FROM scored QUALIFY rank <= 5
+    """,
+    note="Hard-negative mining (similarity.hard_negatives): per query "
+    "the top-k most-similar DIFFERENT-label vectors — contrastive-pair "
+    "construction; label filter BEFORE ranking, same broadcast-probe / "
+    "no-corpus-shuffle plan as the ANN baseline",
+)
+def ann_hard_negatives(spark, sf_dir):
+    from py_etl_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query(
+    "knn_label_agreement",
+    """
+    WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+               FROM embeddings WHERE vec_id < 50),
+         c AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+               FROM embeddings),
+         topk AS (
+           SELECT * FROM (
+             SELECT q.vec_id AS query_id, q.label AS q_label,
+                    c.label AS n_label,
+                    round(list_dot_product(q.v, c.v) /
+                          (sqrt(list_dot_product(q.v, q.v))
+                           * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine,
+                    row_number() OVER (PARTITION BY q.vec_id
+                                       ORDER BY
+                        round(list_dot_product(q.v, c.v) /
+                              (sqrt(list_dot_product(q.v, q.v))
+                               * sqrt(list_dot_product(c.v, c.v))), 6) DESC,
+                        c.vec_id) AS rnk
+             FROM q JOIN c ON q.vec_id <> c.vec_id
+           ) WHERE rnk <= 5
+         ), votes AS (
+           SELECT query_id, q_label, n_label, count(*) AS n_votes
+           FROM topk GROUP BY 1, 2, 3
+         ), winner AS (
+           SELECT query_id, q_label, n_label AS pred_label FROM (
+             SELECT query_id, q_label, n_label, n_votes,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY n_votes DESC, n_label)
+                      AS wr
+             FROM votes
+           ) WHERE wr = 1
+         )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN pred_label = q_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct
+    FROM winner
+    """,
+    note="kNN label-agreement eval — the embedding-quality metric: "
+    "5-NN majority vote (deterministic tie-break: votes desc, smallest "
+    "label) vs the query's own label; composition of the ANN top-k "
+    "plan + two metadata-scale vote windows",
+)
+def knn_label_agreement(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    topk = similarity.cosine_topk_bruteforce(
+        emb, emb.filter(F.col("vec_id") < 50), k=5
+    )
+    labels = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    q_labels = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    votes = (
+        topk.join(F.broadcast(labels), "neighbor_id")
+        .join(F.broadcast(q_labels), "query_id")
+        .groupBy("query_id", "q_label", "n_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("n_label").asc()
+    )
+    winner = votes.withColumn("wr", F.row_number().over(wr)).filter(
+        F.col("wr") == 1
+    )
+    return winner.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(
+            F.when(F.col("n_label") == F.col("q_label"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_correct"),
+    )
+
+
+# =========================================================================
 # Point-in-time SCD2 feature join (operators/merge.scd2_point_in_time_join)
 # =========================================================================
 
@@ -6577,6 +6720,9 @@ REGISTRY["fuzzy_rerank_levenshtein"].oracle = (
 _FRONT = [
     # never driver-checked (added r04 after the last rotation) — highest
     # priority for the 50-slot window:
+    "embedding_label_centroids",
+    "ann_hard_negatives",
+    "knn_label_agreement",
     "scd2_point_in_time_features",
     "split_leakage_report",
     "part_pair_cooccurrence",
@@ -6621,9 +6767,9 @@ _FRONT = [
     "corpus_mix_report",
     "ann_cosine_topk_int8",
     "scd2_history_from_events",
-    "kmv_distinct_users",
-    "corpus_sample_mixture",
-    "quality_score_hashed_linear",
+    # kmv_distinct_users / corpus_sample_mixture /
+    # quality_score_hashed_linear ceded to the thirteenth batch (each
+    # bit-exact unit/plan covered; lead the middle for r05):
     "dedup_segments_corpus",
     # ann_cosine_topk_twostage / semantic_dedup_fixed / bpe_train_merges
     # ceded to the twelfth batch (bit-exact unit/plan covered, bpe_train

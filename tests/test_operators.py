@@ -1980,3 +1980,51 @@ def test_scd2_point_in_time_join_picks_interval_or_null(spark):
         104: "gold",
         105: None,
     }
+
+
+def test_label_centroids_match_numpy_and_partitioning_invariant(spark):
+    import numpy as np
+
+    from py_etl_spark.operators.similarity import label_centroids_int
+
+    rng = np.random.RandomState(11)
+    d = 6
+    rows = [
+        (i, [float(x) for x in rng.randn(d)], int(i % 3)) for i in range(90)
+    ] + [(1000, [0.0] * d, None)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = {
+        r["label"]: (r["n"], r["sums"])
+        for r in label_centroids_int(df, dim=d).collect()
+    }
+    assert set(got) == {0, 1, 2}  # NULL label excluded
+    for lbl in range(3):
+        pts = np.array([r[1] for r in rows[:-1] if r[2] == lbl])
+        want = np.round(pts * 100000.0).astype(np.int64).sum(axis=0)
+        assert got[lbl][0] == len(pts)
+        assert list(got[lbl][1]) == [int(x) for x in want]
+    again = {
+        r["label"]: (r["n"], r["sums"])
+        for r in label_centroids_int(df.repartition(7), dim=d).collect()
+    }
+    assert got == again
+
+
+def test_hard_negatives_exclude_same_label(spark):
+    from py_etl_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.99, 0.14], 0),   # same label — must never appear
+        (3, [0.95, 0.31], 1),
+        (4, [0.0, 1.0], 1),
+        (5, [0.9, 0.43], None),  # null label counts as different
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = hard_negatives(df, df.filter("vec_id = 1"), k=2).collect()
+    ids = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"])]
+    assert ids == [3, 5]  # closest different-label vectors, 2 excluded

@@ -760,3 +760,31 @@ def test_cooccurrence_basket_join_then_topk(spark):
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
     assert shuffle_count(df) <= 2
+
+
+def test_label_centroids_bounded_sum_shuffle(spark):
+    df = Q.REGISTRY["embedding_label_centroids"].fn(spark, SF_MED)
+    # (label, i) explode map-side; one sum shuffle bounded at
+    # tasks·labels·d partials; per-label assembly agg
+    assert shuffle_count(df) == 2
+    assert single_partition_exchange_count(df) == 0
+
+
+def test_hard_negatives_same_plan_as_ann_baseline(spark):
+    df = Q.REGISTRY["ann_hard_negatives"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # broadcast probes ⋈ corpus with the label filter BEFORE ranking;
+    # one top-k window shuffle over (id, id, score) triples
+    assert broadcast_join_count(df) == 1
+    assert shuffle_count(df) == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_agreement_vote_windows_on_metadata(spark):
+    df = Q.REGISTRY["knn_label_agreement"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # ANN top-k plan + label joins broadcast; both vote windows run
+    # over k·|queries| metadata rows
+    assert "CartesianProduct" not in plan
+    assert broadcast_join_count(df) >= 2
+    assert shuffle_count(df) <= 2
