@@ -137,6 +137,9 @@ HEADLINE = [
     "embedding_label_centroids",
     "ann_hard_negatives",
     "knn_label_agreement",
+    # round 4, fourteenth batch:
+    "corpus_augment_word_dropout",
+    "vocab_coverage_report",
 ]
 
 # Scale-sensitive subset for the 10x block: joins, window aggs, Python
@@ -203,6 +206,9 @@ SF1_SUBSET = [
     # round 4, thirteenth batch (vec_id-offset-clean)
     "embedding_label_centroids",
     "ann_hard_negatives",
+    # round 4, fourteenth batch (dropout is per-doc map-side — replicas
+    # scale linearly; vocab is a content op, excluded)
+    "corpus_augment_word_dropout",
 ]
 
 # key columns to offset per replica copy so FK relationships replicate

@@ -524,3 +524,51 @@ def interleave_sources(
     return ranked.select(
         id_col, source_col, F.col("__r").alias("source_rank"), "mix_key"
     )
+
+
+def augment_word_dropout(
+    df: DataFrame,
+    p_pct: int = 15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "aug",
+    out_col: str = "aug_text",
+) -> DataFrame:
+    """Deterministic word-dropout augmentation — the text-side analog of
+    feature dropout: token i of document d is dropped iff
+    ``md5(d:i:salt) % 100 < p_pct``. Hash-keyed, never ``rand()``, so
+    the augmented corpus is bit-reproducible (same rows on retry /
+    repartition / regeneration) and a different ``salt`` yields an
+    independent augmentation epoch — N salts = N deterministic epochs.
+
+    Map-side only: the drop decision is an index-aware array filter
+    (Spark's two-argument lambda), zero shuffles at any scale. Appends
+    ``n_tokens``, ``n_dropped``, ``out_col``.
+    """
+    toks = F.split(F.col(text_col), " ")
+
+    def keep(tok, i):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col(id_col).cast("string"),
+                        i.cast("string"),
+                        F.lit(salt),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return h % 100 >= p_pct
+
+    kept = F.filter(toks, keep)
+    return (
+        df.withColumn("n_tokens", F.size(toks))
+        .withColumn("n_dropped", F.size(toks) - F.size(kept))
+        .withColumn(out_col, F.array_join(kept, " "))
+    )

@@ -5886,6 +5886,110 @@ def hll_grouping_sets_docs(spark, sf_dir):
 
 
 # =========================================================================
+# Deterministic augmentation (operators/corpus.augment_word_dropout)
+# =========================================================================
+
+@query(
+    "corpus_augment_word_dropout",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), kept AS (
+      SELECT doc_id, len(ts) AS n,
+             list_filter(
+               list_transform(range(1, len(ts) + 1), j ->
+                 CASE WHEN CAST(('0x' || substr(md5(
+                        CAST(doc_id AS VARCHAR) || ':'
+                        || CAST(j - 1 AS VARCHAR) || ':aug'), 1, 8))
+                        AS BIGINT) % 100 >= 15
+                      THEN ts[j] END),
+               x -> x IS NOT NULL) AS ks
+      FROM toks
+    )
+    SELECT doc_id, CAST(n AS INT) AS n_tokens,
+           CAST(n - len(ks) AS INT) AS n_dropped,
+           array_to_string(ks, ' ') AS aug_text
+    FROM kept
+    """,
+    note="Deterministic word-dropout augmentation "
+    "(corpus.augment_word_dropout): token i of doc d drops iff "
+    "md5(d:i:salt)%100 < 15 — hash-keyed (never rand()), so each salt "
+    "is an independent, bit-reproducible augmentation epoch; index-aware "
+    "array filter, map-side, zero shuffles",
+)
+def corpus_augment_word_dropout(spark, sf_dir):
+    from py_etl_spark.operators.corpus import augment_word_dropout
+
+    return augment_word_dropout(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", "n_tokens", "n_dropped", "aug_text")
+
+
+# =========================================================================
+# Vocabulary coverage / OOV report
+# =========================================================================
+
+@query(
+    "vocab_coverage_report",
+    """
+    WITH toks AS (
+      SELECT source, unnest(list_filter(string_split(lower(
+               regexp_replace(text, '[^A-Za-z ]', ' ', 'g')), ' '),
+               t -> t <> '')) AS tok
+      FROM documents
+    ), vocab AS (
+      SELECT tok FROM toks GROUP BY tok HAVING count(*) >= 5
+    )
+    SELECT source,
+           count(*) AS n_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS oov_ppm
+    FROM toks LEFT JOIN vocab v USING (tok)
+    GROUP BY source
+    """,
+    note="Vocabulary coverage / OOV report — tokenizer-adjacent corpus "
+    "analytics: vocab = tokens with corpus count ≥ 5 (one count "
+    "shuffle), per-source OOV rate in exact parts-per-million (integer "
+    "floor-div, no float ratio); the token↔vocab join is hash-keyed on "
+    "the token (AQE broadcasts when the vocab fits)",
+)
+def vocab_coverage_report(spark, sf_dir):
+    toks_arr = F.filter(
+        F.split(
+            F.lower(F.regexp_replace(F.col("text"), "[^A-Za-z ]", " ")),
+            " ",
+        ),
+        lambda t: t != "",
+    )
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select("source", F.explode(toks_arr).alias("tok"))
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 5)
+        .select("tok", F.lit(True).alias("__in_vocab"))
+    )
+    joined = toks.join(vocab, "tok", "left")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        F.floor(
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+            * 1000000
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("oov_ppm"),
+    )
+
+
+# =========================================================================
 # Labeled-embedding training prep (operators/similarity)
 # =========================================================================
 
@@ -6720,6 +6824,8 @@ REGISTRY["fuzzy_rerank_levenshtein"].oracle = (
 _FRONT = [
     # never driver-checked (added r04 after the last rotation) — highest
     # priority for the 50-slot window:
+    "corpus_augment_word_dropout",
+    "vocab_coverage_report",
     "embedding_label_centroids",
     "ann_hard_negatives",
     "knn_label_agreement",
@@ -6766,12 +6872,11 @@ _FRONT = [
     "key_skew_profile_lineitem",
     "corpus_mix_report",
     "ann_cosine_topk_int8",
-    "scd2_history_from_events",
+    # scd2_history_from_events / dedup_segments_corpus ceded to the
+    # fourteenth batch (plan/unit covered; lead the middle for r05)
     # kmv_distinct_users / corpus_sample_mixture /
     # quality_score_hashed_linear ceded to the thirteenth batch (each
     # bit-exact unit/plan covered; lead the middle for r05):
-    "dedup_segments_corpus",
-    # ann_cosine_topk_twostage / semantic_dedup_fixed / bpe_train_merges
     # ceded to the twelfth batch (bit-exact unit/plan covered, bpe_train
     # is rows-only anyway; lead the middle for r05):
     # orc_roundtrip_documents / funnel_signup_click_purchase ceded to

@@ -2028,3 +2028,29 @@ def test_hard_negatives_exclude_same_label(spark):
     got = hard_negatives(df, df.filter("vec_id = 1"), k=2).collect()
     ids = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"])]
     assert ids == [3, 5]  # closest different-label vectors, 2 excluded
+
+
+def test_word_dropout_deterministic_and_salt_independent(spark):
+    from py_etl_spark.operators.corpus import augment_word_dropout
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(200)))], ["doc_id", "text"]
+    )
+    a = augment_word_dropout(df, p_pct=15).collect()[0]
+    assert a["n_tokens"] == 200
+    # ~15% drop rate, generous envelope
+    assert 10 <= a["n_dropped"] <= 50
+    # kept tokens preserve original order
+    kept = a["aug_text"].split(" ")
+    orig = [f"w{i}" for i in range(200)]
+    it = iter(orig)
+    assert all(any(t == o for o in it) for t in kept)
+    again = augment_word_dropout(
+        df.repartition(3), p_pct=15
+    ).collect()[0]
+    assert again["aug_text"] == a["aug_text"]
+    other_salt = augment_word_dropout(df, p_pct=15, salt="aug2").collect()[0]
+    assert other_salt["aug_text"] != a["aug_text"]
+    # p=0 keeps everything
+    full = augment_word_dropout(df, p_pct=0).collect()[0]
+    assert full["n_dropped"] == 0 and full["aug_text"] == df.collect()[0]["text"]

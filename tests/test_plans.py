@@ -788,3 +788,19 @@ def test_knn_agreement_vote_windows_on_metadata(spark):
     assert "CartesianProduct" not in plan
     assert broadcast_join_count(df) >= 2
     assert shuffle_count(df) <= 2
+
+
+def test_word_dropout_mapside_zero_shuffle(spark):
+    df = Q.REGISTRY["corpus_augment_word_dropout"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # index-aware array filter is pure JVM map-side work
+    assert shuffle_count(df) == 0
+    assert "BatchEvalPython" not in plan
+
+
+def test_vocab_report_two_token_shuffles(spark):
+    df = Q.REGISTRY["vocab_coverage_report"].fn(spark, SF_MED)
+    # vocab count + the token↔vocab join/source rollup — both keyed on
+    # the token/source; AQE broadcasts the vocab when it fits
+    assert shuffle_count(df) <= 4
+    assert single_partition_exchange_count(df) == 0
