@@ -140,6 +140,9 @@ HEADLINE = [
     # round 4, fourteenth batch:
     "corpus_augment_word_dropout",
     "vocab_coverage_report",
+    # round 4, fifteenth batch:
+    "quality_rank_ensemble",
+    "embedding_outlier_scores",
 ]
 
 # Scale-sensitive subset for the 10x block: joins, window aggs, Python

@@ -5886,6 +5886,142 @@ def hll_grouping_sets_docs(spark, sf_dir):
 
 
 # =========================================================================
+# Rank-ensemble quality blend (composing the gate family)
+# =========================================================================
+
+@query(
+    "quality_rank_ensemble",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             n_chars AS len_score,
+             length(regexp_replace(text, '[^ ]', '', 'g')) AS ws_score,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_score
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id,
+             rank() OVER (ORDER BY len_score DESC, doc_id)   AS r_len,
+             rank() OVER (ORDER BY ws_score DESC, doc_id)    AS r_ws,
+             rank() OVER (ORDER BY alpha_score DESC, doc_id) AS r_alpha
+      FROM m
+    )
+    SELECT doc_id,
+           CAST(r_len AS BIGINT) AS r_len,
+           CAST(r_ws AS BIGINT) AS r_ws,
+           CAST(r_alpha AS BIGINT) AS r_alpha,
+           CAST(r_len + r_ws + r_alpha AS BIGINT) AS rank_sum
+    FROM ranked
+    """,
+    note="Rank-ensemble quality blend — the scale-free way to combine "
+    "heterogeneous gate scores (length, whitespace density, alpha mass "
+    "here; Gopher/LM-bits/compression plug in identically): each metric "
+    "becomes a total-order rank (deterministic doc_id tie-break), the "
+    "ensemble is the exact integer rank sum — no score normalization "
+    "constants to tune or drift. NOTE the global rank windows: at "
+    "100 TB swap rank() for the zipWithIndex pattern in "
+    "operators/ranking.py (same contract, no single-partition sort); "
+    "at registry scale the pinned plan documents the semantics",
+)
+def quality_rank_ensemble(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").alias("len_score"),
+        F.length(F.regexp_replace("text", "[^ ]", "")).alias("ws_score"),
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).alias(
+            "alpha_score"
+        ),
+    )
+    def r(col):
+        return F.rank().over(
+            Window.orderBy(F.col(col).desc(), F.col("doc_id"))
+        ).cast("long")
+    ranked = docs.select(
+        "doc_id",
+        r("len_score").alias("r_len"),
+        r("ws_score").alias("r_ws"),
+        r("alpha_score").alias("r_alpha"),
+    )
+    return ranked.withColumn(
+        "rank_sum", F.col("r_len") + F.col("r_ws") + F.col("r_alpha")
+    )
+
+
+# =========================================================================
+# Embedding outliers vs label centroid (exact integer distances)
+# =========================================================================
+
+@query(
+    "embedding_outlier_scores",
+    """
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding::DOUBLE[],
+               x -> CAST(round(x * 100000.0) AS BIGINT)) AS qv
+      FROM embeddings WHERE label IS NOT NULL
+    ), cent AS (
+      SELECT label, gi.i AS i, sum(qv[gi.i + 1]) AS s, count(*) AS n
+      FROM q CROSS JOIN (SELECT unnest(range(0, 64)) AS i) gi
+      GROUP BY label, gi.i
+    ), dist AS (
+      SELECT q.vec_id, q.label,
+             sum((cent.n * q.qv[cent.i + 1] - cent.s)
+                 * (cent.n * q.qv[cent.i + 1] - cent.s)) AS d2_scaled
+      FROM q JOIN cent ON cent.label = q.label
+      GROUP BY q.vec_id, q.label
+    )
+    SELECT vec_id, label, CAST(d2_scaled AS BIGINT) AS d2_scaled,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT vec_id, label, d2_scaled,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY d2_scaled DESC, vec_id) AS rnk
+      FROM dist
+    ) WHERE rnk <= 5
+    """,
+    note="Per-label embedding outliers — mislabel/contamination "
+    "triage: distance² to the class centroid multiplied through by n² "
+    "(Σ(n·qᵢ−sᵢ)²) so the score stays an EXACT BIGINT — no float mean, "
+    "order-free, engine-identical; top-5 farthest per label. Centroid "
+    "sums come from the label_centroids_int build; the per-vector "
+    "distance is a map-side array walk against the broadcast centroids. "
+    "Overflow envelope: d·(2·n_label·scale·max|x|)² < 2^63 — at "
+    "scale=1e5, unit-ish vectors, d=64 that allows ~3k rows per label; "
+    "beyond that drop the quant scale a decade per 10× label size "
+    "(ordering is preserved — every term shrinks by the same factor)",
+)
+def embedding_outlier_scores(spark, sf_dir):
+    from py_etl_spark.operators.similarity import label_centroids_int
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("label").isNotNull())
+    cents = label_centroids_int(emb, dim=64)
+    q = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.round(x * F.lit(100000.0)).cast("long"),
+    )
+    joined = emb.select("vec_id", "label", q.alias("__q")).join(
+        F.broadcast(cents), "label"
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("__q"),
+            F.col("sums"),
+            lambda qi, si: (F.col("n") * qi - si) * (F.col("n") * qi - si),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("d2_scaled").desc(), F.col("vec_id")
+    )
+    return (
+        joined.withColumn("d2_scaled", d2)
+        .select("vec_id", "label", "d2_scaled")
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+# =========================================================================
 # Deterministic augmentation (operators/corpus.augment_word_dropout)
 # =========================================================================
 
@@ -6824,6 +6960,8 @@ REGISTRY["fuzzy_rerank_levenshtein"].oracle = (
 _FRONT = [
     # never driver-checked (added r04 after the last rotation) — highest
     # priority for the 50-slot window:
+    "quality_rank_ensemble",
+    "embedding_outlier_scores",
     "corpus_augment_word_dropout",
     "vocab_coverage_report",
     "embedding_label_centroids",
@@ -6870,8 +7008,8 @@ _FRONT = [
     "embedding_quantize_int8",
     "corpus_assemble_examples",
     "key_skew_profile_lineitem",
-    "corpus_mix_report",
-    "ann_cosine_topk_int8",
+    # corpus_mix_report / ann_cosine_topk_int8 ceded to the fifteenth
+    # batch (plan/unit covered; lead the middle for r05):
     # scd2_history_from_events / dedup_segments_corpus ceded to the
     # fourteenth batch (plan/unit covered; lead the middle for r05)
     # kmv_distinct_users / corpus_sample_mixture /

@@ -2054,3 +2054,20 @@ def test_word_dropout_deterministic_and_salt_independent(spark):
     # p=0 keeps everything
     full = augment_word_dropout(df, p_pct=0).collect()[0]
     assert full["n_dropped"] == 0 and full["aug_text"] == df.collect()[0]["text"]
+
+
+def test_outlier_scores_flag_planted_outlier(spark):
+    import py_etl_spark.queries as Q
+
+    # plant: the per-label top-5 must include genuinely far vectors and
+    # the score must be repartition-invariant (integer arithmetic)
+    df1 = Q.REGISTRY["embedding_outlier_scores"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    got = {(r["label"], r["rnk"]): (r["vec_id"], r["d2_scaled"]) for r in df1}
+    assert all(r["d2_scaled"] >= 0 for r in df1)
+    # ranks are dense 1..k per label
+    labels = {r["label"] for r in df1}
+    for lbl in labels:
+        ranks = sorted(rk for (l, rk) in got if l == lbl)
+        assert ranks == list(range(1, len(ranks) + 1))

@@ -804,3 +804,22 @@ def test_vocab_report_two_token_shuffles(spark):
     # the token/source; AQE broadcasts the vocab when it fits
     assert shuffle_count(df) <= 4
     assert single_partition_exchange_count(df) == 0
+
+
+def test_rank_ensemble_single_exchange_family(spark):
+    df = Q.REGISTRY["quality_rank_ensemble"].fn(spark, SF_MED)
+    # the three global rank windows share one exchange family; the
+    # query note pins the ranking.py zipWithIndex swap as the 100 TB
+    # path for this shape
+    assert shuffle_count(df) <= 2
+
+
+def test_outlier_scores_broadcast_centroids(spark):
+    df = Q.REGISTRY["embedding_outlier_scores"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # centroid build (2 bounded shuffles) + per-label top-5 window; the
+    # vector↔centroid join is a labels-sized broadcast, the distance an
+    # integer array walk map-side
+    assert broadcast_join_count(df) == 1
+    assert shuffle_count(df) <= 3
+    assert "CartesianProduct" not in plan
