@@ -145,6 +145,9 @@ HEADLINE = [
     "embedding_outlier_scores",
     # round 4, sixteenth batch:
     "exact_median_price",
+    # round 4, seventeenth batch:
+    "safety_blocklist_filter",
+    "partition_gap_report",
 ]
 
 # Scale-sensitive subset for the 10x block: joins, window aggs, Python

@@ -5886,6 +5886,130 @@ def hll_grouping_sets_docs(spark, sf_dir):
 
 
 # =========================================================================
+# Blocklist safety gate
+# =========================================================================
+
+_BLOCKLIST = {
+    "violence": ["attack", "destroy", "weapon"],
+    "spam": ["free", "winner", "click"],
+}
+
+
+@query(
+    "safety_blocklist_filter",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(lower(
+               regexp_replace(text, '[^A-Za-z ]', ' ', 'g')), ' '),
+               t -> t <> '')) AS tok
+      FROM documents
+    ), hits AS (
+      SELECT doc_id,
+             sum(CASE WHEN tok IN ('attack', 'destroy', 'weapon')
+                      THEN 1 ELSE 0 END) AS n_violence,
+             sum(CASE WHEN tok IN ('free', 'winner', 'click')
+                      THEN 1 ELSE 0 END) AS n_spam,
+             count(*) AS n_tokens
+      FROM toks GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(h.n_violence, 0) AS BIGINT) AS n_violence,
+           CAST(coalesce(h.n_spam, 0) AS BIGINT) AS n_spam,
+           (coalesce(h.n_violence, 0) * 1000
+              > coalesce(h.n_tokens, 1) * 5
+            OR coalesce(h.n_spam, 0) * 1000
+              > coalesce(h.n_tokens, 1) * 10) AS is_blocked
+    FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    """,
+    note="Blocklist safety gate — the category-wordlist curation "
+    "filter: per-doc hit counts per category (token match against the "
+    "broadcast-literal blocklist) and an integer-exact block decision "
+    "(hits·1000 > tokens·threshold_permille — no float rate). The "
+    "token explode + doc rollup is ONE map-side-combined shuffle; a "
+    "production list swaps the literals for a broadcast join without "
+    "changing the plan shape",
+)
+def safety_blocklist_filter(spark, sf_dir):
+    toks_arr = F.filter(
+        F.split(
+            F.lower(F.regexp_replace(F.col("text"), "[^A-Za-z ]", " ")),
+            " ",
+        ),
+        lambda t: t != "",
+    )
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(toks_arr).alias("tok"))
+    hits = toks.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("tok").isin(_BLOCKLIST["violence"]), 1).otherwise(0)
+        ).alias("n_violence"),
+        F.sum(
+            F.when(F.col("tok").isin(_BLOCKLIST["spam"]), 1).otherwise(0)
+        ).alias("n_spam"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+    j = docs.select("doc_id").join(hits, "doc_id", "left")
+    nv = F.coalesce(F.col("n_violence"), F.lit(0))
+    ns = F.coalesce(F.col("n_spam"), F.lit(0))
+    nt = F.coalesce(F.col("n_tokens"), F.lit(1))
+    return j.select(
+        "doc_id",
+        nv.cast("long").alias("n_violence"),
+        ns.cast("long").alias("n_spam"),
+        ((nv * 1000 > nt * 5) | (ns * 1000 > nt * 10)).alias("is_blocked"),
+    )
+
+
+# =========================================================================
+# Partition-gap report (missing daily partitions)
+# =========================================================================
+
+@query(
+    "partition_gap_report",
+    """
+    WITH days AS (
+      SELECT date_trunc('day', ts) AS day, count(*) AS n
+      FROM events GROUP BY 1
+    ), bounds AS (
+      SELECT min(day) AS lo, max(day) AS hi FROM days
+    ), grid AS (
+      SELECT unnest(generate_series(bounds.lo, bounds.hi,
+                                    INTERVAL 1 DAY)) AS day
+      FROM bounds
+    )
+    SELECT epoch_ms(CAST(g.day AS TIMESTAMP)) AS day_ms,
+           CAST(coalesce(d.n, 0) AS BIGINT) AS n_events,
+           d.n IS NULL AS is_gap
+    FROM grid g LEFT JOIN days d ON d.day = g.day
+    """,
+    note="Partition-gap report — the backfill planner's input: the "
+    "dense day grid between the observed bounds (metadata-sized "
+    "sequence) anti-checked against the daily rollup; a day with zero "
+    "rows is a missing ingest partition. One map-side-combined daily "
+    "count is the only data-sized shuffle",
+)
+def partition_gap_report(spark, sf_dir):
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bounds = daily.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    return grid.join(daily, "day", "left").select(
+        F.unix_millis("day").alias("day_ms"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        F.col("n").isNull().alias("is_gap"),
+    )
+
+
+# =========================================================================
 # Exact distributed selection (operators/ranking.exact_kth_value)
 # =========================================================================
 
@@ -6991,6 +7115,8 @@ REGISTRY["fuzzy_rerank_levenshtein"].oracle = (
 _FRONT = [
     # never driver-checked (added r04 after the last rotation) — highest
     # priority for the 50-slot window:
+    "safety_blocklist_filter",
+    "partition_gap_report",
     "exact_median_price",
     "quality_rank_ensemble",
     "embedding_outlier_scores",
@@ -7037,8 +7163,8 @@ _FRONT = [
     "dedup_duplicate_spans",
     "corpus_pack_examples",
     "quality_repetition_metrics",
-    "embedding_quantize_int8",
-    "corpus_assemble_examples",
+    # embedding_quantize_int8 / corpus_assemble_examples ceded to the
+    # seventeenth batch (plan/unit covered; lead the middle for r05)
     # key_skew_profile_lineitem ceded to the sixteenth batch (plan
     # covered; leads the middle for r05)
     # corpus_mix_report / ann_cosine_topk_int8 ceded to the fifteenth

@@ -823,3 +823,20 @@ def test_outlier_scores_broadcast_centroids(spark):
     assert broadcast_join_count(df) == 1
     assert shuffle_count(df) <= 3
     assert "CartesianProduct" not in plan
+
+
+def test_blocklist_gate_single_token_shuffle(spark):
+    df = Q.REGISTRY["safety_blocklist_filter"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # token explode map-side; ONE doc-keyed rollup + the doc join (AQE
+    # broadcasts the hit table when it fits)
+    assert "CartesianProduct" not in plan
+    assert shuffle_count(df) <= 3
+
+
+def test_partition_gap_grid_is_metadata(spark):
+    df = Q.REGISTRY["partition_gap_report"].fn(spark, SF_MED)
+    # the only data-sized shuffle is the daily count; the day grid is a
+    # sequence() over one bounds row
+    assert shuffle_count(df) <= 3
+    assert single_partition_exchange_count(df) == 0
