@@ -148,6 +148,9 @@ HEADLINE = [
     # round 4, seventeenth batch:
     "safety_blocklist_filter",
     "partition_gap_report",
+    # round 4, eighteenth batch:
+    "search_posting_lists",
+    "last_n_events_per_user",
 ]
 
 # Scale-sensitive subset for the 10x block: joins, window aggs, Python

@@ -840,3 +840,19 @@ def test_partition_gap_grid_is_metadata(spark):
     # sequence() over one bounds row
     assert shuffle_count(df) <= 3
     assert single_partition_exchange_count(df) == 0
+
+
+def test_posting_lists_two_bounded_shuffles(spark):
+    df = Q.REGISTRY["search_posting_lists"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert shuffle_count(df) == 2
+
+
+def test_last_n_uses_window_group_limit(spark):
+    df = Q.REGISTRY["last_n_events_per_user"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the rank ≤ N filter pushes into the sort as WindowGroupLimit —
+    # each task keeps ≤N rows per key BEFORE the exchange
+    assert shuffle_count(df) == 1
+    assert "WindowGroupLimit" in plan
