@@ -151,6 +151,9 @@ HEADLINE = [
     # round 4, eighteenth batch:
     "search_posting_lists",
     "last_n_events_per_user",
+    # round 4, nineteenth batch:
+    "event_transition_matrix",
+    "token_pmi_pairs",
 ]
 
 # Scale-sensitive subset for the 10x block: joins, window aggs, Python

@@ -5886,6 +5886,138 @@ def hll_grouping_sets_docs(spark, sf_dir):
 
 
 # =========================================================================
+# Event-type transition matrix (Markov counts over per-user sequences)
+# =========================================================================
+
+@query(
+    "event_transition_matrix",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           count(*) AS n
+    FROM ordered WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    note="Markov transition counts over per-user event sequences — the "
+    "behavioral-model feed (next-event prediction priors, anomaly "
+    "transition scoring): one user-keyed window (total (ts, id) order) "
+    "+ one pair-count rollup, both map-side-combined; the matrix is "
+    "|types|² metadata",
+)
+def event_transition_matrix(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# =========================================================================
+# PMI collocations (integer-exact association scores)
+# =========================================================================
+
+@query(
+    "token_pmi_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(regexp_replace(text,
+               '[^A-Za-z ]', ' ', 'g')), ' '), t -> t <> '') AS ts
+      FROM documents
+    ), uni AS (
+      SELECT unnest(ts) AS tok FROM toks
+    ), uc AS (
+      SELECT tok, count(*) AS n FROM uni GROUP BY tok
+    ), tot AS (
+      SELECT count(*) AS n_total FROM uni
+    ), bi AS (
+      SELECT ts[i] AS a, ts[i + 1] AS b
+      FROM toks, (SELECT unnest(range(1, 10000)) AS i) ix
+      WHERE i < len(ts)
+    ), bc AS (
+      SELECT a, b, count(*) AS n_ab FROM bi GROUP BY 1, 2 HAVING count(*) >= 5
+    )
+    SELECT bc.a, bc.b,
+           CAST(bc.n_ab AS BIGINT) AS n_ab,
+           CAST(ua.n AS BIGINT) AS n_a,
+           CAST(ub.n AS BIGINT) AS n_b,
+           CAST(bc.n_ab * t.n_total * 1000000 // (ua.n * ub.n) AS BIGINT)
+             AS pmi_ratio_ppm
+    FROM bc JOIN uc ua ON ua.tok = bc.a
+            JOIN uc ub ON ub.tok = bc.b
+            CROSS JOIN tot t
+    ORDER BY pmi_ratio_ppm DESC, bc.a, bc.b LIMIT 50
+    """,
+    note="PMI collocations — association mining with NO floats: the "
+    "PMI ordering P(ab)/(P(a)P(b)) is carried as the exact integer "
+    "ratio n_ab·N·10⁶ // (n_a·n_b) (log is monotone, so ppm order ≡ "
+    "PMI order); unigram + bigram counts are the two "
+    "map-side-combined shuffles, the count joins are token-keyed "
+    "(AQE broadcasts), top-k via TakeOrderedAndProject",
+)
+def token_pmi_pairs(spark, sf_dir):
+    toks = F.filter(
+        F.split(
+            F.lower(F.regexp_replace(F.col("text"), "[^A-Za-z ]", " ")),
+            " ",
+        ),
+        lambda t: t != "",
+    )
+    docs = _t(spark, sf_dir, "documents").select(toks.alias("__ts"))
+    uni = docs.select(F.explode("__ts").alias("tok"))
+    uc = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    total = uni.agg(F.count(F.lit(1)).alias("n_total"))
+    pairs = F.filter(
+        F.zip_with(
+            F.col("__ts"),
+            F.slice(F.col("__ts"), 2, 1000000),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        ),
+        lambda s: s["b"].isNotNull(),
+    )
+    bc = (
+        docs.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    ua = uc.select(F.col("tok").alias("a"), F.col("n").alias("n_a"))
+    ub = uc.select(F.col("tok").alias("b"), F.col("n").alias("n_b"))
+    out = (
+        bc.join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "a",
+            "b",
+            F.col("n_ab").alias("n_ab"),
+            F.col("n_a"),
+            F.col("n_b"),
+            # DIV: exact BIGINT division (matches DuckDB //) — a floor
+            # over double division would drift past 2^53 numerators
+            F.expr("(n_ab * n_total * 1000000L) DIV (n_a * n_b)")
+            .cast("long")
+            .alias("pmi_ratio_ppm"),
+        )
+    )
+    return out.orderBy(
+        F.col("pmi_ratio_ppm").desc(), "a", "b"
+    ).limit(50)
+
+
+# =========================================================================
 # Inverted-index posting lists (persistable IR artifact beside BM25)
 # =========================================================================
 
@@ -7219,6 +7351,8 @@ REGISTRY["fuzzy_rerank_levenshtein"].oracle = (
 _FRONT = [
     # never driver-checked (added r04 after the last rotation) — highest
     # priority for the 50-slot window:
+    "event_transition_matrix",
+    "token_pmi_pairs",
     "search_posting_lists",
     "last_n_events_per_user",
     "safety_blocklist_filter",
@@ -7265,8 +7399,8 @@ _FRONT = [
     "corpus_sample_stratified",
     "pagerank_part_supplier",
     "lm_fluency_bits",
-    "bm25_search_topk",
-    "dedup_duplicate_spans",
+    # bm25_search_topk / dedup_duplicate_spans ceded to the nineteenth
+    # batch (oracle/unit covered; lead the middle for r05)
     # corpus_pack_examples / quality_repetition_metrics ceded to the
     # eighteenth batch (oracle/unit covered; lead the middle for r05)
     # embedding_quantize_int8 / corpus_assemble_examples ceded to the

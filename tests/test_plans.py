@@ -856,3 +856,21 @@ def test_last_n_uses_window_group_limit(spark):
     # each task keeps ≤N rows per key BEFORE the exchange
     assert shuffle_count(df) == 1
     assert "WindowGroupLimit" in plan
+
+
+def test_transition_matrix_two_bounded_shuffles(spark):
+    df = Q.REGISTRY["event_transition_matrix"].fn(spark, SF_MED)
+    # user-keyed lead window + the |types|²-sized pair rollup
+    assert shuffle_count(df) == 2
+    assert single_partition_exchange_count(df) == 0
+
+
+def test_pmi_counts_join_token_keyed_no_cartesian(spark):
+    df = Q.REGISTRY["token_pmi_pairs"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # unigram + bigram count shuffles; token-keyed count joins (AQE
+    # broadcasts); the single-row total joins as a 1-row broadcast;
+    # the ratio is exact BIGINT DIV — no float in the ordering
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert shuffle_count(df) <= 6
