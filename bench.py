@@ -154,6 +154,8 @@ HEADLINE = [
     # round 4, nineteenth batch:
     "event_transition_matrix",
     "token_pmi_pairs",
+    # round 4, twentieth batch:
+    "rolling_7d_distinct_users_hll",
 ]
 
 # Scale-sensitive subset for the 10x block: joins, window aggs, Python

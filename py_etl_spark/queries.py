@@ -7330,6 +7330,126 @@ REGISTRY["fuzzy_rerank_levenshtein"].oracle = (
 
 
 # =========================================================================
+# Rolling 7-day distinct users via windowed HLL register merge
+# =========================================================================
+
+@query(
+    "rolling_7d_distinct_users_hll",
+    """
+    WITH h AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM events WHERE user_id IS NOT NULL
+    ), cells AS (
+      SELECT day, h // 4503599627370496 AS b,
+             max(CASE WHEN h % 4503599627370496 = 0 THEN 53
+                      ELSE 52 - length(bin(h % 4503599627370496)) + 1
+                 END) AS reg
+      FROM h GROUP BY 1, 2
+    ), days AS (
+      SELECT DISTINCT day FROM cells
+    ), merged AS (
+      SELECT d.day, c.b, max(c.reg) AS reg
+      FROM days d JOIN cells c
+        ON c.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+      GROUP BY d.day, c.b
+    ), filled AS (
+      SELECT d.day, gb.b, coalesce(m.reg, 0) AS reg
+      FROM days d
+      CROSS JOIN (SELECT unnest(range(0, 256)) AS b) gb
+      LEFT JOIN merged m ON m.day = d.day AND m.b = gb.b
+    ), agg AS (
+      SELECT day,
+             CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero,
+             CAST(sum(CAST(pow(2.0, 53 - reg) AS BIGINT)) AS BIGINT)
+               AS sum_scaled
+      FROM filled GROUP BY 1
+    )
+    SELECT epoch_ms(CAST(day AS TIMESTAMP)) AS day_ms, n_zero, sum_scaled,
+    """
+    + _HLL_ORACLE_EST
+    + """
+    FROM agg
+    """,
+    note="Rolling 7-day distinct users — the rolling-cardinality "
+    "problem exact DISTINCT cannot solve incrementally: daily HLL "
+    "register cells (bounded: days·m rows after ONE data-sized "
+    "shuffle) self-join over the 7-day band and merge register-wise "
+    "max — each day's window NDV from metadata, never re-touching raw "
+    "events; the whole construction replays in DuckDB bit-exactly",
+)
+def rolling_7d_distinct_users_hll(spark, sf_dir):
+    from py_etl_spark.operators.sketch import (
+        _portable_hash60,
+        hll_estimate_cols,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    h = _portable_hash60(F.col("user_id"))
+    wbits = 52
+    cells = (
+        ev.select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.shiftright(h, wbits).alias("b"),
+            h.bitwiseAND(F.lit((1 << wbits) - 1)).alias("w"),
+        )
+        .withColumn(
+            "reg0",
+            F.when(F.col("w") == 0, F.lit(wbits + 1)).otherwise(
+                F.lit(wbits) - F.length(F.conv(F.col("w"), 10, 2)) + 1
+            ),
+        )
+        .groupBy("day", "b")
+        .agg(F.max("reg0").cast("long").alias("reg"))
+    )
+    days = cells.select("day").distinct()
+    # each daily cell serves the 7 windows ending on day..day+6 — a
+    # map-side ≤7× explode of METADATA rows, then a broadcast semi-join
+    # keeps only observed window-end days (no nested-loop range join)
+    targets = cells.select(
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("INTERVAL 6 DAY"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+        "b",
+        "reg",
+    )
+    merged = (
+        targets.join(F.broadcast(days), "day")
+        .groupBy("day", "b")
+        .agg(F.max("reg").alias("reg"))
+    )
+    entries = F.map_from_entries(
+        F.collect_list(F.struct(F.col("b"), F.col("reg")))
+    )
+    registers = F.transform(
+        F.sequence(F.lit(0), F.lit(255)),
+        lambda i: F.coalesce(
+            F.try_element_at(entries, i.cast("int")), F.lit(0).cast("long")
+        ),
+    )
+    sk = merged.groupBy("day").agg(registers.alias("registers"))
+    cols = hll_estimate_cols(F.col("registers"))
+    return (
+        sk.withColumn("n_zero", cols["n_zero"])
+        .withColumn("sum_scaled", cols["sum_scaled"])
+        .withColumn("estimate", cols["estimate"])
+        .select(
+            F.unix_millis("day").alias("day_ms"),
+            "n_zero",
+            "sum_scaled",
+            "estimate",
+        )
+    )
+
+
+
+# =========================================================================
 # contract surface
 # =========================================================================
 
@@ -7351,6 +7471,7 @@ REGISTRY["fuzzy_rerank_levenshtein"].oracle = (
 _FRONT = [
     # never driver-checked (added r04 after the last rotation) — highest
     # priority for the 50-slot window:
+    "rolling_7d_distinct_users_hll",
     "event_transition_matrix",
     "token_pmi_pairs",
     "search_posting_lists",
@@ -7398,7 +7519,8 @@ _FRONT = [
     "interval_overlap_signup_purchase",
     "corpus_sample_stratified",
     "pagerank_part_supplier",
-    "lm_fluency_bits",
+    # lm_fluency_bits ceded to the twentieth batch (oracle/unit
+    # covered; leads the middle for r05)
     # bm25_search_topk / dedup_duplicate_spans ceded to the nineteenth
     # batch (oracle/unit covered; lead the middle for r05)
     # corpus_pack_examples / quality_repetition_metrics ceded to the

@@ -874,3 +874,15 @@ def test_pmi_counts_join_token_keyed_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
     assert shuffle_count(df) <= 6
+
+
+def test_rolling_hll_no_range_nested_loop(spark):
+    df = Q.REGISTRY["rolling_7d_distinct_users_hll"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # ONE data-sized shuffle (the daily (day, bucket) max); the 7-day
+    # window merge is a ≤7x map-side explode of metadata cells + a
+    # broadcast day filter — never a nested-loop range join
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert broadcast_join_count(df) == 1
+    assert shuffle_count(df) <= 4
