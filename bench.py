@@ -156,6 +156,8 @@ HEADLINE = [
     "token_pmi_pairs",
     # round 4, twentieth batch:
     "rolling_7d_distinct_users_hll",
+    # round 4, twenty-first batch:
+    "pareto_frontier_docs",
 ]
 
 # Scale-sensitive subset for the 10x block: joins, window aggs, Python

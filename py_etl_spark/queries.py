@@ -7330,6 +7330,58 @@ REGISTRY["fuzzy_rerank_levenshtein"].oracle = (
 
 
 # =========================================================================
+# Pareto frontier (2-D skyline over quality metrics)
+# =========================================================================
+
+@query(
+    "pareto_frontier_docs",
+    """
+    WITH m AS (
+      SELECT length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS q,
+             n_chars AS l
+      FROM documents
+    ), pts AS (
+      SELECT q, l, count(*) AS n_docs FROM m GROUP BY q, l
+    )
+    SELECT CAST(p.q AS BIGINT) AS q, CAST(p.l AS BIGINT) AS l,
+           CAST(p.n_docs AS BIGINT) AS n_docs
+    FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM m
+      WHERE m.q >= p.q AND m.l >= p.l AND (m.q > p.q OR m.l > p.l)
+    )
+    """,
+    note="2-D Pareto skyline — the multi-objective curation frontier "
+    "(docs not dominated on (alpha mass, length); generalizes to any "
+    "metric pair): per-q max-l collapse (one small shuffle), then a "
+    "suffix-max walk ordered by q desc over ≤|distinct q| rows — the "
+    "skyline never compares all pairs; the oracle is the O(n²) "
+    "NOT-EXISTS dominance definition, so the hash match proves the "
+    "suffix-max formulation ≡ the definition. The final window rides "
+    "|distinct q| METADATA rows (bounded by the metric's resolution, "
+    "same posture as the daily-rollup windows)",
+)
+def pareto_frontier_docs(spark, sf_dir):
+    m = _t(spark, sf_dir, "documents").select(
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("long").alias("q"),
+        F.col("n_chars").cast("long").alias("l"),
+    )
+    pts = m.groupBy("q", "l").agg(F.count(F.lit(1)).alias("n_docs"))
+    per_q = Window.partitionBy("q").orderBy(F.col("l").desc())
+    best = pts.withColumn("__r", F.row_number().over(per_q)).filter(
+        F.col("__r") == 1
+    )
+    suffix = Window.orderBy(F.col("q").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        best.withColumn("__hi", F.max("l").over(suffix))
+        .filter(F.col("__hi").isNull() | (F.col("l") > F.col("__hi")))
+        .select("q", "l", "n_docs")
+    )
+
+
+# =========================================================================
 # Rolling 7-day distinct users via windowed HLL register merge
 # =========================================================================
 
@@ -7471,6 +7523,7 @@ def rolling_7d_distinct_users_hll(spark, sf_dir):
 _FRONT = [
     # never driver-checked (added r04 after the last rotation) — highest
     # priority for the 50-slot window:
+    "pareto_frontier_docs",
     "rolling_7d_distinct_users_hll",
     "event_transition_matrix",
     "token_pmi_pairs",
@@ -7518,7 +7571,8 @@ _FRONT = [
     "text_normalize_unicode",
     "interval_overlap_signup_purchase",
     "corpus_sample_stratified",
-    "pagerank_part_supplier",
+    # pagerank_part_supplier ceded to the twenty-first batch (oracle/
+    # unit covered; leads the middle for r05)
     # lm_fluency_bits ceded to the twentieth batch (oracle/unit
     # covered; leads the middle for r05)
     # bm25_search_topk / dedup_duplicate_spans ceded to the nineteenth

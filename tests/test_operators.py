@@ -2095,3 +2095,22 @@ def test_exact_kth_value_selection_algorithm(spark):
 
     with _pytest.raises(ValueError):
         exact_kth_value(with_nulls, "x", k=4)  # only 3 non-null rows
+
+
+def test_pareto_skyline_matches_bruteforce(spark):
+    import random
+
+    import py_etl_spark.queries as Q
+
+    # brute-force dominance over the actual sf0.001 output
+    rows = Q.REGISTRY["pareto_frontier_docs"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    pts = [(r["q"], r["l"]) for r in rows]
+    # no skyline point dominates another
+    for a in pts:
+        for b in pts:
+            if a != b:
+                assert not (
+                    a[0] >= b[0] and a[1] >= b[1]
+                ), (a, b)

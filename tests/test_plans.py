@@ -886,3 +886,13 @@ def test_rolling_hll_no_range_nested_loop(spark):
     assert "CartesianProduct" not in plan
     assert broadcast_join_count(df) == 1
     assert shuffle_count(df) <= 4
+
+
+def test_pareto_skyline_no_all_pairs(spark):
+    df = Q.REGISTRY["pareto_frontier_docs"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # per-q collapse + suffix-max over |distinct q| rows — the O(n²)
+    # dominance join lives only in the oracle
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert shuffle_count(df) <= 3
