@@ -158,6 +158,9 @@ HEADLINE = [
     "rolling_7d_distinct_users_hll",
     # round 4, twenty-first batch:
     "pareto_frontier_docs",
+    # round 4, twenty-second batch:
+    "corpus_truncate_head_tail",
+    "posting_lists_incremental_merge",
 ]
 
 # Scale-sensitive subset for the 10x block: joins, window aggs, Python

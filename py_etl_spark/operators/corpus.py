@@ -572,3 +572,38 @@ def augment_word_dropout(
         .withColumn("n_dropped", F.size(toks) - F.size(kept))
         .withColumn(out_col, F.array_join(kept, " "))
     )
+
+
+def truncate_head_tail(
+    df: DataFrame,
+    head_tokens: int,
+    tail_tokens: int,
+    text_col: str = "text",
+    out_col: str = "trunc_text",
+    marker: str = " ... ",
+) -> DataFrame:
+    """Head+tail truncation to a token budget — the standard long-doc
+    strategy when the middle is the least informative part (beats
+    head-only on documents whose conclusions matter): keep the first
+    ``head_tokens`` and last ``tail_tokens`` whitespace tokens joined by
+    ``marker``; documents within budget pass through verbatim.
+
+    Pure array-slice Column expressions — map-side, zero shuffles,
+    deterministic. Appends ``n_tokens``, ``was_truncated``, ``out_col``.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    budget = head_tokens + tail_tokens
+    head = F.slice(toks, 1, head_tokens)
+    tail = F.slice(toks, -tail_tokens, tail_tokens)
+    truncated = F.concat(
+        F.array_join(head, " "), F.lit(marker), F.array_join(tail, " ")
+    )
+    return (
+        df.withColumn("n_tokens", n)
+        .withColumn("was_truncated", n > budget)
+        .withColumn(
+            out_col,
+            F.when(n > budget, truncated).otherwise(F.col(text_col)),
+        )
+    )

@@ -121,3 +121,52 @@ def bm25_topk(
         .orderBy(F.desc("score_bm25"), F.col(id_col))
         .limit(k)
     )
+
+
+def merge_posting_lists(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Incremental inverted-index maintenance: merge a delta index
+    (e.g. one ingest day's postings) into the base WITHOUT re-reading
+    the corpus — per-term sorted-array union with tf summation (a doc
+    present in both sides adds its term frequencies, so re-crawled
+    documents merge rather than duplicate).
+
+    Both inputs are posting-list tables ``(tok, df, postings, tfs)``.
+    Plan: explode both sides to (tok, doc, tf) — postings are already
+    index-sized, not corpus-sized — one (tok, doc) sum + one per-term
+    assembly, both map-side-combined; output is bit-identical to a
+    direct build over the unioned corpus (pinned by the
+    ``posting_lists_incremental_merge`` oracle, which builds directly).
+    """
+    def cells(df: DataFrame) -> DataFrame:
+        return df.select(
+            "tok",
+            F.explode(
+                F.zip_with(
+                    F.col("postings"),
+                    F.col("tfs"),
+                    lambda d, t: F.struct(
+                        d.alias("doc_id"), t.alias("tf")
+                    ),
+                )
+            ).alias("p"),
+        ).select("tok", F.col("p.doc_id").alias("doc_id"), F.col("p.tf").alias("tf"))
+
+    merged_cells = (
+        cells(base)
+        .unionByName(cells(delta))
+        .groupBy("tok", "doc_id")
+        .agg(F.sum("tf").alias("tf"))
+    )
+    pairs = F.sort_array(
+        F.collect_list(F.struct(F.col("doc_id"), F.col("tf")))
+    )
+    return (
+        merged_cells.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"), pairs.alias("__p"))
+        .select(
+            "tok",
+            "df",
+            F.transform(F.col("__p"), lambda s: s["doc_id"]).alias("postings"),
+            F.transform(F.col("__p"), lambda s: s["tf"]).alias("tfs"),
+        )
+    )

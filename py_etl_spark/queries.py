@@ -7330,6 +7330,101 @@ REGISTRY["fuzzy_rerank_levenshtein"].oracle = (
 
 
 # =========================================================================
+# Incremental posting-list merge (merge ≡ direct proof)
+# =========================================================================
+
+def _posting_lists_for(spark, sf_dir, parity=None):
+    toks_arr = F.filter(
+        F.split(
+            F.lower(F.regexp_replace(F.col("text"), "[^A-Za-z ]", " ")),
+            " ",
+        ),
+        lambda t: t != "",
+    )
+    docs = _t(spark, sf_dir, "documents")
+    if parity is not None:
+        docs = docs.filter(F.col("doc_id") % 2 == parity)
+    tf = (
+        docs.select("doc_id", F.explode(toks_arr).alias("tok"))
+        .groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .filter(
+            F.col("tok").isin("the", "data", "model", "training", "quality")
+        )
+    )
+    pairs = F.sort_array(
+        F.collect_list(F.struct(F.col("doc_id"), F.col("tf")))
+    )
+    return (
+        tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"), pairs.alias("__p"))
+        .select(
+            "tok",
+            "df",
+            F.transform(F.col("__p"), lambda s: s["doc_id"]).alias("postings"),
+            F.transform(F.col("__p"), lambda s: s["tf"]).alias("tfs"),
+        )
+    )
+
+
+@query(
+    "posting_lists_incremental_merge",
+    None,  # oracle assigned below — the DIRECT build over the full corpus
+    note="Incremental index maintenance (search.merge_posting_lists): "
+    "even-doc base index merged with the odd-doc delta index — per-term "
+    "sorted-array union with tf summation over INDEX-sized rows, the "
+    "corpus never re-read; the oracle builds the full-corpus index "
+    "directly, so the hash match IS the merge ≡ direct proof",
+)
+def posting_lists_incremental_merge(spark, sf_dir):
+    from py_etl_spark.operators.search import merge_posting_lists
+
+    base = _posting_lists_for(spark, sf_dir, parity=0)
+    delta = _posting_lists_for(spark, sf_dir, parity=1)
+    return merge_posting_lists(base, delta)
+
+
+REGISTRY["posting_lists_incremental_merge"].oracle = REGISTRY[
+    "search_posting_lists"
+].oracle
+
+
+# =========================================================================
+# Head+tail truncation to a token budget
+# =========================================================================
+
+@query(
+    "corpus_truncate_head_tail",
+    """
+    WITH toks AS (
+      SELECT doc_id, text, string_split(text, ' ') AS ts
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(ts) AS INT) AS n_tokens,
+           len(ts) > 48 AS was_truncated,
+           CASE WHEN len(ts) > 48
+                THEN array_to_string(ts[1:32], ' ') || ' ... '
+                     || array_to_string(ts[-16:], ' ')
+                ELSE text END AS trunc_text
+    FROM toks
+    """,
+    note="Head+tail truncation (corpus.truncate_head_tail): keep the "
+    "first 32 + last 16 whitespace tokens when over budget — the "
+    "long-doc strategy when the middle matters least; pure array-slice "
+    "Columns, map-side, zero shuffles",
+)
+def corpus_truncate_head_tail(spark, sf_dir):
+    from py_etl_spark.operators.corpus import truncate_head_tail
+
+    return truncate_head_tail(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        head_tokens=32,
+        tail_tokens=16,
+    ).select("doc_id", "n_tokens", "was_truncated", "trunc_text")
+
+
+# =========================================================================
 # Pareto frontier (2-D skyline over quality metrics)
 # =========================================================================
 
@@ -7523,6 +7618,8 @@ def rolling_7d_distinct_users_hll(spark, sf_dir):
 _FRONT = [
     # never driver-checked (added r04 after the last rotation) — highest
     # priority for the 50-slot window:
+    "corpus_truncate_head_tail",
+    "posting_lists_incremental_merge",
     "pareto_frontier_docs",
     "rolling_7d_distinct_users_hll",
     "event_transition_matrix",
@@ -7570,7 +7667,8 @@ _FRONT = [
     "agg_incremental_monthly_revenue",
     "text_normalize_unicode",
     "interval_overlap_signup_purchase",
-    "corpus_sample_stratified",
+    # corpus_sample_stratified ceded to the twenty-second batch (oracle
+    # + unit covered; leads the middle for r05)
     # pagerank_part_supplier ceded to the twenty-first batch (oracle/
     # unit covered; leads the middle for r05)
     # lm_fluency_bits ceded to the twentieth batch (oracle/unit
@@ -7597,7 +7695,8 @@ _FRONT = [
     # cohort_retention_weekly, zorder_key_orders, dedup_incremental_batch
     # ceded to the tenth batch (unit/plan covered; lead the middle for
     # r05):
-    "scd2_apply_incremental",
+    # scd2_apply_incremental ceded to the twenty-second batch (oracle
+    # covered; leads the middle for r05)
     "corpus_curation_pipeline",
     # events_daily/rolling, fuzzy_join_part_names, kmv_distinct_rollup
     # ceded to the ninth batch (unit/plan covered; lead the middle for

@@ -896,3 +896,17 @@ def test_pareto_skyline_no_all_pairs(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert shuffle_count(df) <= 3
+
+
+def test_truncate_head_tail_zero_shuffle(spark):
+    df = Q.REGISTRY["corpus_truncate_head_tail"].fn(spark, SF_MED)
+    assert shuffle_count(df) == 0
+
+
+def test_posting_merge_index_sized_shuffles(spark):
+    df = Q.REGISTRY["posting_lists_incremental_merge"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # two index builds + the (tok, doc) merge sum + per-term assembly —
+    # all over index-sized rows, never re-reading corpus text
+    assert "CartesianProduct" not in plan
+    assert shuffle_count(df) <= 8
