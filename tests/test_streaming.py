@@ -933,3 +933,66 @@ def test_streaming_session_window_matches_batch_query(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_hll_state_maintenance(spark, tmp_path):
+    """Sketch maintenance through the operational stack: a file stream
+    of events folds per-batch HLL register cells into a VersionedState
+    table via foreachBatch (register-wise max merge — the associativity
+    the HLL family guarantees), and the final maintained sketch is
+    BIT-IDENTICAL to a one-shot batch hll_sketch over all events. This
+    is the 100 TB NDV-dashboard pattern: the raw stream is seen once;
+    every refresh touches only the m-register state row."""
+    from py_etl_spark.operators.sketch import hll_sketch
+    from py_etl_spark.schemas import load_table
+    from py_etl_spark.streaming.state_store import VersionedState
+    from tests.conftest import SF_SMALL
+
+    events = load_table(spark, SF_SMALL, "events").select("user_id", "ts")
+    half1 = events.filter(F.col("user_id") % 2 == 0)
+    half2 = events.filter(F.col("user_id") % 2 == 1)
+    src = str(tmp_path / "src")
+    half1.coalesce(1).write.mode("overwrite").parquet(src + "/b1")
+    import time as _time
+
+    _time.sleep(1.1)
+    half2.coalesce(1).write.mode("overwrite").parquet(src + "/b2")
+
+    store = VersionedState(
+        spark, str(tmp_path / "hll_state"), partition_by=()
+    )
+
+    def fold(batch_df, batch_id):
+        cells = hll_sketch(batch_df, col="user_id").select(
+            F.posexplode("registers").alias("b", "reg")
+        )
+        try:
+            prev = store.read().select("b", "reg")
+            cells = cells.unionByName(prev)
+        except Exception:
+            pass  # first batch: no state yet
+        merged = cells.groupBy("b").agg(F.max("reg").alias("reg"))
+        store.commit(merged, meta={"batch_id": batch_id})
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert q.exception() is None
+
+    maintained = {
+        r["b"]: r["reg"] for r in store.read().collect()
+    }
+    direct = hll_sketch(events, col="user_id").collect()[0]
+    direct_regs = {
+        i: r for i, r in enumerate(direct["registers"]) if r > 0
+    }
+    assert {b: r for b, r in maintained.items() if r > 0} == direct_regs
