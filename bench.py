@@ -161,6 +161,8 @@ HEADLINE = [
     # round 4, twenty-second batch:
     "corpus_truncate_head_tail",
     "posting_lists_incremental_merge",
+    # round 4, twenty-third batch:
+    "retrieval_rrf_fusion",
 ]
 
 # Scale-sensitive subset for the 10x block: joins, window aggs, Python

@@ -7330,6 +7330,78 @@ REGISTRY["fuzzy_rerank_levenshtein"].oracle = (
 
 
 # =========================================================================
+# Reciprocal-rank fusion of two retrieval rankings
+# =========================================================================
+
+@query(
+    "retrieval_rrf_fusion",
+    None,  # oracle assigned below — composes the two ANN oracles
+    note="Reciprocal-rank fusion (RRF, k=60) of two rankers over the "
+    "same query set — the hybrid-retrieval combiner (sparse+dense in "
+    "production; here the exact-float and int8-quantized ANN rankings, "
+    "both independently oracle-checked): score = Σ 1/(60+rank) on "
+    "integer ranks, so the fused doubles are bit-identical across "
+    "engines; full-outer on (query, neighbor) keeps results either "
+    "ranker surfaces. Rank lists are k·|queries| metadata — the fusion "
+    "never touches the corpus",
+)
+def retrieval_rrf_fusion(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    dense = similarity.cosine_topk_bruteforce(emb, probes, k=5).select(
+        "query_id", "neighbor_id", F.col("rank").alias("r_dense")
+    )
+    quant = similarity.cosine_topk_int8(emb, probes, k=5).select(
+        F.col("query_id").alias("q2"),
+        F.col("neighbor_id").alias("n2"),
+        F.col("rank").alias("r_quant"),
+    )
+    fused = dense.join(
+        quant,
+        (F.col("query_id") == F.col("q2"))
+        & (F.col("neighbor_id") == F.col("n2")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("query_id"), F.col("q2")).alias("query_id"),
+        F.coalesce(F.col("neighbor_id"), F.col("n2")).alias("neighbor_id"),
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_dense")), F.lit(0.0))
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(60) + F.col("r_quant")), F.lit(0.0)
+            )
+        ).alias("__s"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__s").desc(), F.col("neighbor_id")
+    )
+    return fused.select(
+        "query_id",
+        "neighbor_id",
+        F.round("__s", 9).alias("rrf_score"),
+        F.row_number().over(w).cast("long").alias("rrf_rank"),
+    )
+
+
+REGISTRY["retrieval_rrf_fusion"].oracle = f"""
+    WITH dense AS ({REGISTRY["ann_cosine_topk"].oracle}),
+    quant AS ({REGISTRY["ann_cosine_topk_int8"].oracle}),
+    fused AS (
+      SELECT coalesce(d.query_id, qt.query_id) AS query_id,
+             coalesce(d.neighbor_id, qt.neighbor_id) AS neighbor_id,
+             coalesce(1.0 / (60 + d.rank), 0.0)
+               + coalesce(1.0 / (60 + qt.rank), 0.0) AS s
+      FROM dense d FULL JOIN quant qt
+        ON d.query_id = qt.query_id AND d.neighbor_id = qt.neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(s, 9) AS rrf_score,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY s DESC, neighbor_id)
+                AS BIGINT) AS rrf_rank
+    FROM fused
+    """
+
+
+# =========================================================================
 # Incremental posting-list merge (merge ≡ direct proof)
 # =========================================================================
 
@@ -7618,6 +7690,7 @@ def rolling_7d_distinct_users_hll(spark, sf_dir):
 _FRONT = [
     # never driver-checked (added r04 after the last rotation) — highest
     # priority for the 50-slot window:
+    "retrieval_rrf_fusion",
     "corpus_truncate_head_tail",
     "posting_lists_incremental_merge",
     "pareto_frontier_docs",
@@ -7697,7 +7770,8 @@ _FRONT = [
     # r05):
     # scd2_apply_incremental ceded to the twenty-second batch (oracle
     # covered; leads the middle for r05)
-    "corpus_curation_pipeline",
+    # corpus_curation_pipeline ceded to the twenty-third batch (oracle
+    # covered; leads the middle for r05)
     # events_daily/rolling, fuzzy_join_part_names, kmv_distinct_rollup
     # ceded to the ninth batch (unit/plan covered; lead the middle for
     # r05):

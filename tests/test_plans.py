@@ -910,3 +910,14 @@ def test_posting_merge_index_sized_shuffles(spark):
     # all over index-sized rows, never re-reading corpus text
     assert "CartesianProduct" not in plan
     assert shuffle_count(df) <= 8
+
+
+def test_rrf_fusion_over_rank_metadata(spark):
+    df = Q.REGISTRY["retrieval_rrf_fusion"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # both rankers' plans (broadcast probes, 1 top-k window each); the
+    # fusion full-outer join + final rank window ride k·|queries| rank
+    # rows — metadata, not corpus
+    assert "CartesianProduct" not in plan
+    assert shuffle_count(df) <= 5
+    assert single_partition_exchange_count(df) == 0
