@@ -163,6 +163,8 @@ HEADLINE = [
     "posting_lists_incremental_merge",
     # round 4, twenty-third batch:
     "retrieval_rrf_fusion",
+    # round 4, twenty-fourth batch:
+    "stable_row_ids_docs",
 ]
 
 # Scale-sensitive subset for the 10x block: joins, window aggs, Python

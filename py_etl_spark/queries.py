@@ -7330,6 +7330,39 @@ REGISTRY["fuzzy_rerank_levenshtein"].oracle = (
 
 
 # =========================================================================
+# Stable global row ids (the bucketed zipWithIndex path, driver-checked)
+# =========================================================================
+
+@query(
+    "stable_row_ids_docs",
+    """
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                AS BIGINT) AS position
+    FROM documents
+    """,
+    note="Exact contiguous 1..N global ids WITHOUT a global sort "
+    "(ranking.with_global_position — the zipWithIndex pattern: sampled "
+    "range buckets, per-bucket row_number, cumulative offsets "
+    "broadcast back). This query puts the engine's scale-path global "
+    "rank itself under the driver oracle (previously only plan-tested "
+    "via o2): the oracle is the naive global window, so the hash match "
+    "proves the bucketed path ≡ the definition with zero "
+    "single-partition exchanges (pinned)",
+)
+def stable_row_ids_docs(spark, sf_dir):
+    from py_etl_spark.operators.ranking import with_global_position
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    # order_cols are VALUE expressions compared ascending (they ride a
+    # struct comparison); n_chars DESC ≡ (-n_chars) ASC for these longs
+    out = with_global_position(
+        docs, [(-F.col("n_chars")).alias("neg_len"), F.col("doc_id")]
+    )
+    return out.select("doc_id", F.col("position").cast("long"))
+
+
+# =========================================================================
 # Reciprocal-rank fusion of two retrieval rankings
 # =========================================================================
 
@@ -7690,6 +7723,7 @@ def rolling_7d_distinct_users_hll(spark, sf_dir):
 _FRONT = [
     # never driver-checked (added r04 after the last rotation) — highest
     # priority for the 50-slot window:
+    "stable_row_ids_docs",
     "retrieval_rrf_fusion",
     "corpus_truncate_head_tail",
     "posting_lists_incremental_merge",
@@ -7739,7 +7773,8 @@ _FRONT = [
     "analyze_stats_orders",
     "agg_incremental_monthly_revenue",
     "text_normalize_unicode",
-    "interval_overlap_signup_purchase",
+    # interval_overlap_signup_purchase ceded to the twenty-fourth batch
+    # (oracle/unit covered; leads the middle for r05)
     # corpus_sample_stratified ceded to the twenty-second batch (oracle
     # + unit covered; leads the middle for r05)
     # pagerank_part_supplier ceded to the twenty-first batch (oracle/

@@ -921,3 +921,10 @@ def test_rrf_fusion_over_rank_metadata(spark):
     assert "CartesianProduct" not in plan
     assert shuffle_count(df) <= 5
     assert single_partition_exchange_count(df) == 0
+
+
+def test_stable_row_ids_no_exchange_to_one(spark):
+    df = Q.REGISTRY["stable_row_ids_docs"].fn(spark, SF_MED)
+    # the whole point: exact global 1..N WITHOUT a single-partition sort
+    assert single_partition_exchange_count(df) == 0
+    assert shuffle_count(df) <= 4
