@@ -165,6 +165,9 @@ HEADLINE = [
     "retrieval_rrf_fusion",
     # round 4, twenty-fourth batch:
     "stable_row_ids_docs",
+    # round 4, twenty-fifth batch:
+    "events_cusum_alarm",
+    "source_similarity_matrix",
 ]
 
 # Scale-sensitive subset for the 10x block: joins, window aggs, Python

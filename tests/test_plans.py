@@ -928,3 +928,21 @@ def test_stable_row_ids_no_exchange_to_one(spark):
     # the whole point: exact global 1..N WITHOUT a single-partition sort
     assert single_partition_exchange_count(df) == 0
     assert shuffle_count(df) <= 4
+
+
+def test_cusum_single_daily_shuffle(spark):
+    df = Q.REGISTRY["events_cusum_alarm"].fn(spark, SF_MED)
+    # raw events pay ONE count shuffle; the ordered fold runs over the
+    # ≤days-long rollup array
+    assert shuffle_count(df) <= 2
+
+
+def test_source_similarity_pairs_are_metadata(spark):
+    df = Q.REGISTRY["source_similarity_matrix"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # per-source sketch build (corpus scanned once); the all-pairs join
+    # carries sources² rows of 128 longs — metadata (the inequality
+    # join plans as a tiny nested loop over those rows, which is fine;
+    # what must never happen is a corpus-sized cross product)
+    assert shuffle_count(df) <= 5
+    assert single_partition_exchange_count(df) == 0
