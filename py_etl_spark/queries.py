@@ -6308,31 +6308,38 @@ def exact_median_price(spark, sf_dir):
     "here; Gopher/LM-bits/compression plug in identically): each metric "
     "becomes a total-order rank (deterministic doc_id tie-break), the "
     "ensemble is the exact integer rank sum — no score normalization "
-    "constants to tune or drift. NOTE the global rank windows: at "
-    "100 TB swap rank() for the zipWithIndex pattern in "
-    "operators/ranking.py (same contract, no single-partition sort); "
-    "at registry scale the pinned plan documents the semantics",
+    "constants to tune or drift. Ranks come from ranking.with_global_"
+    "position (bucketed zipWithIndex, zero single-partition exchanges "
+    "— the oracle's rank() over the total order is identical to "
+    "row_number, so the naive-window SQL still defines the semantics)",
 )
 def quality_rank_ensemble(spark, sf_dir):
+    from py_etl_spark.operators.ranking import with_global_position
+
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
-        F.col("n_chars").alias("len_score"),
-        F.length(F.regexp_replace("text", "[^ ]", "")).alias("ws_score"),
-        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).alias(
-            "alpha_score"
-        ),
+        F.col("n_chars").cast("long").alias("len_score"),
+        F.length(F.regexp_replace("text", "[^ ]", ""))
+        .cast("long")
+        .alias("ws_score"),
+        F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+        .cast("long")
+        .alias("alpha_score"),
     )
-    def r(col):
-        return F.rank().over(
-            Window.orderBy(F.col(col).desc(), F.col("doc_id"))
-        ).cast("long")
-    ranked = docs.select(
-        "doc_id",
-        r("len_score").alias("r_len"),
-        r("ws_score").alias("r_ws"),
-        r("alpha_score").alias("r_alpha"),
+
+    def ranks(col, name):
+        return with_global_position(
+            docs.select("doc_id", col),
+            [(-F.col(col)).alias("neg"), F.col("doc_id")],
+            position_col=name,
+        ).select("doc_id", name)
+
+    out = (
+        ranks("len_score", "r_len")
+        .join(ranks("ws_score", "r_ws"), "doc_id")
+        .join(ranks("alpha_score", "r_alpha"), "doc_id")
     )
-    return ranked.withColumn(
+    return out.withColumn(
         "rank_sum", F.col("r_len") + F.col("r_ws") + F.col("r_alpha")
     )
 

@@ -806,12 +806,12 @@ def test_vocab_report_two_token_shuffles(spark):
     assert single_partition_exchange_count(df) == 0
 
 
-def test_rank_ensemble_single_exchange_family(spark):
+def test_rank_ensemble_no_exchange_to_one(spark):
     df = Q.REGISTRY["quality_rank_ensemble"].fn(spark, SF_MED)
-    # the three global rank windows share one exchange family; the
-    # query note pins the ranking.py zipWithIndex swap as the 100 TB
-    # path for this shape
-    assert shuffle_count(df) <= 2
+    # three bucketed global ranks (with_global_position) + two id joins
+    # — bounded exchanges, and crucially ZERO single-partition sorts
+    assert single_partition_exchange_count(df) == 0
+    assert shuffle_count(df) <= 8
 
 
 def test_outlier_scores_broadcast_centroids(spark):
