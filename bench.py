@@ -168,6 +168,8 @@ HEADLINE = [
     # round 4, twenty-fifth batch:
     "events_cusum_alarm",
     "source_similarity_matrix",
+    # round 4, twenty-sixth batch:
+    "privacy_k_anonymity_report",
 ]
 
 # Scale-sensitive subset for the 10x block: joins, window aggs, Python

@@ -7337,6 +7337,63 @@ REGISTRY["fuzzy_rerank_levenshtein"].oracle = (
 
 
 # =========================================================================
+# k-anonymity / l-diversity privacy audit
+# =========================================================================
+
+@query(
+    "privacy_k_anonymity_report",
+    """
+    WITH g AS (
+      SELECT c_mktsegment, c_nationkey,
+             count(*) AS grp_size,
+             count(DISTINCT c_acctbal) AS n_sensitive
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(min(grp_size) AS BIGINT) AS min_group_size,
+           CAST(sum(CASE WHEN grp_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_groups_below_k,
+           CAST(sum(CASE WHEN grp_size < 5 THEN grp_size ELSE 0 END)
+                AS BIGINT) AS n_rows_at_risk,
+           CAST(min(n_sensitive) AS BIGINT) AS min_l_diversity,
+           min(grp_size) >= 5 AS k_anonymous,
+           min(n_sensitive) >= 2 AS l_diverse
+    FROM g
+    """,
+    note="Privacy audit — the release gate beside the anonymizer "
+    "family: k-anonymity (every quasi-identifier group ≥ k=5 rows) and "
+    "l-diversity (each group carries ≥ l=2 distinct sensitive values — "
+    "k-anonymity alone fails when a small group shares one sensitive "
+    "value) over (segment, nation) with acctbal as the sensitive "
+    "attribute. ONE group shuffle (count + count-distinct map-side "
+    "partials) + a metadata rollup; re-run after pseudonymization to "
+    "prove the release contract holds",
+)
+def privacy_k_anonymity_report(spark, sf_dir):
+    g = (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("grp_size"),
+            F.countDistinct("c_acctbal").alias("n_sensitive"),
+        )
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("grp_size").alias("min_group_size"),
+        F.sum(F.when(F.col("grp_size") < 5, 1).otherwise(0))
+        .cast("long")
+        .alias("n_groups_below_k"),
+        F.sum(F.when(F.col("grp_size") < 5, F.col("grp_size")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+        F.min("n_sensitive").alias("min_l_diversity"),
+        (F.min("grp_size") >= 5).alias("k_anonymous"),
+        (F.min("n_sensitive") >= 2).alias("l_diverse"),
+    )
+
+
+# =========================================================================
 # Source-similarity matrix (pairwise KMV Jaccard over token sketches)
 # =========================================================================
 
@@ -7886,6 +7943,7 @@ def rolling_7d_distinct_users_hll(spark, sf_dir):
 _FRONT = [
     # never driver-checked (added r04 after the last rotation) — highest
     # priority for the 50-slot window:
+    "privacy_k_anonymity_report",
     "events_cusum_alarm",
     "source_similarity_matrix",
     "stable_row_ids_docs",
@@ -7935,7 +7993,8 @@ _FRONT = [
     "cm_estimate_heavy_users",
     "kmv_join_size_estimate",
     "hist_quantile_prices",
-    "analyze_stats_orders",
+    # analyze_stats_orders ceded to the twenty-sixth batch (oracle/unit
+    # covered; leads the middle for r05)
     # agg_incremental_monthly_revenue / text_normalize_unicode ceded to
     # the twenty-fifth batch (oracle/unit covered; lead the middle for r05)
     # interval_overlap_signup_purchase ceded to the twenty-fourth batch

@@ -946,3 +946,10 @@ def test_source_similarity_pairs_are_metadata(spark):
     # what must never happen is a corpus-sized cross product)
     assert shuffle_count(df) <= 5
     assert single_partition_exchange_count(df) == 0
+
+
+def test_privacy_audit_single_group_pass(spark):
+    df = Q.REGISTRY["privacy_k_anonymity_report"].fn(spark, SF_MED)
+    # one quasi-identifier group shuffle (count + count-distinct with
+    # map-side partials) + the single-row metadata rollup
+    assert shuffle_count(df) <= 3
