@@ -1,23 +1,30 @@
 #!/usr/bin/env python
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints exactly ONE JSON line:
-  {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <float>, ...}
+The FINAL stdout line is ONE compact JSON record (≤ ~1 KB — the r04
+lesson: the full per-query dict overflowed the driver's tail capture and
+left the round with no machine-readable bench):
+  {"metric": ..., "value": <total sec>, "unit": "sec", "sf": ...,
+   "n_queries": N, "mean_sec_per_query": ..., "worst5": {...},
+   "sf1": {"total": ..., "worst5": {...}}, "detail_file": ...}
+The full per-query min+median detail is written to BENCH_DETAIL.json at
+the repo root (committed each round).
 
 Noise posture (the r03 lesson: single samples on a busy 32-way box swing
 >2x run-to-run): every query runs SPARK_GRAFT_BENCH_REPS times (default
-3); "queries"/"value" report the per-query MIN (the least-interference
-estimate of the plan's true cost) and "queries_median" the median, so a
-real regression separates from scheduler noise.
+3); per-query MIN (the least-interference estimate of the plan's true
+cost) and the median both land in the detail file, so a real regression
+separates from scheduler noise.
 
 Scale block: when benchmarking sf0.1, a 10x replica (~sf1) is
 materialized once under /tmp by unioning 10 key-offset copies of each
 table — offsets keep join fan-outs realistic instead of creating 10-deep
-duplicate keys — and a scale-sensitive subset of the headline queries
-runs there (content-dedup queries are excluded: text replicas would
-quadratically inflate their candidate pairs, measuring data pathology
-rather than plan cost). Disable with SPARK_GRAFT_SF1=0.
+duplicate keys. Document TEXT is Caesar-rotated per copy and embedding
+vectors are cyclically rotated per copy, so replicas are NOT
+byte-identical and the content-dedup family (MinHash-LSH, connected
+components, canonical-per-cluster, SemDeDup) gets a real 10x scale
+curve instead of a quadratic duplicate-pair pathology. Disable with
+SPARK_GRAFT_SF1=0.
 
 Each query is fully materialized via the no-op sink (forces the whole
 plan, no driver collect). Set SPARK_GRAFT_CPUS to bound parallelism.
@@ -239,6 +246,16 @@ SF1_SUBSET = [
     # round 4, fourteenth batch (dropout is per-doc map-side — replicas
     # scale linearly; vocab is a content op, excluded)
     "corpus_augment_word_dropout",
+    # round 5: the content-dedup family, enabled by the per-copy text
+    # Caesar-rotation / embedding rotation in the replica builder —
+    # replicas are no longer byte-identical, so candidate-pair counts
+    # scale with the corpus instead of exploding quadratically on
+    # 10-deep duplicates; this closes the scale-evidence gap VERDICT r04
+    # flagged for the highest-100TB-risk family
+    "dedup_minhash_lsh",
+    "dedup_cc_clusters",
+    "dedup_keep_canonical",
+    "semantic_dedup_fixed",
 ]
 
 # key columns to offset per replica copy so FK relationships replicate
@@ -268,15 +285,19 @@ def _build_sf1_replica(spark, src_dir: str, dst_dir: str) -> None:
     from py_etl_spark.schemas import load_table
 
     # cache-bust when the driver regenerates the source data (it did so
-    # mid-round in r03): key the replica on source file mtimes+sizes
+    # mid-round in r03) OR when the builder recipe changes: key the
+    # replica on source file mtimes+sizes plus a builder version
     stamp = json.dumps(
         {
-            n: [
-                round(os.path.getmtime(p), 3),
-                os.path.getsize(p),
-            ]
-            for n in _KEY_COLS
-            if os.path.exists(p := os.path.join(src_dir, f"{n}.parquet"))
+            "_builder": 2,  # v2: per-copy text/embedding perturbation
+            **{
+                n: [
+                    round(os.path.getmtime(p), 3),
+                    os.path.getsize(p),
+                ]
+                for n in _KEY_COLS
+                if os.path.exists(p := os.path.join(src_dir, f"{n}.parquet"))
+            },
         },
         sort_keys=True,
     )
@@ -297,6 +318,37 @@ def _build_sf1_replica(spark, src_dir: str, dst_dir: str) -> None:
             c = base
             for k in keys:
                 c = c.withColumn(k, F.col(k) + F.lit(i * _OFFSET))
+            # Perturb CONTENT per copy so replicas are not byte-identical
+            # (byte-identical copies make every doc a 10-deep duplicate →
+            # content-dedup candidate pairs explode quadratically and the
+            # bench measures pathology, not plan cost). Caesar-rotating
+            # the alphabet keeps length/token/line structure identical —
+            # the workload shape is preserved, only cross-copy shingle
+            # equality is destroyed.
+            if name == "documents" and i > 0:
+                import string
+
+                r = i % 25 + 1  # never the identity rotation
+                lo, up = string.ascii_lowercase, string.ascii_uppercase
+                c = c.withColumn(
+                    "text",
+                    F.translate(
+                        "text", lo + up, lo[r:] + lo[:r] + up[r:] + up[:r]
+                    ),
+                )
+            # Cyclically rotate embedding vectors per copy: norm and
+            # value distribution are preserved, cross-copy cosines drop
+            # from 1.0 to noise — SemDeDup sees 10x corpus, not 10-deep
+            # duplicate vectors.
+            if name == "embeddings" and i > 0:
+                r = i % 63 + 1  # never the identity rotation
+                c = c.withColumn(
+                    "embedding",
+                    F.expr(
+                        f"concat(slice(embedding, {r + 1}, "
+                        f"size(embedding)), slice(embedding, 1, {r}))"
+                    ),
+                )
             parts.append(c)
         df = parts[0]
         for p in parts[1:]:
@@ -335,7 +387,10 @@ def main() -> None:
     mins, medians = _run_block(qs, HEADLINE, sf_dir, reps, spark)
     total = round(sum(mins.values()), 3)
 
-    result = {
+    def worst5(d: dict[str, float]) -> dict[str, float]:
+        return dict(sorted(d.items(), key=lambda kv: -kv[1])[:5])
+
+    detail = {
         "metric": "headline_query_runtime",
         "value": total,
         "unit": "sec",
@@ -344,7 +399,7 @@ def main() -> None:
         "reps": reps,
         "sf": sf,
         # the headline list GROWS each round (14 in r01, 27 in r02, 29 in
-        # r03, 47 now) — compare totals across rounds per-query or via
+        # r03, 95 now) — compare totals across rounds per-query or via
         # this normalized mean, not raw totals
         "n_queries": len(mins),
         "mean_sec_per_query": round(total / max(len(mins), 1), 3),
@@ -362,19 +417,54 @@ def main() -> None:
         s_mins, s_medians = _run_block(
             qs, SF1_SUBSET, sf1_dir, sf1_reps, spark
         )
-        result["sf1"] = {
+        detail["sf1"] = {
             "sf": 1.0,
             "dir": sf1_dir,
             "note": "10x key-offset replica of sf0.1 (built once, "
-                    f"{build_sec}s); scale-sensitive headline subset",
+                    f"{build_sec}s; text Caesar-rotated / embeddings "
+                    "rotated per copy); scale-sensitive headline subset",
             "reps": sf1_reps,
             "queries": s_mins,
             "queries_median": s_medians,
             "total": round(sum(s_mins.values()), 3),
         }
 
-    print(json.dumps(result))
+    # Full per-query detail goes to a committed file; stdout's FINAL
+    # line stays compact (≤ ~1 KB) so the driver's tail capture parses
+    # it (BENCH_r04.json recorded "parsed": null when the ~10 KB full
+    # dict was the last line).
+    detail_file = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_DETAIL.json"),
+    )
+    with open(detail_file, "w") as fh:
+        json.dump(detail, fh, indent=2, sort_keys=True)
+
+    compact = {
+        "metric": detail["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "reps": reps,
+        "n_queries": len(mins),
+        "mean_sec_per_query": detail["mean_sec_per_query"],
+        # driver contract keeps a "queries" dict; truncated to the 5
+        # most expensive so the line stays tail-capture-safe — the full
+        # dict lives in detail_file
+        "queries": worst5(mins),
+        "queries_truncated_to": "worst5",
+        "detail_file": os.path.basename(detail_file),
+    }
+    if "sf1" in detail:
+        compact["sf1"] = {
+            "sf": 1.0,
+            "total": detail["sf1"]["total"],
+            "n_queries": len(detail["sf1"]["queries"]),
+            "worst5": worst5(detail["sf1"]["queries"]),
+        }
     spark.stop()
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -164,9 +164,15 @@ def distribution_drift(
 
     EXACT integer comparison: with bin counts cᵃ/cᵇ and totals nᵃ/nᵇ,
     the report carries ``tv_num = Σ|cᵃᵢ·nᵇ − cᵇᵢ·nᵃ|`` and ``ks_num =
-    max |Cᵃᵢ·nᵇ − Cᵇᵢ·nᵃ|`` (cross-multiplied BIGINTs — no float ratio
-    until the final rounded display columns tv = tv_num/(2·nᵃ·nᵇ) and
-    ks = ks_num/(nᵃ·nᵇ)), so thresholds compare engine-exactly.
+    max |Cᵃᵢ·nᵇ − Cᵇᵢ·nᵃ|`` — no float ratio until the final rounded
+    display columns tv = tv_num/(2·nᵃ·nᵇ) and ks = ks_num/(nᵃ·nᵇ), so
+    thresholds compare engine-exactly. The cross products are computed
+    in ``decimal(38,0)`` (exact up to 10³⁸ — BIGINT math would wrap
+    silently once nᵃ·nᵇ passes 2⁶³, i.e. the two slices together exceed
+    ~3e9 rows); the emitted ``tv_num``/``ks_num`` stay BIGINT for the
+    oracle contract, and if a value genuinely exceeds int64 the
+    non-ANSI decimal→long cast yields NULL — a loud sentinel, never a
+    wrapped wrong number.
 
     Plan: one scan of the two slices into the same (group, bin) count
     shuffle as :func:`~py_etl_spark.operators.sketch.hist_sketch` (the
@@ -187,14 +193,17 @@ def distribution_drift(
     both = side(group_a, "n_a", "__ca").crossJoin(
         side(group_b, "n_b", "__cb")
     )
-    na, nb = F.col("n_a"), F.col("n_b")
+    dec = "decimal(38,0)"
+    na, nb = F.col("n_a").cast(dec), F.col("n_b").cast(dec)
     tv_num = F.aggregate(
         F.zip_with(
-            F.col("__ca"), F.col("__cb"), lambda x, y: F.abs(x * nb - y * na)
+            F.col("__ca"),
+            F.col("__cb"),
+            lambda x, y: F.abs(x.cast(dec) * nb - y.cast(dec) * na),
         ),
-        F.lit(0).cast("long"),
+        F.lit(0).cast(dec),
         lambda acc, v: acc + v,
-    )
+    ).cast("long")
     cum = lambda c: F.aggregate(  # noqa: E731 — running-sum array walk
         F.col(c),
         F.array().cast("array<long>"),
@@ -205,9 +214,11 @@ def distribution_drift(
     )
     ks_num = F.array_max(
         F.zip_with(
-            cum("__ca"), cum("__cb"), lambda x, y: F.abs(x * nb - y * na)
+            cum("__ca"),
+            cum("__cb"),
+            lambda x, y: F.abs(x.cast(dec) * nb - y.cast(dec) * na),
         )
-    )
+    ).cast("long")
     return both.select(
         "n_a",
         "n_b",

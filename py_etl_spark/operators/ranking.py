@@ -243,17 +243,21 @@ def exact_kth_value(
                 rank -= acc
                 new_lo = lo + i * width
                 new_hi = hi if i == bins - 1 else lo + (i + 1) * width
-                # keep the slice semantics consistent with the binning:
-                # bin i holds new_lo <= v < new_hi, except the last bin
-                # which also holds v == hi (the greatest/least clamp)
-                if i == bins - 1:
-                    cur = cur.filter(
-                        (F.col("v") >= new_lo) & (F.col("v") <= new_hi)
-                    )
-                else:
-                    cur = cur.filter(
-                        (F.col("v") >= new_lo) & (F.col("v") < new_hi)
-                    )
+                # Narrow with the SAME binning expression used for the
+                # counts (b == i), so the count pass and the filter pass
+                # agree bit-for-bit — at bin boundaries floating-point
+                # rounding can make floor((v-lo)/width) and the range
+                # predicates v >= new_lo / v < new_hi classify a value
+                # differently, which would silently shift the tracked
+                # rank (ADVICE r04). The range predicate stays, widened
+                # by one bin width on each side, purely so the parquet
+                # min/max pushdown still prunes row groups; it is a
+                # strict superset of the bin, never the arbiter.
+                cur = cur.filter(
+                    (F.col("v") >= new_lo - width)
+                    & (F.col("v") <= new_hi + width)
+                    & (b == i)
+                )
                 lo, hi = new_lo, new_hi
                 break
             acc += c

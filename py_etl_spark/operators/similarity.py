@@ -617,13 +617,22 @@ def label_centroids_int(
     assembly per label is metadata. Output: ``label, n, sums`` (BIGINT
     array). Same overflow contract as embedding_moments_int at first
     power: n·scale·max|x| < 2^63 — effectively unbounded.
+
+    Malformed vectors (``size != dim`` or null elements) are dropped
+    BEFORE the explode — consistent with the error-channel contract of
+    the other operators — so per-dimension counts are uniform by
+    construction; a ``raise_error`` guard on min(c) == max(c) (one
+    scalar expression per label row, metadata-sized) makes any residual
+    divergence fail loudly instead of silently zero-filling the
+    centroid (ADVICE r04).
     """
-    q = F.transform(
-        F.col(vec_col).cast("array<double>"),
-        lambda x: F.round(x * F.lit(scale)).cast("long"),
-    )
+    vec = F.col(vec_col).cast("array<double>")
+    q = F.transform(vec, lambda x: F.round(x * F.lit(scale)).cast("long"))
     cells = (
         df.filter(F.col(label_col).isNotNull())
+        .filter(
+            (F.size(vec) == dim) & ~F.exists(vec, lambda x: x.isNull())
+        )
         .select(F.col(label_col).alias("label"), F.posexplode(q).alias("i", "q"))
         .groupBy("label", "i")
         .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("c"))
@@ -637,8 +646,28 @@ def label_centroids_int(
             F.try_element_at(entries, i.cast("int")), F.lit(0).cast("long")
         ),
     )
-    return cells.groupBy("label").agg(
-        (F.max("c")).alias("n"), sums.alias("sums")
+    return (
+        cells.groupBy("label")
+        .agg(
+            F.max("c").alias("n"),
+            F.min("c").alias("__n_min"),
+            sums.alias("sums"),
+        )
+        .select(
+            "label",
+            F.when(F.col("n") == F.col("__n_min"), F.col("n"))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("label_centroids_int: non-uniform per-dim "
+                              "counts for label "),
+                        F.col("label").cast("string"),
+                    )
+                ).cast("long")
+            )
+            .alias("n"),
+            "sums",
+        )
     )
 
 

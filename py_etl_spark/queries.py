@@ -56,6 +56,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _arr_csv(col, sep: str = ","):
+    """Serialize an array Column to a canonical delimited string.
+
+    The driver's correctness harness canonicalizes results with pandas
+    ``sort_values``, which cannot hash list-valued cells — so every
+    registry query's OUTPUT schema must be scalar-only (enforced by
+    tests/test_queries_contract.py). Operators keep returning real
+    arrays for programmatic use; the registry layer flattens them with
+    this helper, and the DuckDB oracles apply the equivalent
+    ``array_to_string`` so values stay bit-comparable.
+    """
+    return F.array_join(F.transform(col, lambda x: x.cast("string")), sep)
+
+
 # =========================================================================
 # TPC-H-style headline queries (bench + broad operator composition)
 # =========================================================================
@@ -1073,19 +1087,24 @@ def scd2_history_from_events(spark, sf_dir):
            CAST(CASE WHEN count(*) < 64 THEN count(*)
                      ELSE round(63.0 * 1152921504606846976.0 / max(h))
                 END AS BIGINT) AS estimate,
-           array_agg(h ORDER BY h) AS sketch
+           array_to_string(array_agg(h ORDER BY h), ',') AS sketch_csv
     FROM topk GROUP BY event_type
     """,
     note="KMV distinct-count sketch (operators/sketch.kmv_distinct): "
     "portable md5-hash k-minimum-values, mergeable, deterministic "
-    "estimate — the cross-engine/rollup-tree alternative to HLL",
+    "estimate — the cross-engine/rollup-tree alternative to HLL; the "
+    "sketch itself is emitted as a canonical CSV string (driver-safe "
+    "scalar output, values unchanged)",
 )
 def kmv_distinct_users(spark, sf_dir):
     from py_etl_spark.operators.sketch import kmv_distinct
 
-    return kmv_distinct(
+    sk = kmv_distinct(
         _t(spark, sf_dir, "events"), col="user_id", k=64,
         group_cols=("event_type",),
+    )
+    return sk.withColumn("sketch_csv", _arr_csv(F.col("sketch"))).drop(
+        "sketch"
     )
 
 
@@ -1316,7 +1335,7 @@ def scd2_apply_incremental(spark, sf_dir):
            CAST(CASE WHEN count(*) < 64 THEN count(*)
                      ELSE round(63.0 * 1152921504606846976.0 / max(h))
                 END AS BIGINT) AS estimate,
-           array_agg(h ORDER BY h) AS sketch
+           array_to_string(array_agg(h ORDER BY h), ',') AS sketch_csv
     FROM topk
     """,
     note="KMV rollup tree (operators/sketch.kmv_rollup): per-event_type "
@@ -1331,7 +1350,10 @@ def kmv_distinct_rollup(spark, sf_dir):
         _t(spark, sf_dir, "events"), col="user_id", k=64,
         group_cols=("event_type",),
     )
-    return kmv_rollup(per_type, k=64)
+    merged = kmv_rollup(per_type, k=64)
+    return merged.withColumn("sketch_csv", _arr_csv(F.col("sketch"))).drop(
+        "sketch"
+    )
 
 
 @query(
@@ -1363,7 +1385,7 @@ def kmv_distinct_rollup(spark, sf_dir):
         ON wordrows.event_type = grid.event_type AND wordrows.w = grid.w
     )
     SELECT event_type,
-           array_agg(b ORDER BY w) AS bloom,
+           array_to_string(array_agg(b ORDER BY w), ',') AS bloom_csv,
            CAST(sum(bit_count(b)) AS BIGINT) AS n_bits_set
     FROM filled GROUP BY event_type
     """,
@@ -1375,10 +1397,11 @@ def kmv_distinct_rollup(spark, sf_dir):
 def bloom_build_users(spark, sf_dir):
     from py_etl_spark.operators.sketch import bloom_build
 
-    return bloom_build(
+    bl = bloom_build(
         _t(spark, sf_dir, "events"), col="user_id", words=16, k_hashes=4,
         group_cols=("event_type",),
     )
+    return bl.withColumn("bloom_csv", _arr_csv(F.col("bloom"))).drop("bloom")
 
 
 @query(
@@ -1487,7 +1510,10 @@ def bloom_semi_join_prune(spark, sf_dir):
       FROM filled GROUP BY 1, 2
     )
     SELECT event_type,
-           array_agg(row ORDER BY d) AS cm,
+           array_to_string(
+             list_transform(array_agg(row ORDER BY d),
+                            r -> array_to_string(r, ',')),
+             ';') AS cm_csv,
            max(CASE WHEN d = 0 THEN rowsum END) AS n_items
     FROM rows_ GROUP BY event_type
     """,
@@ -1499,10 +1525,14 @@ def bloom_semi_join_prune(spark, sf_dir):
 def cm_sketch_events(spark, sf_dir):
     from py_etl_spark.operators.sketch import cm_sketch
 
-    return cm_sketch(
+    sk = cm_sketch(
         _t(spark, sf_dir, "events"), col="user_id", width=64, depth=4,
         group_cols=("event_type",),
     )
+    cm_csv = F.array_join(
+        F.transform(F.col("cm"), lambda r: _arr_csv(r)), ";"
+    )
+    return sk.withColumn("cm_csv", cm_csv).drop("cm")
 
 
 @query(
@@ -5708,14 +5738,15 @@ _HLL_ORACLE_EST = """
         ON cells.event_type = grid.event_type AND cells.b = grid.b
     ), agg AS (
       SELECT event_type,
-             array_agg(CAST(reg AS BIGINT) ORDER BY b) AS registers,
+             array_to_string(array_agg(CAST(reg AS BIGINT) ORDER BY b), ',')
+               AS registers_csv,
              CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_zero,
              CAST(sum(CAST(pow(2.0, 53 - reg) AS BIGINT)) AS BIGINT)
                AS sum_scaled
       FROM filled GROUP BY 1
     )
-    SELECT event_type, registers, n_zero, sum_scaled,
+    SELECT event_type, registers_csv, n_zero, sum_scaled,
     """
     + _HLL_ORACLE_EST
     + """
@@ -5730,10 +5761,13 @@ _HLL_ORACLE_EST = """
 def hll_distinct_event_ids(spark, sf_dir):
     from py_etl_spark.operators.sketch import hll_sketch
 
-    return hll_sketch(
+    sk = hll_sketch(
         _t(spark, sf_dir, "events"), col="event_id",
         group_cols=("event_type",),
     )
+    return sk.withColumn(
+        "registers_csv", _arr_csv(F.col("registers"))
+    ).drop("registers")
 
 
 @query(
@@ -5943,8 +5977,7 @@ def event_transition_matrix(spark, sf_dir):
       SELECT count(*) AS n_total FROM uni
     ), bi AS (
       SELECT ts[i] AS a, ts[i + 1] AS b
-      FROM toks, (SELECT unnest(range(1, 10000)) AS i) ix
-      WHERE i < len(ts)
+      FROM toks, LATERAL (SELECT unnest(range(1, len(ts))) AS i) ix
     ), bc AS (
       SELECT a, b, count(*) AS n_ab FROM bi GROUP BY 1, 2 HAVING count(*) >= 5
     )
@@ -5981,7 +6014,9 @@ def token_pmi_pairs(spark, sf_dir):
     pairs = F.filter(
         F.zip_with(
             F.col("__ts"),
-            F.slice(F.col("__ts"), 2, 1000000),
+            # exact tail (no arbitrary length cap — mirrors the oracle's
+            # LATERAL range(1, len(ts)) bound, ADVICE r04)
+            F.slice(F.col("__ts"), 2, F.size("__ts")),
             lambda a, b: F.struct(a.alias("a"), b.alias("b")),
         ),
         lambda s: s["b"].isNotNull(),
@@ -6035,8 +6070,9 @@ def token_pmi_pairs(spark, sf_dir):
     )
     SELECT tok,
            CAST(count(*) AS BIGINT) AS df,
-           array_agg(doc_id ORDER BY doc_id) AS postings,
-           array_agg(tf ORDER BY doc_id) AS tfs
+           array_to_string(array_agg(doc_id ORDER BY doc_id), ',')
+             AS postings_csv,
+           array_to_string(array_agg(tf ORDER BY doc_id), ',') AS tfs_csv
     FROM tf
     WHERE tok IN ('the', 'data', 'model', 'training', 'quality')
     GROUP BY tok
@@ -6076,10 +6112,12 @@ def search_posting_lists(spark, sf_dir):
         .select(
             "tok",
             "df",
-            F.transform(F.col("__p"), lambda s: s["doc_id"]).alias(
-                "postings"
+            _arr_csv(
+                F.transform(F.col("__p"), lambda s: s["doc_id"])
+            ).alias("postings_csv"),
+            _arr_csv(F.transform(F.col("__p"), lambda s: s["tf"])).alias(
+                "tfs_csv"
             ),
-            F.transform(F.col("__p"), lambda s: s["tf"]).alias("tfs"),
         )
     )
 
@@ -6541,7 +6579,8 @@ def vocab_coverage_report(spark, sf_dir):
       GROUP BY label, gi.i
     )
     SELECT label, CAST(max(c) AS BIGINT) AS n,
-           array_agg(CAST(s AS BIGINT) ORDER BY i) AS sums
+           array_to_string(array_agg(CAST(s AS BIGINT) ORDER BY i), ',')
+             AS sums_csv
     FROM cells GROUP BY label
     """,
     note="Per-label class centroids in exact integer space "
@@ -6552,7 +6591,8 @@ def vocab_coverage_report(spark, sf_dir):
 def embedding_label_centroids(spark, sf_dir):
     from py_etl_spark.operators.similarity import label_centroids_int
 
-    return label_centroids_int(_t(spark, sf_dir, "embeddings"), dim=64)
+    cent = label_centroids_int(_t(spark, sf_dir, "embeddings"), dim=64)
+    return cent.withColumn("sums_csv", _arr_csv(F.col("sums"))).drop("sums")
 
 
 @query(
@@ -6810,25 +6850,48 @@ def split_leakage_report(spark, sf_dir):
 @query(
     "part_pair_cooccurrence",
     """
+    WITH capped AS (
+      SELECT l_orderkey, l_partkey
+      FROM (
+        SELECT l_orderkey, l_partkey,
+               row_number() OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_partkey) AS rn
+        FROM lineitem
+      ) WHERE rn <= 16
+    )
     SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
            count(*) AS n_orders
-    FROM lineitem a JOIN lineitem b
+    FROM capped a JOIN capped b
       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     GROUP BY 1, 2
     ORDER BY n_orders DESC, part_a, part_b LIMIT 100
     """,
     note="Market-basket co-occurrence edges: parts bought together in "
     "one order — the graph-edge builder for item-similarity / "
-    "recommendation. Order-keyed self-join (baskets are small, so "
-    "fan-out is Σ basket² — bounded like LSH buckets), one pair-count "
-    "shuffle, top-k via TakeOrderedAndProject",
+    "recommendation. The basket is CAPPED at 16 items (row_number over "
+    "the order key, the hot-bucket cap recipe from dedup.py's LSH "
+    "buckets) BEFORE the self-join, so fan-out is bounded at "
+    "Σ min(basket,16)² even when one pathological hot order key holds "
+    "millions of rows at 100 TB; TPC-H baskets are ≤7 items so the cap "
+    "never bites on this data and the top-100 answer is exact (the "
+    "oracle caps identically). One pair-count shuffle, top-k via "
+    "TakeOrderedAndProject",
 )
 def part_pair_cooccurrence(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(
+    # Hot-basket cap: rows with equal (l_orderkey, l_partkey) are
+    # interchangeable after this projection, so the row_number tie-break
+    # is value-deterministic even though the row choice is not.
+    w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
+    capped = (
+        li.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 16)
+        .drop("__rn")
+    )
+    a = capped.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
     )
-    b = li.select(
+    b = capped.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
     )
     return (
@@ -7014,8 +7077,10 @@ def feature_bucketize_order_prices(spark, sf_dir):
     """
     SELECT user_id,
            count(*) AS n_events,
-           array_agg(event_type ORDER BY ts, event_id) AS seq_types,
-           array_agg(epoch_ms(ts) ORDER BY ts, event_id) AS seq_ts_ms
+           array_to_string(array_agg(event_type ORDER BY ts, event_id), ',')
+             AS seq_types_csv,
+           array_to_string(array_agg(epoch_ms(ts) ORDER BY ts, event_id),
+                           ',') AS seq_ts_csv
     FROM events GROUP BY user_id
     """,
     note="Sequence-dataset assembly: per-user event history as ORDERED "
@@ -7042,12 +7107,12 @@ def user_event_sequences(spark, sf_dir):
         .select(
             "user_id",
             "n_events",
-            F.transform(F.col("__seq"), lambda s: s["event_type"]).alias(
-                "seq_types"
-            ),
-            F.transform(
-                F.col("__seq"), lambda s: F.unix_millis(s["ts"])
-            ).alias("seq_ts_ms"),
+            _arr_csv(
+                F.transform(F.col("__seq"), lambda s: s["event_type"])
+            ).alias("seq_types_csv"),
+            _arr_csv(
+                F.transform(F.col("__seq"), lambda s: F.unix_millis(s["ts"]))
+            ).alias("seq_ts_csv"),
         )
     )
 
@@ -7066,8 +7131,7 @@ def user_event_sequences(spark, sf_dir):
       FROM documents
     ), bi AS (
       SELECT ts[i] || ' ' || ts[i + 1] AS bigram
-      FROM toks, (SELECT unnest(range(1, 10000)) AS i) ix
-      WHERE i < len(ts)
+      FROM toks, LATERAL (SELECT unnest(range(1, len(ts))) AS i) ix
     )
     SELECT bigram, count(*) AS n
     FROM bi GROUP BY bigram
@@ -7089,7 +7153,9 @@ def corpus_top_bigrams(spark, sf_dir):
     pairs = F.filter(
         F.zip_with(
             toks,
-            F.slice(toks, 2, 1000000),
+            # exact tail (no arbitrary length cap — mirrors the oracle's
+            # LATERAL range(1, len(ts)) bound, ADVICE r04)
+            F.slice(toks, 2, F.size(toks)),
             lambda a, b: F.concat_ws(" ", a, b),
         ),
         lambda p: ~p.rlike("^\\S+$") & (p != ""),
@@ -7706,7 +7772,13 @@ def posting_lists_incremental_merge(spark, sf_dir):
 
     base = _posting_lists_for(spark, sf_dir, parity=0)
     delta = _posting_lists_for(spark, sf_dir, parity=1)
-    return merge_posting_lists(base, delta)
+    merged = merge_posting_lists(base, delta)
+    return merged.select(
+        "tok",
+        "df",
+        _arr_csv(F.col("postings")).alias("postings_csv"),
+        _arr_csv(F.col("tfs")).alias("tfs_csv"),
+    )
 
 
 REGISTRY["posting_lists_incremental_merge"].oracle = REGISTRY[
@@ -7928,119 +8000,82 @@ def rolling_7d_distinct_users_hll(spark, sf_dir):
 # The external driver checks registry entries in dict order and caps its
 # list at 50. Emit the registry in an explicit priority order so the cap
 # lands on queries whose correctness is independently evidenced elsewhere:
-#   _FRONT (r04 final rotation, exactly 50 — count pinned by
-#           test_queries_contract): every query with NO driver row in any
-#           round yet (the ones added during r04, newest first), then
-#           bpe_token_count_fixed (replay oracle hardened r04), then as
-#           many r02-green queries as still fit;
-#   middle: the r02-green queries that didn't fit the window (they keep
-#           their r02 rows; first in line for r05) plus anything added
-#           after this rotation;
-#   _TAIL (50): the queries with a fresh green r03 driver row —
-#           freshest evidence, cheapest to cede to the window cap.
+#   _FRONT (r05 rotation, exactly 50 — count pinned by
+#           test_queries_contract): the complete never-driver-green set
+#           (union over CORRECTNESS_r01–r04): the 6 rows that ERR'd in
+#           r04 on the driver canonicalizer's list-cell crash (outputs
+#           now serialized to scalar strings via _arr_csv), the 3 array
+#           landmines that would have err'd on first rotation
+#           (kmv_distinct_users/_rollup, bloom_build_users — also now
+#           scalar), the 35 queries the driver has never seen, and the
+#           6 queries whose plan or oracle changed in r05
+#           (part_pair_cooccurrence basket cap, token_pmi_pairs /
+#           corpus_top_bigrams exact-tail bound, dq_drift_doc_lengths
+#           decimal numerators, exact_median_price bin-exact narrowing,
+#           bpe_token_count_fixed re-attest). 44 + 6 = 50: with this
+#           window green, union driver-green = every oracle-bearing
+#           query in the registry.
+#   middle: everything driver-green in r02–r04 that isn't in _TAIL —
+#           they keep their rows.
+#   _TAIL (50): queries with green r03 driver rows — freshest evidence,
+#           cheapest to cede to the window cap.
 # tools/check_correctness.py runs the FULL registry regardless (committed
 # as CORRECTNESS_FULL_r*.json).
 _FRONT = [
-    # never driver-checked (added r04 after the last rotation) — highest
-    # priority for the 50-slot window:
-    "privacy_k_anonymity_report",
-    "events_cusum_alarm",
-    "source_similarity_matrix",
-    "stable_row_ids_docs",
-    "retrieval_rrf_fusion",
-    "corpus_truncate_head_tail",
+    # --- the 6 r04 driver-ERR rows (array outputs, now scalar CSV) ---
     "posting_lists_incremental_merge",
-    "pareto_frontier_docs",
-    "rolling_7d_distinct_users_hll",
-    "event_transition_matrix",
-    "token_pmi_pairs",
     "search_posting_lists",
-    "last_n_events_per_user",
-    "safety_blocklist_filter",
-    "partition_gap_report",
-    "exact_median_price",
-    "quality_rank_ensemble",
-    "embedding_outlier_scores",
-    "corpus_augment_word_dropout",
-    "vocab_coverage_report",
     "embedding_label_centroids",
-    "ann_hard_negatives",
-    "knn_label_agreement",
-    "scd2_point_in_time_features",
-    "split_leakage_report",
-    "part_pair_cooccurrence",
-    "dedup_keep_canonical",
-    "asof_next_order_within_30d",
-    "feature_bucketize_order_prices",
     "user_event_sequences",
-    "corpus_top_bigrams",
-    "corpus_interleave_sources",
-    "dq_drift_doc_lengths",
-    "dq_check_star_fks",
-    "embedding_moments_matrix",
-    "hll_grouping_sets_docs",
-    "fuzzy_rerank_levenshtein",
-    "corpus_sample_weighted",
-    "trending_event_types_hourly",
     "hll_distinct_event_ids",
-    "hll_rollup_doc_ids",
-    "st_session_window_agg",
-    "quality_boilerplate_lines",
-    "events_anomaly_days",
-    "dq_check_orders",
-    "quality_compression_ratio",
     "cm_sketch_events",
-    "cm_estimate_heavy_users",
-    "kmv_join_size_estimate",
-    "hist_quantile_prices",
-    # analyze_stats_orders ceded to the twenty-sixth batch (oracle/unit
-    # covered; leads the middle for r05)
-    # agg_incremental_monthly_revenue / text_normalize_unicode ceded to
-    # the twenty-fifth batch (oracle/unit covered; lead the middle for r05)
-    # interval_overlap_signup_purchase ceded to the twenty-fourth batch
-    # (oracle/unit covered; leads the middle for r05)
-    # corpus_sample_stratified ceded to the twenty-second batch (oracle
-    # + unit covered; leads the middle for r05)
-    # pagerank_part_supplier ceded to the twenty-first batch (oracle/
-    # unit covered; leads the middle for r05)
-    # lm_fluency_bits ceded to the twentieth batch (oracle/unit
-    # covered; leads the middle for r05)
-    # bm25_search_topk / dedup_duplicate_spans ceded to the nineteenth
-    # batch (oracle/unit covered; lead the middle for r05)
-    # corpus_pack_examples / quality_repetition_metrics ceded to the
-    # eighteenth batch (oracle/unit covered; lead the middle for r05)
-    # embedding_quantize_int8 / corpus_assemble_examples ceded to the
-    # seventeenth batch (plan/unit covered; lead the middle for r05)
-    # key_skew_profile_lineitem ceded to the sixteenth batch (plan
-    # covered; leads the middle for r05)
-    # corpus_mix_report / ann_cosine_topk_int8 ceded to the fifteenth
-    # batch (plan/unit covered; lead the middle for r05):
-    # scd2_history_from_events / dedup_segments_corpus ceded to the
-    # fourteenth batch (plan/unit covered; lead the middle for r05)
-    # kmv_distinct_users / corpus_sample_mixture /
-    # quality_score_hashed_linear ceded to the thirteenth batch (each
-    # bit-exact unit/plan covered; lead the middle for r05):
-    # ceded to the twelfth batch (bit-exact unit/plan covered, bpe_train
-    # is rows-only anyway; lead the middle for r05):
-    # orc_roundtrip_documents / funnel_signup_click_purchase ceded to
-    # the eleventh batch (pushdown/plan/unit covered; lead middle for r05)
-    # cohort_retention_weekly, zorder_key_orders, dedup_incremental_batch
-    # ceded to the tenth batch (unit/plan covered; lead the middle for
-    # r05):
-    # scd2_apply_incremental ceded to the twenty-second batch (oracle
-    # covered; leads the middle for r05)
-    # corpus_curation_pipeline ceded to the twenty-third batch (oracle
-    # covered; leads the middle for r05)
-    # events_daily/rolling, fuzzy_join_part_names, kmv_distinct_rollup
-    # ceded to the ninth batch (unit/plan covered; lead the middle for
-    # r05):
-    # bloom_build_users / bloom_semi_join_prune / events_daily_resample
-    # ceded their slots to the eighth batch (each is plan-test + unit
-    # covered and leads the middle for r05)
-    # bpe_token_count_fixed (r03-green) and the remaining r02-green
-    # queries ceded their slots to this batch; they keep their rows and
-    # lead the middle for r05 along with audio_window_features_synthetic
-    # (rows-only, unit-backed), the one new query that missed the cap
+    # --- the 3 array landmines that never rotated in (now scalar) ---
+    "kmv_distinct_users",
+    "kmv_distinct_rollup",
+    "bloom_build_users",
+    # --- the 35 queries no driver window has ever seen ---
+    "scd2_history_from_events",
+    "corpus_sample_mixture",
+    "corpus_curation_pipeline",
+    "quality_score_hashed_linear",
+    "scd2_apply_incremental",
+    "bloom_semi_join_prune",
+    "lm_fluency_bits",
+    "bm25_search_topk",
+    "dedup_duplicate_spans",
+    "text_normalize_unicode",
+    "interval_overlap_signup_purchase",
+    "corpus_sample_stratified",
+    "pagerank_part_supplier",
+    "agg_incremental_monthly_revenue",
+    "analyze_stats_orders",
+    "dedup_segments_corpus",
+    "dedup_incremental_batch",
+    "quality_repetition_metrics",
+    "embedding_quantize_int8",
+    "ann_cosine_topk_int8",
+    "ann_cosine_topk_twostage",
+    "fuzzy_join_part_names",
+    "semantic_dedup_fixed",
+    "key_skew_profile_lineitem",
+    "corpus_mix_report",
+    "bpe_train_merges",
+    "corpus_pack_examples",
+    "corpus_assemble_examples",
+    "funnel_signup_click_purchase",
+    "cohort_retention_weekly",
+    "zorder_key_orders",
+    "events_daily_resample",
+    "events_rolling_7d",
+    "orc_roundtrip_documents",
+    "audio_window_features_synthetic",
+    # --- changed in r05 (plan or oracle touched) — re-attest ---
+    "part_pair_cooccurrence",
+    "token_pmi_pairs",
+    "corpus_top_bigrams",
+    "dq_drift_doc_lengths",
+    "exact_median_price",
+    "bpe_token_count_fixed",
 ]
 _TAIL = [
     "jsonl_roundtrip_documents",

@@ -23,12 +23,26 @@ def test_entry_smoke(spark):
 
 
 def test_each_query_runs_small(spark):
-    """Every registered query executes and yields a stable schema at sf0.001."""
+    """Every registered query executes and yields a stable schema at sf0.001.
+
+    Also enforces the driver-canonicalizer contract: the external gate's
+    pandas ``sort_values`` crashes on list-valued cells, so no registry
+    query may emit ArrayType/MapType/StructType — arrays are serialized
+    to canonical strings at the registry layer (queries._arr_csv).
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
     failures = {}
     for name, fn in Q.queries().items():
         try:
             df = fn(spark, SF_SMALL)
             assert df.columns, "no columns"
+            complex_cols = [
+                f.name
+                for f in df.schema.fields
+                if isinstance(f.dataType, (ArrayType, MapType, StructType))
+            ]
+            assert not complex_cols, f"complex output columns {complex_cols}"
             df.limit(5).collect()
         except Exception as e:  # noqa: BLE001
             failures[name] = str(e).splitlines()[0][:120]
