@@ -16,8 +16,10 @@ iteration is one join of ranks to edges (both keyed on the source node)
 plus one groupBy on the destination — 2 hash-partitioned shuffles per
 iteration, and AQE reuses the partitioning across iterations. Fixed
 iteration counts (the common production choice for ranking signals)
-keep the plan statically analyzable; for convergence-driven runs wrap
-with the same localCheckpoint pattern connected_components uses.
+keep the plan statically analyzable; convergence-driven runs (high
+iteration counts) truncate lineage every ``checkpoint_every``
+iterations with the same localCheckpoint pattern connected_components
+uses, so the nested-join plan never compounds.
 """
 
 from __future__ import annotations
@@ -34,6 +36,7 @@ def pagerank_fixed_point(
     iterations: int = 3,
     src_col: str = "src",
     dst_col: str = "dst",
+    checkpoint_every: int | None = 5,
 ) -> DataFrame:
     """PageRank over a directed edge list, ``iterations`` fixed steps,
     all arithmetic in integer micro-units, in the N-SCALED form (rank of
@@ -55,6 +58,16 @@ def pagerank_fixed_point(
     out-edges) contribute nothing (their mass leaks — the standard
     simplification when ranking is the goal). Output:
     ``(node, rank_micro)``.
+
+    ``checkpoint_every``: cut the lineage with ``localCheckpoint`` every
+    k iterations (the connected_components recipe). At the default fixed
+    3 iterations the plan is small and no checkpoint fires; past ~5 the
+    nested-join lineage makes Catalyst analysis/AQE replanning cost
+    compound per iteration, so convergence-driven runs (iterations 10+)
+    get a bounded plan instead. ``None`` disables (pure-lazy plan, e.g.
+    for plan-audit tooling). On a real cluster prefer ``checkpoint``
+    against a checkpoint dir for executor-loss resilience; the
+    truncation economics are identical.
     """
     d_micro = int(round(damping * MICRO))
     nodes = (
@@ -68,7 +81,7 @@ def pagerank_fixed_point(
         F.count(F.lit(1)).alias("deg")
     )
     ranks = nodes.withColumn("rank_micro", F.lit(init).cast("long"))
-    for _ in range(iterations):
+    for it in range(iterations):
         contrib = (
             ranks.join(deg, "node")
             .withColumn(
@@ -97,4 +110,8 @@ def pagerank_fixed_point(
                 ).alias("rank_micro"),
             )
         )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0 and (
+            it + 1
+        ) < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks

@@ -65,6 +65,38 @@ def test_cli_initial_load_reproduces_ldap00(spark, tmp_path, capsys):
     assert "dn: string" in capsys.readouterr().out
 
 
+def test_cli_compare_two_state_roots(spark, tmp_path, capsys):
+    """The reference's fourth shell entry point (ldaptest compare,
+    ldaptest.py:305-351) e2e from the CLI: two DIFFERENT state roots —
+    one full load, one loaded with two uids excluded — must diff with
+    exit code 2, report exactly the excluded users' subtrees as
+    one-sided, and the self-compare must stay clean (exit 0)."""
+    full, partial = str(tmp_path / "full"), str(tmp_path / "partial")
+    common = ["--users", str(TD / "initial_data.csv"),
+              "--instance", "ph08",
+              "--crypto-iv", FIXED_TEST_IV_HEX,
+              "--batch-ts", "20240101000000Z"]
+    assert main(["initial_load", "--state", full, *common]) == 0
+    assert main(["initial_load", "--state", partial, *common,
+                 "--exclude-uid", "4731", "--exclude-uid", "4732"]) == 0
+    capsys.readouterr()
+
+    rc = main(["compare", "--state", full, "--state2", partial])
+    out = capsys.readouterr().out
+    assert rc == 2
+    # exactly the two excluded users' entries are one-sided (their dns
+    # are cn-based, so count rather than grep the numeric uid)
+    lines = [ln for ln in out.splitlines() if ln.startswith("Only in lhs:")]
+    assert len(lines) == 2
+    assert all(",ou=user,ou=ph08,o=BMUKK" in ln for ln in lines)
+    assert "Only in rhs:" not in out and "Differs:" not in out
+    assert "Differences: 2" in out
+
+    rc = main(["compare", "--state", full, "--state2", full])
+    assert rc == 0
+    assert "Differences: 0" in capsys.readouterr().out
+
+
 def test_cli_etl_once_applies_events(spark, tmp_path):
     state = str(tmp_path / "state")
     rc = main(

@@ -796,6 +796,40 @@ def test_pagerank_fixed_point_matches_python_reference(spark):
     assert abs(sum(got.values()) - n * MICRO) < n * 10
 
 
+def test_pagerank_convergence_run_checkpoints_lineage(spark):
+    """iterations=10 exercises the localCheckpoint truncation path
+    (fires at 5; NOT after the final iteration): the result must equal
+    both the pure-lazy plan (checkpoint_every=None) and the python
+    replay — truncation changes plan economics, never values — and the
+    checkpointed plan must stay bounded instead of nesting 10 joins."""
+    from py_etl_spark.operators.graph import MICRO, pagerank_fixed_point
+
+    edges = [(i, (i * 3 + 1) % 7) for i in range(7)] + [(0, 3), (5, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    ck = pagerank_fixed_point(df, iterations=10)  # checkpoint_every=5
+    lazy = pagerank_fixed_point(df, iterations=10, checkpoint_every=None)
+    got_ck = {r.node: r.rank_micro for r in ck.collect()}
+    got_lazy = {r.node: r.rank_micro for r in lazy.collect()}
+
+    nodes = sorted({u for e in edges for u in e})
+    deg = {}
+    for s_, _ in edges:
+        deg[s_] = deg.get(s_, 0) + 1
+    d_micro, base = 850000, MICRO - 850000
+    r = {v: MICRO for v in nodes}
+    for _ in range(10):
+        inm = {v: 0 for v in nodes}
+        for s_, t_ in edges:
+            inm[t_] += r[s_] // deg[s_]
+        r = {v: base + d_micro * inm[v] // MICRO for v in nodes}
+    assert got_ck == r == got_lazy
+    # lineage actually truncated: the analyzed plan of the checkpointed
+    # run is much smaller than the 10-deep lazy nest
+    ck_plan = ck._jdf.queryExecution().analyzed().toString()
+    lazy_plan = lazy._jdf.queryExecution().analyzed().toString()
+    assert len(ck_plan) < len(lazy_plan) / 2
+
+
 def test_sample_stratified_exact_counts_and_salt_independence(spark):
     from py_etl_spark.operators.corpus import sample_stratified_exact
 
