@@ -2046,6 +2046,29 @@ def test_label_centroids_match_numpy_and_partitioning_invariant(spark):
     assert got == again
 
 
+def test_label_centroids_drop_malformed_vectors(spark):
+    """Vectors with the wrong dimensionality or null elements must be
+    dropped BEFORE the sum (the error-channel contract) — the centroid
+    over the remaining well-formed rows is unchanged, never silently
+    zero-padded (ADVICE r04)."""
+    from py_etl_spark.operators.similarity import label_centroids_int
+
+    good = [(1, [1.0, 2.0, 3.0], 0), (2, [3.0, 2.0, 1.0], 0)]
+    bad = [
+        (3, [9.0, 9.0], 0),              # short
+        (4, [9.0, 9.0, 9.0, 9.0], 0),    # long
+        (5, [9.0, None, 9.0], 0),        # null element
+    ]
+    df = spark.createDataFrame(
+        good + bad, "vec_id long, embedding array<double>, label int"
+    )
+    rows = label_centroids_int(df, dim=3).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n"] == 2  # only the two well-formed vectors counted
+    assert list(r["sums"]) == [400000, 400000, 400000]
+
+
 def test_hard_negatives_exclude_same_label(spark):
     from py_etl_spark.operators.similarity import hard_negatives
 

@@ -755,11 +755,18 @@ def test_split_leakage_single_fp_shuffle_then_metadata(spark):
 def test_cooccurrence_basket_join_then_topk(spark):
     df = Q.REGISTRY["part_pair_cooccurrence"].fn(spark, SF_MED)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # order-keyed self-join (fan-out Σ basket², bounded) + one pair
-    # count; top-k per-partition heaps
+    # hot-basket cap (row_number ≤ 16) BEFORE the order-keyed self-join
+    # bounds fan-out at Σ min(basket,16)²; WindowGroupLimit pushes the
+    # cap to a per-task partial limit ahead of the window exchange, so
+    # a pathological hot key never ships more than 16 rows per task
+    assert "WindowGroupLimit" in plan
+    assert plan.index("WindowGroupLimit") > plan.index("Join")
+    # ^ tree prints parents first: the cap being deeper (later in the
+    # string) than the join node means it feeds the join, not follows it
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
-    assert shuffle_count(df) <= 2
+    # window exchange (order key, reused by the self-join) + pair count
+    assert shuffle_count(df) <= 3
 
 
 def test_label_centroids_bounded_sum_shuffle(spark):
