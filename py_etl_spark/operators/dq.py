@@ -171,7 +171,8 @@ def distribution_drift(
     silently once nᵃ·nᵇ passes 2⁶³, i.e. the two slices together exceed
     ~3e9 rows); the emitted ``tv_num``/``ks_num`` stay BIGINT for the
     oracle contract, and if a value genuinely exceeds int64 the
-    non-ANSI decimal→long cast yields NULL — a loud sentinel, never a
+    decimal→long cast fails loudly — an ArithmeticException under the
+    Spark 4 ANSI default, NULL under legacy mode — never a silently
     wrapped wrong number.
 
     Plan: one scan of the two slices into the same (group, bin) count

@@ -274,15 +274,36 @@ def ivf_assign(
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest centroid
     (by dot product over normalized centroids). Map-side; centroids are a
-    plan literal (broadcast-by-construction)."""
-    best_c = F.lit(-1).cast("long")
-    best_s = F.lit(float("-inf"))
-    for ci, cvec in enumerate(centroids):
+    plan literal (broadcast-by-construction).
+
+    The argmax is an array build + array_position(array_max) — O(k·dim)
+    expression nodes. (A folded when-chain, the obvious alternative,
+    embeds the running best TWICE per step, so its tree doubles per
+    centroid — O(2^k) nodes; it OOMs Catalyst around k ≈ 20, long
+    before the production k ≈ √n.) Ties keep the FIRST centroid
+    (array_position returns the first occurrence); a zero-norm vector
+    divides by zero against every centroid — try_divide maps that to
+    NULL (never an ANSI-mode exception; plain ``/`` would throw under
+    the Spark 4 ANSI default) and the coalesce to -inf routes it into
+    the explicit -1 sentinel cell.
+    """
+    score_cols = []
+    neg_inf = F.lit(float("-inf"))
+    for cvec in centroids:
         plane = F.array(*[F.lit(x) for x in cvec])
-        s = _dot(F.col(vec_col), plane) / (_norm(F.col(vec_col)) * _norm(plane))
-        best_c = F.when(s > best_s, F.lit(ci).cast("long")).otherwise(best_c)
-        best_s = F.when(s > best_s, s).otherwise(best_s)
-    return df.select(F.col(id_col), F.col(vec_col), best_c.alias("ivf_cell"))
+        s = F.try_divide(
+            _dot(F.col(vec_col), plane),
+            _norm(F.col(vec_col)) * _norm(plane),
+        )
+        score_cols.append(F.coalesce(F.nanvl(s, neg_inf), neg_inf))
+    scores = F.array(*score_cols)
+    mx = F.array_max(scores)
+    best = (
+        F.when(mx == F.lit(float("-inf")), F.lit(-1))
+        .otherwise(F.array_position(scores, mx) - 1)
+        .cast("long")
+    )
+    return df.select(F.col(id_col), F.col(vec_col), best.alias("ivf_cell"))
 
 
 def quantize_embeddings_int8(

@@ -58,3 +58,31 @@ def test_ivf_train_and_assign(spark):
     odd_cells = {cells[i] for i in range(1, 60, 2)}
     assert len(even_cells) == 1 and len(odd_cells) == 1
     assert even_cells != odd_cells
+
+
+def test_ivf_assign_scales_to_production_k(spark):
+    """k = 64 centroids (production is k ~ sqrt(n), routinely 100+).
+    The original folded when-chain argmax embedded the running best
+    twice per step — an O(2^k) expression tree that OOM'd Catalyst
+    around k ~ 20 — so this test is the regression pin for the O(k·dim)
+    array argmax. Also checks the argmax semantics against numpy:
+    first-max tie-break, -1 sentinel for a zero-norm vector."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    d, k, n = 16, 64, 40
+    cents = [[float(x) for x in rng.randn(d)] for _ in range(k)]
+    vecs = [[float(x) for x in rng.randn(d)] for _ in range(n)]
+    rows = [(i, v) for i, v in enumerate(vecs)] + [(999, [0.0] * d)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.vec_id: r.ivf_cell
+        for r in similarity.ivf_assign(df, cents).collect()
+    }
+    C = np.array(cents)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    for i, v in enumerate(vecs):
+        vv = np.array(v)
+        sims = Cn @ (vv / np.linalg.norm(vv))
+        assert got[i] == int(np.argmax(sims)), i
+    assert got[999] == -1  # zero-norm vector -> sentinel cell
