@@ -177,10 +177,6 @@ HEADLINE = [
     "source_similarity_matrix",
     # round 4, twenty-sixth batch:
     "privacy_k_anonymity_report",
-    # round 5: bench-local SemDeDup at the production k=sqrt(n) posture
-    # (defined below; measured at sf0.1 here so the sf1 block's entry
-    # has a denominator for the 10x ratio)
-    "semantic_dedup_sqrtk",
 ]
 
 # Scale-sensitive subset for the 10x block: joins, window aggs, Python
@@ -262,13 +258,14 @@ SF1_SUBSET = [
     "dedup_keep_canonical",
     # semantic_dedup_fixed pins 4 FIXED centroids (oracle determinism),
     # so cells grow with n and within-cell pairs grow n^2/4 — its sf1
-    # entry (~71 s r05) is the measured cost of running SemDeDup with
+    # entry (~70 s r05) is the measured cost of running SemDeDup with
     # the WRONG k at 10x the data, kept deliberately as the documented
-    # pathology curve. semantic_dedup_sqrtk (bench-local, below) is the
-    # production posture — k = sqrt(n) trained centroids — and is the
-    # number that must stay <= 5x.
+    # pathology curve. The production posture — k = sqrt(n) trained
+    # centroids — is measured separately in the semdedup_sqrtk_posture
+    # block (sf0.1 AND sf1, ratio 3.2x in r05), outside the headline
+    # total so Lloyd-training cost doesn't skew the cross-round
+    # mean_sec_per_query comparison.
     "semantic_dedup_fixed",
-    "semantic_dedup_sqrtk",
 ]
 
 
@@ -460,6 +457,24 @@ def main() -> None:
             "queries_median": s_medians,
             "total": round(sum(s_mins.values()), 3),
         }
+        # SemDeDup at the PRODUCTION operating point (k = sqrt(n)
+        # trained centroids, Lloyd training cost included) at both
+        # scales — the scale claim for the semantic-dedup family. Kept
+        # out of the headline total: training dominates (~40 s at
+        # sf0.1) and would skew the cross-round mean_sec_per_query.
+        p_small, _ = _run_block(
+            qs, ["semantic_dedup_sqrtk"], sf_dir, 1, spark
+        )
+        p_big, _ = _run_block(
+            qs, ["semantic_dedup_sqrtk"], sf1_dir, 1, spark
+        )
+        s01 = p_small["semantic_dedup_sqrtk"]
+        s10 = p_big["semantic_dedup_sqrtk"]
+        detail["semdedup_sqrtk_posture"] = {
+            "sf0.1_sec": s01,
+            "sf1_sec": s10,
+            "ratio_10x": round(s10 / max(s01, 1e-9), 2),
+        }
 
     # Full per-query detail goes to a committed file; stdout's FINAL
     # line stays compact (≤ ~1 KB) so the driver's tail capture parses
@@ -495,6 +510,10 @@ def main() -> None:
             "n_queries": len(detail["sf1"]["queries"]),
             "worst5": worst5(detail["sf1"]["queries"]),
         }
+    if "semdedup_sqrtk_posture" in detail:
+        compact["semdedup_sqrtk_ratio_10x"] = detail[
+            "semdedup_sqrtk_posture"
+        ]["ratio_10x"]
     spark.stop()
     print(json.dumps(compact))
 
