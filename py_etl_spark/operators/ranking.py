@@ -212,8 +212,21 @@ def exact_kth_value(
     rank = k
     cur = base
     for _ in range(max_rounds):
-        cnt = cur.count()
-        if cnt <= direct_threshold or lo == hi:
+        # one 1-row agg per round: count for the direct-path check, and
+        # the slice's ACTUAL min/max — tightening [lo, hi] to the data
+        # each round both converges faster and terminates the
+        # duplicate-heavy case (a value with multiplicity above
+        # direct_threshold makes min == max long before the range
+        # width underflows; without this the loop burned max_rounds)
+        stats = cur.agg(
+            F.count("v").alias("n"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        ).collect()[0]
+        cnt, lo, hi = stats["n"], stats["lo"], stats["hi"]
+        if lo == hi:
+            return lo
+        if cnt <= direct_threshold:
             row = (
                 cur.sort("v")
                 .limit(rank)

@@ -2154,6 +2154,26 @@ def test_exact_kth_value_selection_algorithm(spark):
         exact_kth_value(with_nulls, "x", k=4)  # only 3 non-null rows
 
 
+def test_exact_kth_value_bin_boundary_floats(spark):
+    """Adversarial bin-boundary case for the count/filter agreement fix
+    (ADVICE r04): every value sits EXACTLY at a bin edge of the first
+    round's histogram (lo=0, hi=irrational-ish width), where
+    floor((v-lo)/width) and the old range predicates could disagree by
+    one ulp. The EXACT contract must hold for every k across the
+    boundary cluster."""
+    from py_etl_spark.operators.ranking import exact_kth_value
+
+    lo, hi, bins = 0.0, 1.0, 7  # width = 1/7, not representable
+    width = (hi - lo) / bins
+    # values at every edge, duplicated, plus the ends
+    vals = [i * width for i in range(bins + 1)] * 40
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    s = sorted(vals)
+    for k in (1, 40, 41, 160, 161, len(vals) // 2, len(vals)):
+        got = exact_kth_value(df, "x", k=k, bins=bins, direct_threshold=10)
+        assert got == s[k - 1], (k, got, s[k - 1])
+
+
 def test_pareto_skyline_matches_bruteforce(spark):
     import random
 
