@@ -299,8 +299,18 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels.select("node", F.col("label").alias("cluster_id"))
+            return labels.select("node", F.col("label").alias("cluster_id"))
+    # A quiet fall-through here would hand back PARTIALLY propagated
+    # labels — components larger than max_iter hops would be silently
+    # split into several clusters, and a dedup consumer would keep
+    # duplicates with no signal anything went wrong. Fail loudly
+    # instead; near-dup graphs are unions of small cliques (diameter
+    # ≲ 2), so hitting this means the input is not the expected shape.
+    raise RuntimeError(
+        f"connected_components did not converge in max_iter={max_iter} "
+        "iterations — a component's diameter exceeds the bound; raise "
+        "max_iter (cost is 2 shuffles per extra iteration)"
+    )
 
 
 def ngram_jaccard_pairs(

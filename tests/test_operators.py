@@ -115,6 +115,20 @@ def test_connected_components_long_chain_converges(spark):
     assert {r.cluster_id for r in rows} == {0}
 
 
+def test_connected_components_raises_on_iteration_exhaustion(spark):
+    """A component whose diameter exceeds max_iter must FAIL LOUDLY —
+    the silent alternative returns partially propagated labels that
+    split one real component into several clusters, and a dedup
+    consumer would keep duplicates with no signal."""
+    import pytest as _pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(edges, max_iter=3)
+
+
 def test_ivf_topk_recall_vs_bruteforce(spark):
     from py_etl_spark.schemas import load_table
     from tests.conftest import SF_SMALL
