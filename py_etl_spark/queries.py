@@ -6041,7 +6041,14 @@ def token_pmi_pairs(spark, sf_dir):
             F.col("n_a"),
             F.col("n_b"),
             # DIV: exact BIGINT division (matches DuckDB //) — a floor
-            # over double division would drift past 2^53 numerators
+            # over double division would drift past 2^53 numerators.
+            # Exactness envelope: n_ab·N·10⁶ < 2^63, i.e. n_ab·N below
+            # ~9.2e12 — comfortably true for any single shard/day slice
+            # this runs on; past it, shard the corpus (PMI numerators
+            # are not mergeable anyway) or move the ratio to log space.
+            # Spark's DIV coerces decimals back to BIGINT and WRAPS
+            # silently even under ANSI (verified), so decimal(38,0)
+            # here would widen nothing — the envelope is the contract.
             F.expr("(n_ab * n_total * 1000000L) DIV (n_a * n_b)")
             .cast("long")
             .alias("pmi_ratio_ppm"),
