@@ -266,6 +266,12 @@ def ivf_topk(
     return out
 
 
+# Above this many literal nodes (k·dim) the map-side literal argmax is
+# routed to the broadcast-join path: Catalyst analysis/codegen cost on
+# a plan with 10^5+ literals dominates wall time long before execution.
+_IVF_LITERAL_BUDGET = 16_384
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: list[list[float]],
@@ -273,20 +279,31 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest centroid
-    (by dot product over normalized centroids). Map-side; centroids are a
-    plan literal (broadcast-by-construction).
+    (by dot product over normalized centroids).
 
-    The argmax is an array build + array_position(array_max) — O(k·dim)
-    expression nodes. (A folded when-chain, the obvious alternative,
-    embeds the running best TWICE per step, so its tree doubles per
-    centroid — O(2^k) nodes; it OOMs Catalyst around k ≈ 20, long
-    before the production k ≈ √n.) Ties keep the FIRST centroid
-    (array_position returns the first occurrence); a zero-norm vector
-    divides by zero against every centroid — try_divide maps that to
-    NULL (never an ANSI-mode exception; plain ``/`` would throw under
-    the Spark 4 ANSI default) and the coalesce to -inf routes it into
-    the explicit -1 sentinel cell.
+    Two physically different plans, ONE contract (identical output —
+    pinned by test_ivf_assign_join_path_matches_literal_path):
+
+    - **small k** (k·dim ≤ ``_IVF_LITERAL_BUDGET``): centroids are plan
+      literals, scores an array build, argmax via
+      array_position(array_max) — O(k·dim) expression nodes, zero
+      shuffle, zero extra jobs. (A folded when-chain, the obvious
+      alternative, embeds the running best TWICE per step — O(2^k)
+      nodes; it OOMs Catalyst around k ≈ 20.)
+    - **production k ≈ √n** (easily 10³–10⁴ — k·dim literals would put
+      10⁵–10⁶ nodes into a single plan and stall Catalyst analysis):
+      centroids become a broadcast DataFrame; assignment is a broadcast
+      nested-loop expand (rows × k, map-side, nothing shuffles but the
+      k·dim centroid matrix) and the argmax one groupBy(max(struct)).
+
+    Both paths: ties keep the FIRST (lowest-index) centroid; a
+    zero-norm vector divides by zero against every centroid —
+    try_divide maps that to NULL (never an ANSI-mode exception) and it
+    lands in the explicit -1 sentinel cell.
     """
+    dim = len(centroids[0]) if centroids else 0
+    if len(centroids) * dim > _IVF_LITERAL_BUDGET:
+        return _ivf_assign_join(df, centroids, id_col, vec_col)
     score_cols = []
     neg_inf = F.lit(float("-inf"))
     for cvec in centroids:
@@ -304,6 +321,62 @@ def ivf_assign(
         .cast("long")
     )
     return df.select(F.col(id_col), F.col(vec_col), best.alias("ivf_cell"))
+
+
+def _ivf_assign_join(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Large-k assignment: broadcast the centroid matrix as DATA, not as
+    plan literals. One broadcast expand (rows × k, map-side) + one
+    per-id max(struct(score, -index)) aggregate — the partial max
+    collapses the k copies per id inside each task, so the exchange
+    carries ~n rows, not n·k. Struct ordering compares the score first
+    and the negated index second, so the winner is the max score with
+    FIRST-index tie-break — identical to the literal path's
+    array_position semantics (null scores sort below every real score
+    in struct comparison, so a zero-norm CENTROID can never win). The
+    groupBy keys on the id only and carries the vector via first()
+    (every expanded copy holds the identical vector, so first() is
+    value-deterministic)."""
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(
+        [(ci, [float(x) for x in cvec]) for ci, cvec in enumerate(centroids)],
+        "__ci int, __cv array<double>",
+    )
+    s = F.nanvl(
+        F.try_divide(
+            _dot(F.col(vec_col), F.col("__cv")),
+            _norm(F.col(vec_col)) * _norm(F.col("__cv")),
+        ),
+        F.lit(float("-inf")),
+    )
+    scored = (
+        df.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cdf))
+        .select(
+            id_col,
+            vec_col,
+            F.struct(s.alias("s"), (-F.col("__ci")).alias("nci")).alias(
+                "__sc"
+            ),
+        )
+    )
+    best = scored.groupBy(id_col).agg(
+        F.first(vec_col).alias(vec_col), F.max("__sc").alias("__sc")
+    )
+    cell = (
+        F.when(
+            F.col("__sc.s").isNull()
+            | (F.col("__sc.s") == F.lit(float("-inf"))),
+            F.lit(-1),
+        )
+        .otherwise(-F.col("__sc.nci"))
+        .cast("long")
+    )
+    return best.select(F.col(id_col), F.col(vec_col), cell.alias("ivf_cell"))
 
 
 def quantize_embeddings_int8(

@@ -86,3 +86,46 @@ def test_ivf_assign_scales_to_production_k(spark):
         sims = Cn @ (vv / np.linalg.norm(vv))
         assert got[i] == int(np.argmax(sims)), i
     assert got[999] == -1  # zero-norm vector -> sentinel cell
+
+
+def test_ivf_assign_join_path_matches_literal_path(spark):
+    """The two physical assignment plans share one contract: identical
+    cells for every vector, including the adversarial cases — a
+    zero-norm vector (sentinel -1 on both paths), a zero-norm CENTROID
+    (its null score must lose to every real score), and exact ties
+    (first-index wins). Also proves the auto-routing threshold: above
+    the literal budget ivf_assign must produce the join-path result."""
+    import numpy as np
+
+    rng = np.random.RandomState(13)
+    d = 8
+    cents = [[float(x) for x in rng.randn(d)] for _ in range(30)]
+    cents.append([0.0] * d)          # zero-norm centroid: never wins
+    cents.append(list(cents[0]))     # duplicate: exact tie, index 0 wins
+    rows = [(i, [float(x) for x in rng.randn(d)]) for i in range(300)]
+    rows.append((7001, [0.0] * d))   # zero-norm vector: sentinel
+    rows.append((7002, [x * 2.0 for x in cents[0]]))  # exact-tie probe
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    lit = {r.vec_id: r.ivf_cell for r in similarity.ivf_assign(df, cents).collect()}
+    jn = {
+        r.vec_id: r.ivf_cell
+        for r in similarity._ivf_assign_join(
+            df, cents, "vec_id", "embedding"
+        ).collect()
+    }
+    assert lit == jn
+    assert lit[7001] == -1
+    assert lit[7002] == 0  # tie between centroid 0 and its duplicate
+
+    # auto-routing: shrink the budget so ivf_assign itself takes the
+    # join path, and the public surface still returns the same cells
+    from py_etl_spark.operators import similarity as S
+
+    old = S._IVF_LITERAL_BUDGET
+    try:
+        S._IVF_LITERAL_BUDGET = 1
+        routed = {r.vec_id: r.ivf_cell for r in S.ivf_assign(df, cents).collect()}
+    finally:
+        S._IVF_LITERAL_BUDGET = old
+    assert routed == lit
