@@ -248,6 +248,12 @@ def connected_components(
     Lineage is cut with ``localCheckpoint`` per iteration so the plan stays
     bounded (on a cluster: ``checkpoint`` against the checkpoint dir).
 
+    Convergence witness: labels are MONOTONE non-increasing (every
+    update is a min), so Σ labels strictly decreases on any effective
+    iteration and ``sum(new) == sum(old)`` ⟺ fixed point. One 1-row
+    decimal(38,0) aggregate per iteration (exact for any n·|id|, no
+    int64 wrap) — cheaper than the old two-label-set join + count.
+
     ``nodes``: one-column DataFrame of all node ids; isolated nodes (no
     edges) become singleton clusters. Defaults to the ids present in
     ``edges``.
@@ -277,6 +283,13 @@ def connected_components(
     # nodes defaults from edges, and column-expression joins on same-exprId
     # attributes fail Spark's ambiguous-self-join check; USING joins are
     # auto-deduplicated.
+
+    def label_sum(lbl: DataFrame):
+        return lbl.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = label_sum(labels)
     for _ in range(max_iter):
         nbr_labels = (
             und.select(F.col("node").alias("dst"), F.col("nbr").alias("src"))
@@ -290,16 +303,11 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.select("node", F.col("label").alias("new_label"))
-            .join(labels.select("node", F.col("label").alias("old_label")), "node")
-            .filter(F.col("new_label") != F.col("old_label"))
-            .limit(1)
-            .count()
-        )
+        new_sum = label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             return labels.select("node", F.col("label").alias("cluster_id"))
+        prev_sum = new_sum
     # A quiet fall-through here would hand back PARTIALLY propagated
     # labels — components larger than max_iter hops would be silently
     # split into several clusters, and a dedup consumer would keep
