@@ -350,6 +350,12 @@ def hist_sketch(
     shuffle (map-side partial agg); one metadata-sized assembly agg.
     Output: ``group_cols + (counts, n, min_v, max_v)``.
     """
+    if not (float(hi) > float(lo)) or bins < 1:
+        # fail at plan-build time with the actual parameters — a zero
+        # or negative width otherwise surfaces later as an opaque
+        # ANSI divide-by-zero in an executor
+        raise ValueError(f"hist_sketch needs hi > lo and bins >= 1, got "
+                         f"lo={lo}, hi={hi}, bins={bins}")
     width = (float(hi) - float(lo)) / bins
     # NULL values carry no distribution signal; exclude them so they
     # can't masquerade as bin-0 mass (greatest() skips NULL args) and so
@@ -749,6 +755,11 @@ def equi_depth_buckets(
     broadcast join; bucket assignment is map-side arithmetic. Appends
     ``__bin`` and ``bucket``.
     """
+    if not (float(hi) > float(lo)) or bins < 1 or n_buckets < 1:
+        raise ValueError(
+            f"equi_depth_buckets needs hi > lo, bins >= 1, n_buckets >= 1,"
+            f" got lo={lo}, hi={hi}, bins={bins}, n_buckets={n_buckets}"
+        )
     width = (float(hi) - float(lo)) / bins
     v = F.col(col).cast("double")
     binc = F.least(

@@ -2205,3 +2205,22 @@ def test_pareto_skyline_matches_bruteforce(spark):
                 assert not (
                     a[0] >= b[0] and a[1] >= b[1]
                 ), (a, b)
+
+
+def test_histogram_bucketizers_reject_degenerate_ranges(spark):
+    """hi <= lo or zero bins must fail at plan-BUILD time with the
+    offending parameters, not later as an opaque executor-side ANSI
+    divide-by-zero."""
+    import pytest as _pytest
+
+    from py_etl_spark.operators.sketch import equi_depth_buckets, hist_sketch
+
+    df = spark.createDataFrame([(1.0,), (2.0,)], ["x"])
+    with _pytest.raises(ValueError, match="hi > lo"):
+        hist_sketch(df, "x", lo=5.0, hi=5.0)
+    with _pytest.raises(ValueError, match="hi > lo"):
+        hist_sketch(df, "x", lo=5.0, hi=1.0)
+    with _pytest.raises(ValueError, match="bins"):
+        hist_sketch(df, "x", lo=0.0, hi=1.0, bins=0)
+    with _pytest.raises(ValueError, match="hi > lo"):
+        equi_depth_buckets(df, "x", lo=2.0, hi=2.0)
