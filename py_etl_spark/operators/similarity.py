@@ -301,7 +301,12 @@ def ivf_assign(
     try_divide maps that to NULL (never an ANSI-mode exception) and it
     lands in the explicit -1 sentinel cell.
     """
-    dim = len(centroids[0]) if centroids else 0
+    if not centroids:
+        # empty centroid list otherwise degrades to a null/odd cell per
+        # row (array_max over an empty array) — a caller error; say so
+        raise ValueError("ivf_assign: centroids must be non-empty "
+                         "(ivf_train on an empty corpus returns [])")
+    dim = len(centroids[0])
     if len(centroids) * dim > _IVF_LITERAL_BUDGET:
         return _ivf_assign_join(df, centroids, id_col, vec_col)
     score_cols = []
