@@ -241,6 +241,67 @@ def test_watermark_windowed_counts_batch_equivalence(spark):
     out = {r.window_start.isoformat(): r.n for r in watermark_windowed_counts(ev).collect()}
     assert out == {"2024-01-01T00:00:00": 2, "2024-01-01T01:00:00": 1}
 
+
+def test_watermark_drops_late_data_in_true_streaming(spark, tmp_path):
+    """The ACTUAL Structured Streaming watermark semantics (ST3), not
+    the batch replay: three availableNow micro-batch runs against one
+    checkpoint. After batch 1 the watermark is max_event - 10 min =
+    00:50; batch 2 carries an event at 00:02 (behind the watermark —
+    its already-closed window MUST NOT change), one at 00:55 (within
+    tolerance — accepted), and one at 02:00 (advances the watermark so
+    earlier windows emit). Append mode only emits a window once the
+    watermark passes its end, so the 03:00 flush event's own window
+    never appears — also asserted."""
+    import json as _json
+
+    ind, outd, ck = tmp_path / "in", tmp_path / "out", tmp_path / "ck"
+    ind.mkdir()
+
+    def feed(name, rows):
+        (ind / f"{name}.json").write_text(
+            "\n".join(_json.dumps(r) for r in rows) + "\n"
+        )
+
+    def run_once():
+        q = (
+            watermark_windowed_counts(
+                spark.readStream.schema("id long, t string")
+                .json(str(ind))
+                .select("id", F.to_timestamp("t").alias("event_time")),
+                delay="10 minutes",
+                window="10 minutes",
+            )
+            .writeStream.format("parquet")
+            .option("path", str(outd))
+            .option("checkpointLocation", str(ck))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    feed("b1", [{"id": 1, "t": "2024-01-01 00:05:00"},
+                {"id": 2, "t": "2024-01-01 01:00:00"}])
+    run_once()
+    feed("b2", [{"id": 3, "t": "2024-01-01 00:02:00"},   # LATE: dropped
+                {"id": 4, "t": "2024-01-01 00:55:00"},   # in tolerance
+                {"id": 5, "t": "2024-01-01 02:00:00"}])
+    run_once()
+    feed("b3", [{"id": 6, "t": "2024-01-01 03:00:00"}])  # flush
+    run_once()
+
+    got = {
+        r.window_start.isoformat(): r.n
+        for r in spark.read.parquet(str(outd)).collect()
+    }
+    assert got == {
+        "2024-01-01T00:00:00": 1,  # late id=3 NOT counted (would be 2)
+        "2024-01-01T00:50:00": 1,  # in-tolerance id=4 accepted
+        "2024-01-01T01:00:00": 1,
+        "2024-01-01T02:00:00": 1,
+        # 03:00 window absent: watermark has not passed its end
+    }
+
 def test_streaming_sessionize_matches_batch_query(spark):
     """Stream-vs-batch parity for gap sessionization: the stateful
     applyInPandasWithState operator must emit exactly the sessions the
