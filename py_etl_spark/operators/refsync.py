@@ -639,8 +639,11 @@ def cdc_apply(
     # status 'E' so apply_status_writeback's retry counter and the >10
     # poison-pill escalation engage (reference returns the error message
     # from sync_to_ldap → status E, etl.py:692-696).
+    # min, not first: if one uid ever carries two distinct refusal
+    # messages in a batch, first() would report whichever partition won
+    # the race — min() pins the reported message deterministically
     err_by_uid = sync_errors.groupBy("uid").agg(
-        F.first("error").alias("__sync_error")
+        F.min("error").alias("__sync_error")
     )
     dup = F.coalesce(F.col("n_user_rows"), F.lit(0)) > 1
     sync_err = F.col("__sync_error").isNotNull()
