@@ -520,6 +520,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cell_cap: int | None = 2048,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings, then drop near-identical
@@ -530,10 +531,22 @@ def semantic_dedup(
     1. coarse assignment via :func:`ivf_assign` — map-side argmax over
        literal centroids, zero shuffle;
     2. within-cluster pair generation — a self-equi-join on the cell id,
-       so the candidate set is Σ|cell|², not n². With k ≈ √n trained
-       centroids (``ivf_train``) cells stay ~√n and the join is linear-ish;
-       a degenerate cell can be capped with the same window-count guard
-       the LSH buckets use (dedup.minhash_lsh_candidates).
+       so the candidate set is Σ|cell|², not n².
+
+    **Degenerate-cell guard (``cell_cap``, ON by default)**: only the
+    first ``cell_cap`` members of each cell (row_number over the cell,
+    ordered by ``id_col`` — deterministic) participate in the pair join;
+    later members are kept unconditionally. This bounds pair work at
+    ``k·cell_cap²/2`` no matter how wrong ``k`` is for the corpus — the
+    same posture as the LSH hot-bucket cap
+    (``dedup.minhash_lsh_candidates``): a cell that blows past the cap
+    means the centroid count is mis-sized, and the guard bounds the
+    damage instead of melting a task on an n² self-join. With the
+    paper's operating point — FIXED target cell size c ≈ 100–1000, i.e.
+    k ≈ n/c (:func:`semantic_dedup_auto`) — healthy cells stay far
+    below the cap and the guard never fires. The cell ranking reuses
+    the pair join's own hash partitioning on the cell id, so the guard
+    adds no extra shuffle. ``None`` disables the cap.
 
     Drop rule: a vector is dropped when some LOWER-id vector in its cell
     is within ``threshold`` cosine — deterministic and join-expressible.
@@ -558,6 +571,20 @@ def semantic_dedup(
             F.col(vec_col), lambda x: x.cast("double") / norm
         ).alias("__uv"),
     )
+    if cell_cap is not None:
+        # Cap BEFORE the self-join (the part_pair_cooccurrence recipe):
+        # rank within the cell by id, keep only the first cell_cap rows
+        # as pair candidates. The window partitions on ivf_cell — the
+        # same key the join shuffles on — so Catalyst reuses one
+        # exchange for both.
+        rk = F.row_number().over(
+            Window.partitionBy("ivf_cell").orderBy(id_col)
+        )
+        unit = (
+            unit.withColumn("__rk", rk)
+            .filter(F.col("__rk") <= cell_cap)
+            .drop("__rk")
+        )
     a = unit.select(
         F.col(id_col).alias("id_a"), F.col("__uv").alias("ua"),
         F.col("ivf_cell").alias("cell_a"),
@@ -567,8 +594,30 @@ def semantic_dedup(
         F.col("ivf_cell").alias("cell_b"),
     )
     cos = _dot(F.col("ua"), F.col("ub"))
+    # Join-strategy routing: the pair join's parallelism under SMJ is
+    # the number of DISTINCT cells — fine at the production posture
+    # (k ∝ n/c cells), pathological with few centroids (the 4-cell
+    # oracle fixture lands all pair work on 4 tasks). When the capped
+    # candidate set is provably small (k·cell_cap rows — known at plan
+    # time), broadcast the a-side instead: the join then parallelizes
+    # over the b-side's scan partitions with zero shuffle, and the
+    # per-task work is b_rows/tasks · cap dot products regardless of
+    # how few cells there are.
+    small_a = (
+        cell_cap is not None and len(centroids) * cell_cap <= 65536
+    )
+    pair_a = F.broadcast(a) if small_a else a
+    if small_a:
+        # The cap window left b in (#cells) non-empty hash partitions —
+        # with few cells every pair lands on a handful of tasks. The
+        # b-side is bounded (k·cell_cap rows), so a round-robin
+        # repartition is a cheap bounded shuffle that restores full
+        # parallelism for the broadcast join.
+        b = b.repartition(
+            df.sparkSession.sparkContext.defaultParallelism
+        )
     dropped = (
-        a.join(
+        pair_a.join(
             b,
             (F.col("cell_a") == F.col("cell_b"))
             & (F.col("id_a") < F.col("id_b")),
@@ -586,6 +635,45 @@ def semantic_dedup(
             F.col("__dup").isNull().alias("is_kept"),
         )
     )
+
+
+def semantic_dedup_auto(
+    df: DataFrame,
+    threshold: float = 0.95,
+    target_cell_size: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 3,
+    seed: int = 42,
+    cell_cap: int | None = 2048,
+    max_k: int = 65536,
+) -> tuple[DataFrame, list[list[float]]]:
+    """:func:`semantic_dedup` at the SemDeDup paper's production
+    operating point: a FIXED target cell size ``c`` (Abbas et al. 2023
+    use tens of thousands of clusters over LAION so cells stay in the
+    hundreds), i.e. ``k = ceil(n / c)`` trained centroids — NOT
+    ``k = √n``. The distinction is the asymptote: with k ∝ n/c the
+    within-cell pair work is Σ|cell|² ≈ k·c² = n·c — LINEAR in the
+    corpus; with k = √n it is n^1.5. At 100 TB the √n posture is a
+    scale-killer, the fixed-c posture is one more linear pass.
+
+    Runs one ``count()`` to size k, Lloyd-trains via :func:`ivf_train`
+    (assignment cost n·k·dim per iteration, map-side; only the k×dim
+    centroid matrix reaches the driver), then dedups with the
+    degenerate-cell guard still armed. Returns ``(result, centroids)``
+    so callers can persist the trained centroids for incremental reuse.
+    """
+    n = df.count()
+    if n == 0:
+        raise ValueError("semantic_dedup_auto: empty input")
+    k = min(max_k, max(1, -(-n // target_cell_size)))
+    cents = ivf_train(
+        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    out = semantic_dedup(
+        df, cents, threshold, id_col, vec_col, cell_cap=cell_cap
+    )
+    return out, cents
 
 
 # ---- Exact integer moment matrix / PCA feed -------------------------------

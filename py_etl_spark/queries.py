@@ -3493,10 +3493,19 @@ def ivf_assign_fixed(spark, sf_dir):
                x -> x / sqrt(list_dot_product(e.v, e.v))) AS uv
       FROM assigned a JOIN e ON e.vec_id = a.vec_id
     ),
+    capped AS (
+      -- degenerate-cell guard, identical to the Spark plan: only the
+      -- first 2048 rows per cell (by vec_id) participate in pairs
+      SELECT vec_id, cell, uv FROM (
+        SELECT *, row_number() OVER (PARTITION BY cell
+                                     ORDER BY vec_id) AS rk
+        FROM un
+      ) WHERE rk <= 2048
+    ),
     dropped AS (
       SELECT DISTINCT pb.vec_id
-      FROM un pa
-      JOIN un pb ON pb.cell = pa.cell AND pa.vec_id < pb.vec_id
+      FROM capped pa
+      JOIN capped pb ON pb.cell = pa.cell AND pa.vec_id < pb.vec_id
       WHERE list_dot_product(pa.uv, pb.uv) >= 0.45
     )
     SELECT a.vec_id, CAST(a.cell AS BIGINT) AS ivf_cell,
@@ -3505,8 +3514,10 @@ def ivf_assign_fixed(spark, sf_dir):
     """,
     note="SemDeDup-style semantic dedup (operators/similarity."
          "semantic_dedup): map-side cluster assignment over pinned "
-         "centroids, within-cluster-only cosine pairs (Σ|cell|², never "
-         "n²), deterministic lower-id-wins drop rule",
+         "centroids, within-cluster-only cosine pairs capped at 2048 "
+         "rows/cell before the self-join (pair work bounded at "
+         "k*cap^2/2 however degenerate the cell; oracle caps "
+         "identically), deterministic lower-id-wins drop rule",
 )
 def semantic_dedup_fixed(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")

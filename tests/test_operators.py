@@ -1321,6 +1321,63 @@ def test_semantic_dedup_drops_within_cluster_only(spark):
     assert all(r.is_kept for r in out2)
 
 
+def test_semantic_dedup_cell_cap_guard(spark):
+    # 30 identical vectors in one cell; cap=10 → only the first 10 (by id)
+    # participate in the pair join: id 1 keeps, ids 2-10 drop, ids 11-30
+    # are beyond the cap and kept unconditionally (the documented
+    # degenerate-cell tradeoff — bounded work, not exhaustive dedup).
+    rows = [(i, [1.0, 0.0]) for i in range(1, 31)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[1.0, 0.0]]
+    out = {
+        r.vec_id: r.is_kept
+        for r in similarity.semantic_dedup(
+            df, cents, threshold=0.9, cell_cap=10
+        ).collect()
+    }
+    assert out[1] is True
+    assert all(out[i] is False for i in range(2, 11))
+    assert all(out[i] is True for i in range(11, 31))
+    # cap=None and a cap larger than the cell agree exactly (guard is a
+    # no-op on healthy cells)
+    full = sorted(
+        similarity.semantic_dedup(
+            df, cents, threshold=0.9, cell_cap=None
+        ).collect()
+    )
+    wide = sorted(
+        similarity.semantic_dedup(
+            df, cents, threshold=0.9, cell_cap=1000
+        ).collect()
+    )
+    assert full == wide
+    assert {r.vec_id for r in full if r.is_kept} == {1}
+
+
+def test_semantic_dedup_auto_fixed_cell_size(spark):
+    # k is sized as ceil(n / target_cell_size), NOT sqrt(n); output is one
+    # row per input and near-dups within a trained cell are dropped
+    # y >= 1 keeps every base point at cosine < 0.99 from the (1, 0)
+    # direction, so only the planted pair is a near-dup at 0.9999
+    rows = [
+        (i, [float(i % 7) + 1.0, float((i * 3) % 5) + 1.0])
+        for i in range(40)
+    ]
+    rows += [(100, [50.0, 0.0]), (101, [50.1, 0.0])]  # near-dup pair
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out, cents = similarity.semantic_dedup_auto(
+        df, threshold=0.9999, target_cell_size=8, iters=2
+    )
+    assert len(cents) == -(-42 // 8)  # ceil(42/8) = 6 trained centroids
+    got = {r.vec_id: r.is_kept for r in out.collect()}
+    assert len(got) == 42
+    assert got[100] is True and got[101] is False  # lower id wins
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty input"):
+        similarity.semantic_dedup_auto(df.limit(0))
+
+
 def test_quality_score_hashed_linear_matches_numpy_reference(spark):
     import hashlib
 

@@ -402,6 +402,28 @@ def test_semantic_dedup_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_semantic_dedup_cap_precedes_pair_join(spark):
+    # the degenerate-cell guard must be IN the plan: a row_number window
+    # + rank filter upstream of the pair join, so per-cell pair work is
+    # bounded at cell_cap^2/2 however degenerate the cell
+    df = Q.REGISTRY["semantic_dedup_fixed"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" in plan
+    i_win = plan.index("row_number")
+    joins = [
+        i for i in range(len(plan))
+        if plan.startswith("SortMergeJoin", i)
+        or plan.startswith("BroadcastHashJoin", i)
+    ]
+    # executedPlan prints top-down: the cap window sits BELOW (after, in
+    # string order) the pair join it feeds
+    assert joins and i_win > min(joins)
+    # the 4-centroid fixture routes the capped a-side through a
+    # broadcast, so the pair work parallelizes over b-side partitions
+    # instead of 4 join keys
+    assert "BroadcastHashJoin" in plan
+
+
 def test_quality_score_hashed_linear_zero_shuffle(spark):
     df = Q.REGISTRY["quality_score_hashed_linear"].fn(spark, SF_MED)
     assert shuffle_count(df) == 0  # literal weights + Column HOFs only
