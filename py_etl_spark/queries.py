@@ -4865,11 +4865,99 @@ def corpus_mix_report(spark, sf_dir):
     )
 
 
+def _bpe_train_oracle_sql(
+    num_merges: int = 64,
+    max_vocab: int = 65536,
+    min_pair_freq: int = 2,
+) -> str:
+    """Generate the DuckDB oracle for :func:`bpe_train_merges`: the
+    Sennrich argmax-merge loop UNROLLED as ``num_merges`` chained CTE
+    stages (DuckDB 1.0 recursive CTEs allow only one self-reference per
+    step; the trainer needs the word table twice per iteration — pair
+    counting and merge application — so unrolling is the portable form).
+
+    Every CTE is ``MATERIALIZED``: DuckDB inlines CTEs by default, and
+    each ``w_k`` is referenced twice, so inlining would blow up
+    exponentially in the iteration count.
+
+    Per stage k: pair counts over ``w_k`` (sum of word freqs), best
+    pair by (count DESC, left, right) — Python's
+    ``min(key=(-count, pair))`` tie-break — then the LEFTMOST
+    NON-OVERLAPPING merge application, set-based: mark match positions,
+    group consecutive matches into islands (index minus row_number),
+    pick even offsets within each island (Python's ``i += 2`` resume),
+    drop the consumed right-hand symbols via ``lag(pick)``, and
+    re-aggregate identical merged words. An exhausted stage (no pair
+    reaches ``min_pair_freq``) yields an empty ``b_k``, the scalar
+    subqueries go NULL, no position matches, and every later stage is
+    identically empty — matching the trainer's early stop.
+    """
+    parts = [f"""
+    w0 AS MATERIALIZED (
+      SELECT regexp_split_to_array(w, '') AS syms, cnt AS freq FROM (
+        SELECT w, count(*) AS cnt FROM (
+          SELECT unnest(regexp_extract_all(text, '{_BPE_TOKEN_RE}')) AS w
+          FROM documents
+        ) GROUP BY w
+        ORDER BY cnt DESC, w LIMIT {max_vocab}
+      )
+    )"""]
+    for k in range(num_merges):
+        parts.append(f"""
+    p{k} AS MATERIALIZED (
+      SELECT syms[i+1] AS l, syms[i+2] AS r2, sum(freq) AS cnt
+      FROM w{k}, unnest(range(len(syms)-1)) u(i)
+      GROUP BY 1, 2
+    ),
+    b{k} AS MATERIALIZED (
+      SELECT l, r2 FROM p{k} WHERE cnt >= {min_pair_freq}
+      ORDER BY cnt DESC, l, r2 LIMIT 1
+    ),
+    w{k + 1} AS MATERIALIZED (
+      SELECT syms, sum(freq) AS freq FROM (
+        SELECT wid,
+               list(CASE WHEN pick THEN s || (SELECT r2 FROM b{k})
+                    ELSE s END ORDER BY i) AS syms,
+               any_value(freq) AS freq
+        FROM (
+          SELECT *, coalesce(
+                      lag(pick) OVER (PARTITION BY wid ORDER BY i),
+                      false) AS prev_pick
+          FROM (
+            SELECT *, hit AND (i - min(i) OVER (
+                        PARTITION BY wid, grp, hit)) % 2 = 0 AS pick
+            FROM (
+              SELECT *, i - row_number() OVER (
+                          PARTITION BY wid, hit ORDER BY i) AS grp
+              FROM (
+                SELECT wid, freq, i, syms[i+1] AS s,
+                       (syms[i+1] = (SELECT l FROM b{k}) AND
+                        syms[i+2] = (SELECT r2 FROM b{k})) AS hit
+                FROM (SELECT row_number() OVER () AS wid, syms, freq
+                      FROM w{k}),
+                     unnest(range(len(syms))) u(i)
+              )
+            )
+          )
+        )
+        WHERE NOT prev_pick
+        GROUP BY wid
+      ) GROUP BY syms
+    )""")
+    merges_sel = "\n    UNION ALL\n".join(
+        f'    SELECT CAST({k} AS BIGINT) AS rank, l AS "left", '
+        f'r2 AS "right" FROM b{k}'
+        for k in range(num_merges)
+    )
+    return ("WITH " + ",".join(parts)
+            + f"\n    SELECT * FROM (\n{merges_sel}\n    ) ORDER BY rank")
+
+
 @query(
     "bpe_train_merges",
-    None,  # iterative trainer — genuinely non-SQL-expressible; the
-    # hand-computed-merges / determinism / layering proofs live in
-    # tests/test_bpe.py (rows-only driver check by design)
+    _bpe_train_oracle_sql(),  # the Sennrich loop, unrolled to SQL —
+    # closes the r05 rows-only gap; the hand-computed-merges /
+    # determinism / layering proofs remain in tests/test_bpe.py
     note="BPE merges-table TRAINING (functions/bpe.bpe_train): "
          "distributed word-frequency histogram (one combiner-friendly "
          "shuffle, top-64k cap bounds driver materialization — the ivf_"
