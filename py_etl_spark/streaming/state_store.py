@@ -81,6 +81,17 @@ class VersionedState:
         versions = self._list_versions()
         return versions[-1] if versions else None
 
+    def current_meta(self) -> dict | None:
+        """The ``meta`` dict the current version was committed with, or
+        None if the store is empty. This is the replay-detection hook:
+        a foreachBatch sink stores its (lineage, batch_id) here and
+        skips a micro-batch it already published (at-least-once
+        delivery → exactly-once state effect)."""
+        v = self.current_version()
+        if v is None:
+            return None
+        return self._read_manifest(v).get("meta") or {}
+
     def _write_manifest(self, version: int, path: str, meta: dict | None) -> None:
         payload = json.dumps(
             {"version": version, "path": path, "meta": meta or {}}

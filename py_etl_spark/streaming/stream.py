@@ -55,6 +55,8 @@ class CdcStreamDriver:
         cfg: SyncConfig | None = None,
         heartbeat_path: str | None = None,
         keep_versions: int = 2,
+        ts_for_batch=None,
+        prepare_batch=None,
     ):
         self.spark = spark
         self.users = users
@@ -65,8 +67,25 @@ class CdcStreamDriver:
         self.instance = instance
         self.cfg = cfg or SyncConfig()
         self.heartbeat_path = heartbeat_path
+        # ts_for_batch(batch_id) -> str: exact per-batch write stamp
+        # (defaults to deriving one from cfg.batch_ts + batch_id).
+        self.ts_for_batch = ts_for_batch
+        # prepare_batch(driver, state, batch_id) -> state: the seam for
+        # the maintenance the reference performs INSIDE its polling loop
+        # between applying event batches (etl.py:393-423): etd-done
+        # acks, state garbage collection, and refreshing the source-db
+        # users snapshot (reassign ``driver.users``). Runs after the
+        # replay guard, so a replayed (skipped) batch never re-runs it.
+        self.prepare_batch = prepare_batch
         self.statuses: list = []
         self.batches = 0
+        # Replay-detection lineage: foreachBatch is AT-LEAST-ONCE — a
+        # driver killed between the state commit and the checkpoint's
+        # offset commit redelivers the same (batch_id, input). batch_id
+        # is only meaningful per checkpoint, so the checkpoint path IS
+        # the lineage key; run_file_stream sets it. Without a
+        # checkpoint there is no replay contract and the guard is off.
+        self._lineage: str | None = None
         self._migrate_legacy_layout()
 
     def _migrate_legacy_layout(self) -> None:
@@ -93,20 +112,47 @@ class CdcStreamDriver:
                 json.dump({"ts": time.time(), "batches": self.batches}, f)
 
     def process_batch(self, events: DataFrame, batch_id: int) -> None:
+        if self._lineage is not None and self.store.exists():
+            meta = self.store.current_meta() or {}
+            if (
+                meta.get("lineage") == self._lineage
+                and isinstance(meta.get("batch_id"), int)
+                and batch_id <= meta["batch_id"]
+            ):
+                # Replayed micro-batch: the state version for this
+                # (checkpoint, batch_id) already published — a crash
+                # landed between the manifest append and the
+                # checkpoint's offset commit. Skip: same input (the
+                # checkpoint WAL pins the file set per batch_id), so
+                # re-applying would double-apply retries/tombstone GC.
+                # Status acks are NOT re-emitted — the ack protocol is
+                # at-least-once (ST2), matching the reference.
+                self.batches += 1
+                self._beat()
+                return
         state = self.store.read()
+        if self.prepare_batch is not None:
+            state = self.prepare_batch(self, state, batch_id)
+        if self.ts_for_batch is not None:
+            bts = self.ts_for_batch(batch_id)
+        elif self.cfg.batch_ts.endswith("Z"):
+            bts = f"{self.cfg.batch_ts[:-1]}{batch_id:04d}Z"
+        else:
+            bts = f"{self.cfg.batch_ts}-{batch_id}"
         cfg = SyncConfig(
             key=self.cfg.key,
             iv_hex=self.cfg.iv_hex,
-            batch_ts=f"{self.cfg.batch_ts[:-1]}{batch_id:04d}Z"
-            if self.cfg.batch_ts.endswith("Z")
-            else f"{self.cfg.batch_ts}-{batch_id}",
+            batch_ts=bts,
         )
         new_state, statuses = cdc_apply(state, self.users, events, self.instance, cfg)
         # Statuses are the per-event acks (bounded by the batch rate cap) —
         # the only thing the driver materializes. The state itself goes
         # executor → parquet v=<n+1>, published by the manifest append.
         self.statuses.append(statuses.collect())
-        self.store.commit(new_state, {"batch_id": batch_id})
+        self.store.commit(
+            new_state,
+            {"batch_id": batch_id, "lineage": self._lineage},
+        )
         self.batches += 1
         self._beat()
 
@@ -123,6 +169,7 @@ class CdcStreamDriver:
     ):
         """Consume eventlog files appearing in a directory (the batch-file
         equivalent of the reference's polling query)."""
+        self._lineage = checkpoint
         stream = (
             self.spark.readStream.schema(EVENTLOG_SCHEMA)
             .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -136,3 +136,103 @@ def test_full_scenario_suite(spark, pipeline_state):
 
     # --- final paired-instance state → ldapI15
     assert_dump_matches(state, "ou=user,ou=ph15,o=BMUKK", "ldapI15.txt")
+
+
+def test_full_scenario_suite_through_streaming_driver(
+    spark, pipeline_state, tmp_path
+):
+    """Golden scenarios 01-08 through the TRUE streaming path.
+
+    The reference's main entry point IS the micro-batch polling loop
+    (etl.py:393-423), so golden parity must hold when eventlog01-08
+    arrive as foreachBatch micro-batches via CdcStreamDriver — not just
+    through the batch cdc_apply path above. Every scenario's committed
+    VersionedState version is byte-diffed against its ldapNN.txt dump,
+    and the final paired-instance write-through against ldapI15.txt.
+
+    The maintenance the reference performs inside its loop between
+    polls (etd-done acks, state GC, re-reading the source-db users
+    snapshot) runs through the driver's ``prepare_batch`` seam.
+    """
+    import os
+    import shutil
+
+    from py_etl_spark.streaming.stream import CdcStreamDriver
+
+    state, users0, _ = pipeline_state
+    m = driver_materialize(spark)
+
+    # ldap00 bootstrap (deluids 4731/4732 + initial_load ph08), exactly
+    # as the batch suite does
+    cfg0 = SyncConfig(iv_hex=FIXED_TEST_IV_HEX, batch_ts="20240102000000Z")
+    users = m(users0.filter(~F.col("pk_uniqueid").isin(4731.0, 4732.0)))
+    state0, _, _, _ = sync_users_into_state(
+        state, users_to_entries(users, "ph08"), "ph08", cfg0, snapshot=True
+    )
+    state0 = m(state0)
+
+    root = str(tmp_path / "stream_golden")
+    state_path = os.path.join(root, "state")
+    events_dir = os.path.join(root, "events")
+    os.makedirs(events_dir)
+    state0.write.mode("overwrite").partitionBy("instance").parquet(
+        state_path
+    )
+    # one file per scenario; explicit increasing mtimes pin the file
+    # source's pickup order (maxFilesPerTrigger=1 → one scenario per
+    # micro-batch)
+    t0 = 1_700_000_000
+    for n in range(1, 9):
+        dst = os.path.join(events_dir, f"batch{n:02d}.csv")
+        shutil.copy(str(TD / f"eventlog{n:02d}.csv"), dst)
+        os.utime(dst, (t0 + n, t0 + n))
+
+    def prep(drv, st, bid):
+        n = bid + 1
+        if bid > 0:
+            # end-of-previous-scenario full etd ack (the batch suite
+            # runs set_etd_done(state) after each cdc_apply)
+            st = set_etd_done(st)
+        st = set_etd_done(st, uniqueid="4715")
+        changeset = read_users_csv(spark, str(TD / f"changeset{n:02d}.csv"))
+        drv.users = m(apply_changeset(drv.users, changeset))
+        eventlog = m(
+            read_eventlog_csv(spark, str(TD / f"eventlog{n:02d}.csv"))
+        )
+        drv.users = m(apply_eventlog_deletes(drv.users, eventlog))
+        return m(garbage_collect_state(st, "ph08"))
+
+    from py_etl_spark.streaming.stream import CdcStreamDriver  # noqa: F811
+
+    drv = CdcStreamDriver(
+        spark,
+        users,
+        state_path,
+        "ph08",
+        SyncConfig(iv_hex=FIXED_TEST_IV_HEX, batch_ts="20240101000000Z"),
+        keep_versions=10,  # retain all 8 scenario versions + v0
+        ts_for_batch=lambda bid: f"202401{bid + 3:02d}000000Z",
+        prepare_batch=prep,
+    )
+    q = drv.run_file_stream(
+        events_dir, checkpoint=os.path.join(root, "ckpt")
+    )
+    assert q.awaitTermination(1200)
+    assert q.exception() is None
+    assert drv.batches == 8
+    for batch in drv.statuses:
+        bad = [s for s in batch if s.status in ("F", "E")]
+        assert not bad, f"streaming run produced error statuses: {bad}"
+
+    # per-scenario parity: committed version v0+n is the state right
+    # after scenario n's cdc_apply — byte-diff each against its golden
+    v0 = drv.store.versions()[0]
+    for n in range(1, 9):
+        assert_dump_matches(
+            drv.store.read(version=v0 + n),
+            "ou=ph08,o=BMUKK",
+            f"ldap{n:02d}.txt",
+        )
+    # final paired-instance write-through (J6/ST11)
+    final = set_etd_done(drv.read_state())
+    assert_dump_matches(final, "ou=user,ou=ph15,o=BMUKK", "ldapI15.txt")

@@ -58,6 +58,116 @@ def test_cdc_file_stream_applies_batch(spark):
     assert all(s.status == "S" for batch in drv.statuses for s in batch)
 
 
+def test_cdc_stream_replay_idempotence_after_crash(spark, tmp_path):
+    """Exactly-once STATE effect under foreachBatch's at-least-once
+    delivery, both crash windows:
+
+    1. driver killed AFTER the VersionedState data write, BEFORE the
+       manifest publish → restart from the same checkpoint replays the
+       batch, which must commit exactly ONE version whose content is
+       identical to an uninterrupted run (the failed attempt's orphan
+       data dir is later swept by GC);
+    2. driver killed AFTER the manifest publish, BEFORE the checkpoint
+       offset commit → redelivery of the same (lineage, batch_id) must
+       be SKIPPED (no new version, no double-apply) — but the same
+       batch_id under a DIFFERENT lineage (fresh checkpoint) must not
+       be skipped.
+    """
+    from py_etl_spark.schemas import EVENTLOG_SCHEMA
+
+    cfg = SyncConfig(iv_hex=FIXED_TEST_IV_HEX, batch_ts="20240101000000Z")
+    m = lambda df: spark.createDataFrame(df.collect(), df.schema)  # noqa: E731
+    state = bootstrap_tree(spark, ["ph08", "ph15"], ["ph08", "ph15"])
+    users = m(read_users_csv(spark, f"{TD}/initial_data.csv"))
+    for inst in ("ph08", "ph15"):
+        state = m(
+            sync_users_into_state(
+                state, users_to_entries(users, inst), inst, cfg, snapshot=True
+            )[0]
+        )
+
+    def make(name):
+        root = os.path.join(str(tmp_path), name)
+        state_path = os.path.join(root, "state")
+        events_dir = os.path.join(root, "events")
+        os.makedirs(events_dir)
+        state.write.mode("overwrite").partitionBy("instance").parquet(
+            state_path
+        )
+        shutil.copy(f"{TD}/eventlog01.csv", events_dir + "/batch1.csv")
+        return state_path, events_dir, os.path.join(root, "ckpt")
+
+    # -- control: uninterrupted run ---------------------------------------
+    c_state, c_events, c_ckpt = make("control")
+    ctl = CdcStreamDriver(spark, users, c_state, "ph08", cfg)
+    q = ctl.run_file_stream(c_events, checkpoint=c_ckpt)
+    q.awaitTermination(300)
+    control_rows = sorted(map(tuple, ctl.read_state().collect()))
+
+    # -- crash window 1: data written, manifest never published -----------
+    s_path, e_dir, ckpt = make("crash")
+    drv = CdcStreamDriver(spark, users, s_path, "ph08", cfg)
+    v0 = drv.store.current_version()
+    orig = drv.store._write_manifest
+    armed = {"on": True}
+
+    def dying(version, path, meta):
+        if armed["on"]:
+            armed["on"] = False
+            raise RuntimeError("simulated kill before manifest publish")
+        return orig(version, path, meta)
+
+    drv.store._write_manifest = dying
+    q = drv.run_file_stream(e_dir, checkpoint=ckpt)
+    try:
+        q.awaitTermination(300)
+    except Exception:
+        pass
+    assert q.exception() is not None  # the batch died mid-commit
+    store_check = CdcStreamDriver(spark, users, s_path, "ph08", cfg).store
+    assert store_check.current_version() == v0  # nothing published
+    ls = set(os.listdir(s_path))
+    orphans = {
+        d for d in ls if d.startswith(f"v={v0 + 1}-")
+    }
+    assert orphans  # the failed attempt's data landed
+
+    # -- restart from the SAME checkpoint: batch replays, commits once ----
+    drv2 = CdcStreamDriver(spark, users, s_path, "ph08", cfg)
+    q2 = drv2.run_file_stream(e_dir, checkpoint=ckpt)
+    q2.awaitTermination(300)
+    assert q2.exception() is None
+    assert drv2.store.current_version() == v0 + 1
+    manifests = os.listdir(os.path.join(s_path, "_manifest"))
+    assert len([x for x in manifests if x.endswith(".json")]) == 2
+    replay_rows = sorted(map(tuple, drv2.read_state().collect()))
+    assert replay_rows == control_rows  # bit-identical to uninterrupted
+
+    # -- crash window 2: manifest published, offsets lost → redelivery ----
+    events_df = spark.read.schema(EVENTLOG_SCHEMA).csv(
+        e_dir, sep=";", header=True
+    )
+    drv3 = CdcStreamDriver(spark, users, s_path, "ph08", cfg)
+    drv3._lineage = ckpt  # what run_file_stream(checkpoint=ckpt) sets
+    drv3.process_batch(events_df, 0)  # same (lineage, batch_id): replayed
+    assert drv3.store.current_version() == v0 + 1  # skipped, no new version
+    assert drv3.statuses == []  # acks not re-emitted (at-least-once, ST2)
+    assert drv3.batches == 1  # liveness still advances
+    assert (
+        sorted(map(tuple, drv3.read_state().collect())) == control_rows
+    )
+    # same batch_id under a DIFFERENT lineage = a fresh checkpoint: the
+    # guard must NOT skip (batch_id is only meaningful per checkpoint)
+    drv3._lineage = ckpt + "-fresh"
+    drv3.process_batch(events_df, 0)
+    assert drv3.store.current_version() == v0 + 2
+
+    # -- the crash orphan is GC-swept once its prefix leaves retention ----
+    drv3.store.commit(drv3.store.read(), {"gc": True})
+    ls_after = set(os.listdir(s_path))
+    assert not (orphans & ls_after)
+
+
 def test_versioned_state_store_commit_gc_and_no_driver_materialization(spark):
     import inspect
 
