@@ -289,25 +289,35 @@ def connected_components(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
 
-    prev_sum = label_sum(labels)
-    for _ in range(max_iter):
+    def propagate(lbl: DataFrame) -> DataFrame:
         nbr_labels = (
             und.select(F.col("node").alias("dst"), F.col("nbr").alias("src"))
-            .join(labels.select(F.col("node").alias("src"), "label"), "src")
+            .join(lbl.select(F.col("node").alias("src"), "label"), "src")
             .select(F.col("dst").alias("node"), "label")
         )
-        new_labels = (
-            labels.select("node", "label")
+        return (
+            lbl.select("node", "label")
             .union(nbr_labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        new_sum = label_sum(new_labels)
-        labels = new_labels
+
+    prev_sum = label_sum(labels)
+    for _ in range(max_iter):
+        labels = propagate(labels)
+        new_sum = label_sum(labels)
         if new_sum == prev_sum:
             return labels.select("node", F.col("label").alias("cluster_id"))
         prev_sum = new_sum
+    # The last allowed iteration still changed labels — but it may have
+    # been the one that COMPLETED propagation (converged, just not yet
+    # verified by a no-change round). One confirmation iteration settles
+    # it: unchanged → the labels are correct, return them; changed →
+    # the diameter genuinely exceeds the budget.
+    confirm = propagate(labels)
+    if label_sum(confirm) == prev_sum:
+        return confirm.select("node", F.col("label").alias("cluster_id"))
     # A quiet fall-through here would hand back PARTIALLY propagated
     # labels — components larger than max_iter hops would be silently
     # split into several clusters, and a dedup consumer would keep
@@ -316,8 +326,9 @@ def connected_components(
     # ≲ 2), so hitting this means the input is not the expected shape.
     raise RuntimeError(
         f"connected_components did not converge in max_iter={max_iter} "
-        "iterations — a component's diameter exceeds the bound; raise "
-        "max_iter (cost is 2 shuffles per extra iteration)"
+        "iterations (confirmation round still changed labels — the "
+        "component diameter exceeds the bound); raise max_iter (cost "
+        "is 2 shuffles per extra iteration)"
     )
 
 

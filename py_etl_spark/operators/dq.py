@@ -170,10 +170,11 @@ def distribution_drift(
     in ``decimal(38,0)`` (exact up to 10³⁸ — BIGINT math would wrap
     silently once nᵃ·nᵇ passes 2⁶³, i.e. the two slices together exceed
     ~3e9 rows); the emitted ``tv_num``/``ks_num`` stay BIGINT for the
-    oracle contract, and if a value genuinely exceeds int64 the
-    decimal→long cast fails loudly — an ArithmeticException under the
-    Spark 4 ANSI default, NULL under legacy mode — never a silently
-    wrapped wrong number.
+    oracle contract, and if a value genuinely exceeds int64 an
+    ``assert_true`` guard raises BEFORE the decimal→long cast — loud in
+    both SQL modes (the bare cast would throw under the Spark 4 ANSI
+    default but yield NULL under legacy mode, and a NULL numerator
+    would quietly turn a threshold comparison into unknown).
 
     Plan: one scan of the two slices into the same (group, bin) count
     shuffle as :func:`~py_etl_spark.operators.sketch.hist_sketch` (the
@@ -196,15 +197,34 @@ def distribution_drift(
     )
     dec = "decimal(38,0)"
     na, nb = F.col("n_a").cast(dec), F.col("n_b").cast(dec)
-    tv_num = F.aggregate(
-        F.zip_with(
-            F.col("__ca"),
-            F.col("__cb"),
-            lambda x, y: F.abs(x.cast(dec) * nb - y.cast(dec) * na),
+
+    def long_checked(dec_col, name):
+        # Overflow must be LOUD in BOTH SQL modes: the bare
+        # decimal->long cast throws under ANSI but yields NULL under
+        # legacy, and a NULL numerator would flow into NULL tv/ks where
+        # a threshold comparison silently evaluates to unknown.
+        # assert_true raises regardless of mode; it returns NULL when
+        # the condition holds, hence the when(...isNull()) wrapper.
+        ok = F.assert_true(
+            dec_col <= F.lit(9223372036854775807),
+            F.lit(f"dq_drift_report: {name} exceeds int64 — the slices "
+                  "are large enough that the exact numerator no longer "
+                  "fits the report's BIGINT contract"),
+        )
+        return F.when(ok.isNull(), dec_col).cast("long")
+
+    tv_num = long_checked(
+        F.aggregate(
+            F.zip_with(
+                F.col("__ca"),
+                F.col("__cb"),
+                lambda x, y: F.abs(x.cast(dec) * nb - y.cast(dec) * na),
+            ),
+            F.lit(0).cast(dec),
+            lambda acc, v: acc + v,
         ),
-        F.lit(0).cast(dec),
-        lambda acc, v: acc + v,
-    ).cast("long")
+        "tv_num",
+    )
     cum = lambda c: F.aggregate(  # noqa: E731 — running-sum array walk
         F.col(c),
         F.array().cast("array<long>"),
@@ -213,13 +233,16 @@ def distribution_drift(
             F.array(F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(0)) + x),
         ),
     )
-    ks_num = F.array_max(
-        F.zip_with(
-            cum("__ca"),
-            cum("__cb"),
-            lambda x, y: F.abs(x.cast(dec) * nb - y.cast(dec) * na),
-        )
-    ).cast("long")
+    ks_num = long_checked(
+        F.array_max(
+            F.zip_with(
+                cum("__ca"),
+                cum("__cb"),
+                lambda x, y: F.abs(x.cast(dec) * nb - y.cast(dec) * na),
+            )
+        ),
+        "ks_num",
+    )
     return both.select(
         "n_a",
         "n_b",

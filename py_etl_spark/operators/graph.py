@@ -64,10 +64,16 @@ def pagerank_fixed_point(
     3 iterations the plan is small and no checkpoint fires; past ~5 the
     nested-join lineage makes Catalyst analysis/AQE replanning cost
     compound per iteration, so convergence-driven runs (iterations 10+)
-    get a bounded plan instead. ``None`` disables (pure-lazy plan, e.g.
-    for plan-audit tooling). On a real cluster prefer ``checkpoint``
-    against a checkpoint dir for executor-loss resilience; the
-    truncation economics are identical.
+    get a bounded plan instead.
+
+    **EAGER-EXECUTION SIDE EFFECT**: whenever a checkpoint fires
+    (``iterations > checkpoint_every``), this function RUNS SPARK JOBS
+    AT PLAN-BUILD TIME (``localCheckpoint(eager=True)``) instead of
+    returning a lazy plan. Plan-audit / ``explain`` / dry-run consumers
+    MUST pass ``checkpoint_every=None`` (pure-lazy plan; that is what
+    tools/plan_audit.py sees via the 3-iteration registry query). On a
+    real cluster prefer ``checkpoint`` against a checkpoint dir for
+    executor-loss resilience; the truncation economics are identical.
     """
     d_micro = int(round(damping * MICRO))
     nodes = (

@@ -211,19 +211,12 @@ def exact_kth_value(
         raise ValueError(f"k={k} out of range for n={n}")
     rank = k
     cur = base
+    cnt = n  # seeded by the validation agg — round 1 must not rescan
     for _ in range(max_rounds):
-        # one 1-row agg per round: count for the direct-path check, and
-        # the slice's ACTUAL min/max — tightening [lo, hi] to the data
-        # each round both converges faster and terminates the
-        # duplicate-heavy case (a value with multiplicity above
-        # direct_threshold makes min == max long before the range
-        # width underflows; without this the loop burned max_rounds)
-        stats = cur.agg(
-            F.count("v").alias("n"),
-            F.min("v").alias("lo"),
-            F.max("v").alias("hi"),
-        ).collect()[0]
-        cnt, lo, hi = stats["n"], stats["lo"], stats["hi"]
+        # (cnt, lo, hi) describe the CURRENT slice: the validation agg
+        # seeds round 1, and each later round's values come from the
+        # end-of-round stats agg below — exactly one full-slice scan
+        # per round, never a redundant second scan of the same slice.
         if lo == hi:
             return lo
         if cnt <= direct_threshold:
@@ -276,4 +269,17 @@ def exact_kth_value(
             acc += c
         else:  # pragma: no cover — rank accounted within bins by invariant
             raise AssertionError("rank walked past all bins")
+        # end-of-round stats over the NARROWED slice: count for the
+        # direct-path check, and the slice's ACTUAL min/max —
+        # tightening [lo, hi] to the data both converges faster and
+        # terminates the duplicate-heavy case (a value with
+        # multiplicity above direct_threshold makes min == max long
+        # before the range width underflows; without this the loop
+        # burned max_rounds)
+        stats = cur.agg(
+            F.count("v").alias("n"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        ).collect()[0]
+        cnt, lo, hi = stats["n"], stats["lo"], stats["hi"]
     raise RuntimeError("selection did not converge (pathological floats)")

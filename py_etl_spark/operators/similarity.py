@@ -345,7 +345,14 @@ def _ivf_assign_join(
     in struct comparison, so a zero-norm CENTROID can never win). The
     groupBy keys on the id only and carries the vector via first()
     (every expanded copy holds the identical vector, so first() is
-    value-deterministic)."""
+    value-deterministic).
+
+    **id_col must be row-unique.** The groupBy collapses duplicate ids
+    to one output row, while the literal path keeps one row per input
+    row — the two plans' "identical output" contract silently breaks
+    on duplicates, and WHICH plan runs flips at the k·dim literal
+    budget. Callers with non-unique ids must aggregate to a row-unique
+    key first (every registry caller uses the table PK)."""
     spark = df.sparkSession
     cdf = spark.createDataFrame(
         [(ci, [float(x) for x in cvec]) for ci, cvec in enumerate(centroids)],

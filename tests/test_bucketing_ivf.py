@@ -129,3 +129,17 @@ def test_ivf_assign_join_path_matches_literal_path(spark):
     finally:
         S._IVF_LITERAL_BUDGET = old
     assert routed == lit
+
+    # DOCUMENTED divergence on the id-uniqueness contract: a duplicate
+    # id keeps one row per input row on the literal path but collapses
+    # to ONE row under the join path's groupBy — this is why id_col
+    # must be row-unique (see _ivf_assign_join docstring). Pin the
+    # behavior so a silent change to either path is caught.
+    dup = spark.createDataFrame(
+        [(1, [1.0] * d), (1, [-1.0] * d), (2, [1.0] * d)],
+        "vec_id long, embedding array<double>",
+    )
+    assert similarity.ivf_assign(dup, cents).count() == 3
+    assert similarity._ivf_assign_join(
+        dup, cents, "vec_id", "embedding"
+    ).count() == 2

@@ -129,6 +129,20 @@ def test_connected_components_raises_on_iteration_exhaustion(spark):
         dedup.connected_components(edges, max_iter=3)
 
 
+def test_connected_components_converged_on_last_iteration_returns(spark):
+    """Labels that change on the LAST allowed iteration but are already
+    fully propagated must be RETURNED, not rejected: the confirmation
+    round distinguishes converged-but-unverified from genuinely
+    exceeding the diameter budget (ADVICE r05)."""
+    # path 0-1-2-3: node 3 reaches label 0 exactly at iteration 3
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(3)], "id_a long, id_b long"
+    )
+    rows = dedup.connected_components(edges, max_iter=3).collect()
+    assert len(rows) == 4
+    assert {r.cluster_id for r in rows} == {0}
+
+
 def test_ivf_topk_recall_vs_bruteforce(spark):
     from py_etl_spark.schemas import load_table
     from tests.conftest import SF_SMALL
