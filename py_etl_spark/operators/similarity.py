@@ -269,7 +269,18 @@ def ivf_topk(
 # Above this many literal nodes (k·dim) the map-side literal argmax is
 # routed to the broadcast-join path: Catalyst analysis/codegen cost on
 # a plan with 10^5+ literals dominates wall time long before execution.
-_IVF_LITERAL_BUDGET = 16_384
+# Literal-vs-join routing point for ivf_assign, in k·dim expression
+# nodes. MEASURED (sf1 replica, 20k × 64-dim vectors, local[32], min of
+# 2): the literal path's Catalyst/codegen compile cost grows linearly
+# with k (k=8: 1.5 s, k=16: 2.8 s, k=32: 5.7 s, k=79: 13.5 s) while the
+# join path stays ~1-5 s flat — so anything past k ≈ 32 at dim 64
+# belongs on the join path locally. The literal path's remaining edge
+# is ZERO shuffle (the join path exchanges ~n rows for the per-id
+# argmax), which matters at cluster scale where n is 10^9+ and the
+# compile cost amortizes — hence a budget that keeps genuinely small k
+# (probe fixtures, 4-16 coarse cells) literal instead of routing
+# everything to the join.
+_IVF_LITERAL_BUDGET = 2_048
 
 
 def ivf_assign(
@@ -290,8 +301,9 @@ def ivf_assign(
       shuffle, zero extra jobs. (A folded when-chain, the obvious
       alternative, embeds the running best TWICE per step — O(2^k)
       nodes; it OOMs Catalyst around k ≈ 20.)
-    - **production k ≈ √n** (easily 10³–10⁴ — k·dim literals would put
-      10⁵–10⁶ nodes into a single plan and stall Catalyst analysis):
+    - **larger k** (trained cells, k from tens to 10⁴ — k·dim literals
+      cost Catalyst compile time linearly in k, measured 13.5 s at
+      k=79·dim=64, and would stall analysis outright at 10⁵–10⁶ nodes):
       centroids become a broadcast DataFrame; assignment is a broadcast
       nested-loop expand (rows × k, map-side, nothing shuffles but the
       k·dim centroid matrix) and the argmax one groupBy(max(struct)).
