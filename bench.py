@@ -26,8 +26,8 @@ components, canonical-per-cluster, SemDeDup) gets a real 10x scale
 curve instead of a quadratic duplicate-pair pathology. The FULL headline
 set runs at sf1 with per-query ratios; a second decade (10x replica of
 the sf1 replica, ~sf10) runs the worst-ratio subset once and flags any
-query whose second-decade ratio exceeds its first (super-linear
-curvature). Disable with SPARK_GRAFT_SF1=0 / SPARK_GRAFT_SF10=0.
+query whose second-decade ratio exceeds the 10x data growth itself
+(super-linear). Disable with SPARK_GRAFT_SF1=0 / SPARK_GRAFT_SF10=0.
 
 Also in the detail file: the SemDeDup posture block (sqrt(n) vs fixed-
 cell-size centroid operating points at both scales) and a measured
@@ -195,7 +195,7 @@ HEADLINE = [
 # ratio was worst in r05 plus the capped SemDeDup fixture — the ones
 # whose scale curve most needs a second data point. One rep; ratios
 # land in the detail file and anything whose second-decade ratio
-# exceeds its first gets flagged.
+# exceeds the 10x data growth itself gets flagged as super-linear.
 SF10_SUBSET = [
     "semantic_dedup_fixed",
     "pagerank_part_supplier",
@@ -662,13 +662,16 @@ def main() -> None:
                 for n in t_mins
                 if n in s_mins
             }
-            # 15% margin: single-rep wall times on a shared box jitter;
-            # a real super-linear curve (e.g. n^1.5 => ratio grows
-            # ~3.2x per decade) clears this margin immediately
-            flags = sorted(
-                n for n in ratios2
-                if ratios2[n] > ratios1.get(n, float("inf")) * 1.15
-            )
+            # Super-linear = worse than the data growth itself. A
+            # LINEAR operator's decade ratio climbs toward 10 as fixed
+            # overhead stops dominating — so comparing ratio2 against
+            # ratio1 mis-flags every healthy query whose first decade
+            # was overhead-dominated (ratio1 of 2-3 is the overhead
+            # signature, not an efficiency bound). Flag only a ratio
+            # that exceeds 10x data growth plus a 15% single-rep noise
+            # margin; ratio2/ratio1 curvature still lands in the detail
+            # for trend reading.
+            flags = sorted(n for n in ratios2 if ratios2[n] > 11.5)
             detail["sf10"] = {
                 "sf": 10.0,
                 "dir": sf10_dir,
