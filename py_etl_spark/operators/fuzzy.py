@@ -57,13 +57,26 @@ def fuzzy_join(
     threshold: float = 0.5,
     n: int = 3,
     max_gram_freq: int | None = None,
+    gram_salt: int | None = None,
 ) -> DataFrame:
     """Pairs ``(id_a, id_b, jaccard)`` with char-n-gram Jaccard ≥
     ``threshold``. ``max_gram_freq`` enables the stop-gram cap (frequency
     counted per side; Jaccard is then over the capped gram sets — the
     documented approximation). Plan: two map-side explodes, the gram
     equi-join,
-    one pair-count groupBy — no cross product anywhere."""
+    one pair-count groupBy — no cross product anywhere.
+
+    ``gram_salt``: spread each gram's pair generation over ``salt``
+    deterministic sub-keys (right side salted by ``xxhash64(id)``, left
+    side replicated ×salt). The gram join's shuffle key is the GRAM, so
+    a hot gram (" ca" in every part name) lands its entire pair fan-out
+    on ONE reducer — measured at the 100× replica, the un-salted probe
+    join ran its tail on a single core for minutes while 31 cores sat
+    idle (wall super-linear even though pair COUNT is linear). Salting
+    restores full parallelism with IDENTICAL output — each (gram, pair)
+    meets exactly once, under the right row's single salt value. Use
+    for probe-style joins (small left, huge right); the left side is
+    replicated ×salt, so don't salt two big sides."""
     lg = left.select(
         F.col(left_id).alias("id_a"),
         F.explode(char_ngrams(F.col(left_on), n)).alias("gram"),
@@ -90,8 +103,22 @@ def fuzzy_join(
         F.col(right_id).alias("id_b"),
         F.size(char_ngrams(F.col(right_on), n)).alias("sz_b"),
     )
+    if gram_salt:
+        rg = rg.withColumn(
+            "__gs",
+            F.pmod(F.xxhash64(F.col("id_b")), F.lit(gram_salt)).cast(
+                "int"
+            ),
+        )
+        lg = lg.withColumn(
+            "__gs",
+            F.explode(F.array(*[F.lit(s) for s in range(gram_salt)])),
+        )
+        join_keys = ["gram", "__gs"]
+    else:
+        join_keys = ["gram"]
     inter = (
-        lg.join(rg, "gram")
+        lg.join(rg, join_keys)
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )

@@ -3275,6 +3275,7 @@ def fuzzy_join_part_names(spark, sf_dir):
         left_id="p_partkey",
         right_id="p_partkey",
         threshold=0.5,
+        gram_salt=16,  # hot-gram reducer spread; output identical
     )
     return out.filter(F.col("id_a") < F.col("id_b"))
 
@@ -7479,6 +7480,7 @@ def fuzzy_rerank_levenshtein(spark, sf_dir):
         left_id="p_partkey",
         right_id="p_partkey",
         threshold=0.5,
+        gram_salt=16,  # hot-gram reducer spread; output identical
     ).filter(F.col("id_a") < F.col("id_b"))
     return levenshtein_rerank(
         cands,

@@ -1658,6 +1658,17 @@ def test_fuzzy_join_known_jaccard_and_stop_gram_cap(spark):
         threshold=0.1, max_gram_freq=0,
     )
     assert none.count() == 0
+    # gram salting spreads hot grams over sub-keys with IDENTICAL
+    # output — the (gram, pair) meeting happens exactly once, under
+    # the right row's single salt value
+    salted = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in fuzzy_join(
+            left, right, "name", "name", "id", "id",
+            threshold=0.3, gram_salt=7,
+        ).collect()
+    }
+    assert salted == out
 
 
 def test_kmv_rollup_equals_direct_global_sketch(spark):
