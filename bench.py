@@ -211,6 +211,11 @@ SF10_SUBSET = [
     "fuzzy_join_part_names",
     "fuzzy_rerank_levenshtein",
     "lm_fluency_bits",
+    # highest remaining first-decade ratios after the r06 fuzzy fix
+    # (8.4x/7.3x — bigram explodes, expected linear): second-decade
+    # watch
+    "token_pmi_pairs",
+    "corpus_top_bigrams",
 ]
 
 # Historical note (r02-r05): the sf1 block ran a hand-picked
