@@ -1,0 +1,103 @@
+"""Property-based checks of paper-stated operator invariants (hypothesis).
+
+These pin the guarantees the scale story leans on, for ARBITRARY inputs
+rather than fixtures:
+
+- winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03): any substring of
+  length >= k + w - 1 shared by two documents contributes at least one
+  common fingerprint — the whole point of using fingerprint overlap as
+  a near-dup signal;
+- KMV (Bar-Yossef et al.): merge(sketch(A), sketch(B)) == sketch(A ∪ B)
+  — the homomorphism that legitimizes the rollup tree (oracle queries
+  pin specific instances; this pins random ones);
+- HLL (Flajolet et al.): register-wise max merge of per-part sketches
+  is bit-identical to the sketch of the union.
+
+Example counts are small (each example runs Spark jobs); the point is
+randomized structure, not volume.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from py_etl_spark.operators.fingerprint import winnow_fingerprints
+from py_etl_spark.operators.sketch import (
+    hll_merge,
+    hll_sketch,
+    kmv_distinct,
+    kmv_estimate,
+    kmv_merge_sketches,
+)
+
+_SETTINGS = dict(
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+
+K, W = 8, 4  # winnowing gram size / window — the operator defaults
+letters = st.text(alphabet="abcdefghijklmnopqrstuvwxyz", max_size=24)
+core_text = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz", min_size=K + W - 1, max_size=40
+)
+
+
+@settings(max_examples=10, **_SETTINGS)
+@given(pre_a=letters, suf_a=letters, pre_b=letters, suf_b=letters, core=core_text)
+def test_winnowing_shared_substring_yields_common_fp(
+    spark, pre_a, suf_a, pre_b, suf_b, core
+):
+    """Two docs embedding the same >= k+w-1 substring in arbitrary
+    contexts must share at least one fingerprint."""
+    docs = spark.createDataFrame(
+        [("a", pre_a + core + suf_a), ("b", pre_b + core + suf_b)],
+        "doc_id string, text string",
+    )
+    fps = winnow_fingerprints(docs, k=K, w=W).collect()
+    a = {r.fp for r in fps if r.doc_id == "a"}
+    b = {r.fp for r in fps if r.doc_id == "b"}
+    assert a & b, "shared substring produced no common fingerprint"
+
+
+values = st.lists(
+    st.integers(min_value=0, max_value=10_000), min_size=1, max_size=120
+)
+
+
+@settings(max_examples=8, **_SETTINGS)
+@given(vals=values, cut=st.integers(min_value=0, max_value=120))
+def test_kmv_merge_matches_union_sketch(spark, vals, cut):
+    """kmv_merge_sketches over an arbitrary 2-way split reproduces the
+    union's sketch array AND its estimate."""
+    k = 8
+    cut = min(cut, len(vals))
+    rows = [(("p1" if i < cut else "p2"), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "part string, v long")
+
+    whole = kmv_distinct(df, "v", k=k).collect()[0]
+    parts = kmv_distinct(df, "v", k=k, group_cols=("part",)).collect()
+    merged = kmv_merge_sketches([list(r.sketch) for r in parts], k)
+
+    assert merged == list(whole.sketch)
+    assert kmv_estimate(merged, k) == float(whole.estimate)
+
+
+@settings(max_examples=8, **_SETTINGS)
+@given(vals=values, cut=st.integers(min_value=0, max_value=120))
+def test_hll_merge_matches_union_sketch(spark, vals, cut):
+    """Register-wise max over per-part HLL sketches is bit-identical to
+    the sketch built directly over the union."""
+    cut = min(cut, len(vals))
+    rows = [(("p1" if i < cut else "p2"), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "part string, v long")
+
+    whole = hll_sketch(df, "v").collect()[0]
+    parts = hll_sketch(df, "v", group_cols=("part",))
+    merged = hll_merge(parts).collect()[0]
+
+    assert list(merged.registers) == list(whole.registers)
+    assert merged.estimate == whole.estimate
