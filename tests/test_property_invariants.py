@@ -24,6 +24,9 @@ from hypothesis import strategies as st
 
 from py_etl_spark.operators.fingerprint import winnow_fingerprints
 from py_etl_spark.operators.sketch import (
+    cm_merge_sketches,
+    cm_sketch,
+    equi_depth_buckets,
     hll_merge,
     hll_sketch,
     kmv_distinct,
@@ -101,3 +104,46 @@ def test_hll_merge_matches_union_sketch(spark, vals, cut):
 
     assert list(merged.registers) == list(whole.registers)
     assert merged.estimate == whole.estimate
+
+
+@settings(max_examples=8, **_SETTINGS)
+@given(vals=values, cut=st.integers(min_value=0, max_value=120))
+def test_cm_merge_matches_union_sketch(spark, vals, cut):
+    """Count-min counters are linear: elementwise sum of per-part
+    sketches equals the union's sketch cell-for-cell (Cormode &
+    Muthukrishnan), and item counts are additive."""
+    cut = min(cut, len(vals))
+    rows = [(("p1" if i < cut else "p2"), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "part string, v long")
+
+    whole = cm_sketch(df, "v", width=16, depth=3).collect()[0]
+    parts = cm_sketch(df, "v", width=16, depth=3, group_cols=("part",)).collect()
+    merged = cm_merge_sketches([[list(r) for r in p.cm] for p in parts])
+
+    assert merged == [list(r) for r in whole.cm]
+    assert sum(p.n_items for p in parts) == whole.n_items
+
+
+doubles = st.lists(
+    st.floats(min_value=0.0, max_value=100.0, allow_nan=False),
+    min_size=1,
+    max_size=150,
+)
+
+
+@settings(max_examples=8, **_SETTINGS)
+@given(vals=doubles, n_buckets=st.integers(min_value=1, max_value=6))
+def test_equi_depth_buckets_monotone_and_in_range(spark, vals, n_buckets):
+    """Bucket assignment is monotone in the value and always lands in
+    [0, n_buckets): a larger value can never get a smaller bucket."""
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    out = (
+        equi_depth_buckets(df, "x", lo=0.0, hi=100.0, bins=32, n_buckets=n_buckets)
+        .select("x", "bucket")
+        .collect()
+    )
+    assert all(0 <= r.bucket < n_buckets for r in out)
+    by_val = sorted(out, key=lambda r: r.x)
+    assert all(
+        a.bucket <= b.bucket for a, b in zip(by_val, by_val[1:])
+    ), "bucket not monotone in value"
