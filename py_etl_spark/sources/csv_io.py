@@ -66,5 +66,24 @@ def read_eventlog_csv(spark: SparkSession, path: str) -> DataFrame:
 
 
 def write_csv(df: DataFrame, path: str, sep: str = ";", mode: str = "overwrite") -> None:
-    """CSV sink: header + data, configurable delimiter (S6)."""
-    df.write.mode(mode).csv(path, sep=sep, header=True, encoding="utf-8")
+    """CSV sink: header + data, configurable delimiter (S6).
+
+    Whitespace is part of the payload: Spark's writer TRIMS leading and
+    trailing whitespace by default (``ignoreLeading/TrailingWhiteSpace``
+    default true on write), which silently corrupts values like ``' a '``
+    → ``'a'`` — unacceptable for a data sink, so both are pinned off
+    here. Delimiters/quotes embedded in values are quote-escaped by the
+    writer and round-trip; values with embedded NEWLINES also round-trip
+    but require ``multiLine=True`` on the reader — which makes files
+    non-splittable, so it is NOT the reader default (pass it explicitly
+    for corpora known to carry newlines). Empty string ≡ NULL stays the
+    reference's documented semantics on read-back.
+    """
+    df.write.mode(mode).csv(
+        path,
+        sep=sep,
+        header=True,
+        encoding="utf-8",
+        ignoreLeadingWhiteSpace=False,
+        ignoreTrailingWhiteSpace=False,
+    )

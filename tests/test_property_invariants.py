@@ -147,3 +147,61 @@ def test_equi_depth_buckets_monotone_and_in_range(spark, vals, n_buckets):
     assert all(
         a.bucket <= b.bucket for a, b in zip(by_val, by_val[1:])
     ), "bucket not monotone in value"
+
+
+# printable payloads incl. the delimiter, quotes, unicode, and edge
+# whitespace — everything except newlines (those need multiLine=True on
+# the reader, pinned separately below)
+payload = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_characters="\n\r", exclude_categories=("Cs",)
+    ),
+    max_size=20,
+)
+
+
+@settings(max_examples=8, **_SETTINGS)
+@given(vals=st.lists(payload, min_size=1, max_size=20))
+def test_csv_sink_roundtrips_arbitrary_payloads(spark, vals):
+    """write_csv → read back preserves every non-empty value
+    byte-for-byte — delimiters, quotes, unicode, leading/trailing
+    whitespace (writer trimming pinned off). The ONLY lossy mapping is
+    the reference's documented empty ≡ NULL semantics."""
+    import tempfile
+
+    from py_etl_spark.sources.csv_io import write_csv
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    out = tempfile.mkdtemp() + "/payloads"
+    write_csv(df, out)
+    back = {
+        int(r.id): r.s
+        for r in spark.read.csv(out, sep=";", header=True, encoding="utf-8")
+        .collect()
+    }
+    for i, v in rows:
+        expected = None if v == "" else v
+        assert back[i] == expected, (i, repr(v), repr(back[i]))
+
+
+def test_csv_sink_roundtrips_embedded_newlines(spark):
+    """Embedded newlines survive the sink and a multiLine=True read —
+    the documented non-splittable opt-in for newline-bearing corpora."""
+    import tempfile
+
+    from py_etl_spark.sources.csv_io import write_csv
+
+    df = spark.createDataFrame(
+        [(1, "line\nbreak"), (2, "a;b"), (3, ' pad '), (4, 'q"uote')],
+        "id long, s string",
+    )
+    out = tempfile.mkdtemp() + "/newlines"
+    write_csv(df, out)
+    back = {
+        int(r.id): r.s
+        for r in spark.read.csv(
+            out, sep=";", header=True, encoding="utf-8", multiLine=True
+        ).collect()
+    }
+    assert back == {1: "line\nbreak", 2: "a;b", 3: " pad ", 4: 'q"uote'}
