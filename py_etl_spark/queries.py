@@ -266,6 +266,8 @@ def s4_sorted_limit(spark, sf_dir):
     note="S5+S6: ';'-CSV sink then source; values must survive the trip",
 )
 def s5_csv_roundtrip(spark, sf_dir):
+    from py_etl_spark.sources.csv_io import write_csv
+
     df = (
         _t(spark, sf_dir, "lineitem")
         .filter(F.col("l_orderkey") < 200)
@@ -277,7 +279,7 @@ def s5_csv_roundtrip(spark, sf_dir):
         )
     )
     path = os.path.join(tempfile.mkdtemp(prefix="pyetl_csv_"), "lineitem_csv")
-    df.write.mode("overwrite").csv(path, sep=";", header=True)
+    write_csv(df, path)  # the real S6 sink (whitespace-preserving)
     return spark.read.csv(
         path,
         sep=";",
