@@ -205,54 +205,3 @@ def test_csv_sink_roundtrips_embedded_newlines(spark):
         ).collect()
     }
     assert back == {1: "line\nbreak", 2: "a;b", 3: " pad ", 4: 'q"uote'}
-
-
-@st.composite
-def change_logs(draw):
-    """Random per-key change logs: (key, ts, value) with duplicate
-    timestamps and repeated (no-op) values allowed."""
-    n = draw(st.integers(min_value=1, max_value=25))
-    rows = []
-    for i in range(n):
-        rows.append(
-            (
-                draw(st.integers(min_value=0, max_value=3)),  # key
-                draw(st.integers(min_value=0, max_value=12)),  # ts
-                draw(st.one_of(st.none(), st.sampled_from(["a", "b", "c"]))),
-            )
-        )
-    return rows
-
-
-@settings(max_examples=10, **_SETTINGS)
-@given(log=change_logs())
-def test_scd2_history_intervals_tile_time(spark, log):
-    """SCD2 warranty for ANY change log: per key, intervals are
-    non-overlapping, gap-free (each valid_to == next valid_from),
-    versions are 1..n in valid_from order, exactly one open interval,
-    and consecutive intervals never carry the same tracked value."""
-    from py_etl_spark.operators.merge import scd2_history
-
-    # de-dup (key, ts) — with equal timestamps and no tie-breaker the
-    # survivor order is undefined; the interval warranty is per distinct
-    # event time, which is how every caller feeds it (LWW pre-reduce)
-    seen = {}
-    for k, ts, v in log:
-        seen[(k, ts)] = v
-    rows = [(k, ts, v) for (k, ts), v in seen.items()]
-    df = spark.createDataFrame(rows, "k long, ts long, v string")
-    hist = scd2_history(df, keys=["k"], ts_col="ts", tracked=["v"]).collect()
-
-    by_key = {}
-    for r in hist:
-        by_key.setdefault(r.k, []).append(r)
-    for k, ivs in by_key.items():
-        ivs.sort(key=lambda r: r.valid_from)
-        assert [r.version for r in ivs] == list(range(1, len(ivs) + 1))
-        assert sum(1 for r in ivs if r.is_current) == 1
-        assert ivs[-1].is_current and ivs[-1].valid_to is None
-        for a, b in zip(ivs, ivs[1:]):
-            assert a.valid_to == b.valid_from, "gap or overlap"
-            assert a.v != b.v or (a.v is None) != (b.v is None), (
-                "no-op interval not collapsed"
-            )
