@@ -159,7 +159,9 @@ def test_segment_dedup_reconstruction_identity(spark, docs, w):
         st.tuples(
             st.integers(0, 2),                      # key
             st.integers(0, 50),                     # ts offset (minutes)
-            st.sampled_from(["a", "b", "c"]),       # tracked value
+            # tracked value, incl. NULL — no-op suppression must be
+            # null-safe (NULL→NULL collapses, NULL→'a' versions)
+            st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),
         ),
         min_size=1,
         max_size=12,
