@@ -780,8 +780,17 @@ def equi_depth_buckets(
             ),
         ),
     )
+    # n_buckets == 1 needs an EMPTY cut list, but Spark's sequence(1, 0)
+    # generates a DESCENDING [1, 0] (unlike SQL range, which is empty) —
+    # left unguarded that fabricates two cuts and assigns bucket 1 in a
+    # 1-bucket request (caught by the equi-depth hypothesis property)
+    cut_qs = (
+        F.array().cast("array<int>")
+        if n_buckets == 1
+        else F.sequence(F.lit(1), F.lit(n_buckets - 1))
+    )
     cuts = F.transform(
-        F.sequence(F.lit(1), F.lit(n_buckets - 1)),
+        cut_qs,
         lambda q: F.array_position(
             F.transform(
                 F.col("__cum"),
