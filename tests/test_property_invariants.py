@@ -205,3 +205,50 @@ def test_csv_sink_roundtrips_embedded_newlines(spark):
         ).collect()
     }
     assert back == {1: "line\nbreak", 2: "a;b", 3: " pad ", 4: 'q"uote'}
+
+
+texts = st.lists(
+    st.text(alphabet="abcdef ghij", min_size=3, max_size=30),
+    min_size=1,
+    max_size=8,
+    unique=True,
+)
+
+
+@settings(max_examples=8, **_SETTINGS)
+@given(docs=texts, dup_idx=st.integers(min_value=0, max_value=7))
+def test_lsh_recall_on_identical_docs(spark, docs, dup_idx):
+    """Exact-duplicate recall guarantee: two documents with IDENTICAL
+    text have identical MinHash signatures, land in every band bucket
+    together, and MUST appear as a candidate pair (cap disabled)."""
+    from py_etl_spark.operators.dedup import minhash_lsh_candidates
+
+    dup_idx = dup_idx % len(docs)
+    rows = [(f"d{i}", t) for i, t in enumerate(docs)]
+    rows.append(("dup", docs[dup_idx]))
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(
+            df, num_hashes=8, bands=4, shingle_k=2, max_bucket_size=None
+        ).collect()
+    }
+    assert (f"d{dup_idx}", "dup") in pairs
+
+
+@settings(max_examples=8, **_SETTINGS)
+@given(docs=texts, dup_idx=st.integers(min_value=0, max_value=7))
+def test_simhash_recall_on_identical_docs(spark, docs, dup_idx):
+    """Same recall guarantee for the SimHash banding: identical text →
+    identical 60-bit signature → every chunk collides → candidate pair."""
+    from py_etl_spark.operators.dedup import simhash_candidates
+
+    dup_idx = dup_idx % len(docs)
+    rows = [(f"d{i}", t) for i, t in enumerate(docs)]
+    rows.append(("dup", docs[dup_idx]))
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in simhash_candidates(df, max_bucket_size=None).collect()
+    }
+    assert (f"d{dup_idx}", "dup") in pairs
