@@ -252,3 +252,44 @@ def test_simhash_recall_on_identical_docs(spark, docs, dup_idx):
         for r in simhash_candidates(df, max_bucket_size=None).collect()
     }
     assert (f"d{dup_idx}", "dup") in pairs
+
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)), min_size=1, max_size=30
+)
+
+
+@settings(max_examples=10, **_SETTINGS)
+@given(es=edge_lists)
+def test_connected_components_matches_union_find(spark, es):
+    """Min-label propagation on ANY random undirected graph (self-loops
+    and parallel edges included) produces exactly the union-find
+    components, with cluster_id == min node id of the component."""
+    from py_etl_spark.operators.dedup import connected_components
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in es:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+    # canonical: min node id per component
+    comp_min = {}
+    for n, r in expected.items():
+        comp_min[r] = min(comp_min.get(r, n), n)
+    expected = {n: comp_min[find(n)] for n in parent}
+
+    df = spark.createDataFrame(es, "id_a long, id_b long")
+    got = {
+        r.node: r.cluster_id
+        for r in connected_components(df, max_iter=20).collect()
+    }
+    assert got == expected
