@@ -293,3 +293,46 @@ def test_connected_components_matches_union_find(spark, es):
         for r in connected_components(df, max_iter=20).collect()
     }
     assert got == expected
+
+
+@settings(max_examples=8, **_SETTINGS)
+@given(
+    es=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),
+        min_size=1,
+        max_size=20,
+    ),
+    iters=st.integers(min_value=1, max_value=3),
+)
+def test_pagerank_bit_exact_vs_python_replay(spark, es, iters):
+    """The integer fixed-point doctrine, proven on ANY directed graph:
+    a naive driver-side replay of the micro-unit recurrence matches the
+    distributed result to the last micro-unit (floor-div quantization
+    and all) — the reproducibility float PageRank cannot give."""
+    from py_etl_spark.operators.graph import MICRO, pagerank_fixed_point
+
+    d_micro = int(round(0.85 * MICRO))
+    nodes = sorted({n for e in es for n in e})
+    out_edges = {}
+    deg = {}
+    for a, b in es:
+        out_edges.setdefault(a, []).append(b)
+        deg[a] = deg.get(a, 0) + 1
+    ranks = {n: MICRO for n in nodes}
+    for _ in range(iters):
+        incoming = {n: 0 for n in nodes}
+        for u, targets in out_edges.items():
+            share = ranks[u] // deg[u]
+            for v in targets:
+                incoming[v] += share
+        ranks = {
+            n: (MICRO - d_micro) + (d_micro * incoming[n]) // MICRO
+            for n in nodes
+        }
+
+    df = spark.createDataFrame(es, "src long, dst long")
+    got = {
+        r.node: r.rank_micro
+        for r in pagerank_fixed_point(df, iterations=iters).collect()
+    }
+    assert got == ranks
