@@ -336,3 +336,64 @@ def test_pagerank_bit_exact_vs_python_replay(spark, es, iters):
         for r in pagerank_fixed_point(df, iterations=iters).collect()
     }
     assert got == ranks
+
+
+ids = st.lists(
+    st.text(alphabet="abcdefghij0123456789", min_size=1, max_size=12),
+    min_size=1,
+    max_size=40,
+    unique=True,
+)
+
+
+@settings(max_examples=8, **_SETTINGS)
+@given(doc_ids=ids, nparts=st.integers(min_value=1, max_value=7))
+def test_deterministic_split_stable_under_repartition(spark, doc_ids, nparts):
+    """The split assignment depends ONLY on the id hash: repartitioning
+    (or any physical layout change) assigns every row identically, and
+    every row gets exactly one of the declared split names."""
+    from py_etl_spark.operators.corpus import deterministic_split
+
+    df = spark.createDataFrame([(d,) for d in doc_ids], "doc_id string")
+    splits = {"train": 80, "val": 10, "test": 10}
+    a = {
+        r.doc_id: r.split for r in deterministic_split(df, splits=splits).collect()
+    }
+    b = {
+        r.doc_id: r.split
+        for r in deterministic_split(
+            df.repartition(nparts), splits=splits
+        ).collect()
+    }
+    assert a == b
+    assert set(a.values()) <= {"train", "val", "test"}
+
+
+@settings(max_examples=8, **_SETTINGS)
+@given(
+    doc_ids=ids,
+    n_per=st.integers(min_value=1, max_value=6),
+    nparts=st.integers(min_value=1, max_value=7),
+)
+def test_stratified_sample_exact_count_and_stable(spark, doc_ids, n_per, nparts):
+    """Exact-count stratified sampling: each stratum yields exactly
+    min(n_per, |stratum|) rows, and the drawn SET is identical under
+    repartitioning (determinism doctrine: md5 order key, never rand)."""
+    from py_etl_spark.operators.corpus import sample_stratified_exact
+
+    rows = [(d, "s" + str(len(d) % 3)) for d in doc_ids]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    out = sample_stratified_exact(df, n_per).collect()
+    by_stratum = {}
+    for r in out:
+        by_stratum.setdefault(r.source, set()).add(r.doc_id)
+    sizes = {}
+    for d, s in rows:
+        sizes[s] = sizes.get(s, 0) + 1
+    for s, n in sizes.items():
+        assert len(by_stratum.get(s, set())) == min(n_per, n)
+    again = {
+        (r.source, r.doc_id)
+        for r in sample_stratified_exact(df.repartition(nparts), n_per).collect()
+    }
+    assert again == {(r.source, r.doc_id) for r in out}
