@@ -397,3 +397,121 @@ def test_stratified_sample_exact_count_and_stable(spark, doc_ids, n_per, nparts)
         for r in sample_stratified_exact(df.repartition(nparts), n_per).collect()
     }
     assert again == {(r.source, r.doc_id) for r in out}
+
+
+# ---- funnel: aggregate fold vs sequential replay --------------------------
+
+funnel_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # user
+        st.integers(min_value=0, max_value=12),  # ts (dense -> many ties)
+        st.sampled_from(["a", "b", "c", "x"]),  # event type (x = noise)
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, **_SETTINGS)
+@given(evs=funnel_events, nparts=st.integers(min_value=1, max_value=5))
+def test_funnel_matches_python_replay(spark, evs, nparts):
+    """funnel()'s single-pass aggregate fold equals the obvious sequential
+    replay for ARBITRARY event soups: strict ordered advancement, ties
+    broken by tie_col, equal timestamps never advancing two steps, and
+    the result independent of physical partitioning."""
+    from py_etl_spark.operators.funnel import funnel
+
+    steps = ["a", "b", "c"]
+    rows = [(u, t, ty, i) for i, (u, t, ty) in enumerate(evs)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts long, event_type string, eid long"
+    ).repartition(nparts)
+    got = {
+        r.user_id: (r.reached, r.t_step1, r.t_step2, r.t_step3)
+        for r in funnel(df, steps, tie_col="eid").collect()
+    }
+
+    expect = {}
+    for u in {r[0] for r in rows}:
+        seq = sorted((t, i, ty) for (uu, t, ty, i) in rows if uu == u)
+        stage, t_last, times = 0, None, []
+        for t, _i, ty in seq:
+            if stage < 3 and ty == steps[stage] and (stage == 0 or t > t_last):
+                stage, t_last = stage + 1, t
+                times.append(t)
+        pad = times + [None] * (3 - len(times))
+        expect[u] = (stage, pad[0], pad[1], pad[2])
+    assert got == expect
+
+
+# ---- bloom: split-OR merge homomorphism + no false negatives --------------
+
+bloom_vals = st.lists(
+    st.integers(min_value=0, max_value=1_000_000), min_size=1, max_size=80
+)
+
+
+@settings(max_examples=8, **_SETTINGS)
+@given(vals=bloom_vals, cut=st.integers(min_value=0, max_value=80))
+def test_bloom_split_or_merge_and_no_false_negatives(spark, vals, cut):
+    """The two invariants the semi-join pruning leans on: (1) bitwise-OR
+    of two half-builds is bit-identical to the one-shot union build (what
+    makes per-partition builds legal at 100 TB); (2) every inserted key
+    probes True — false positives allowed, false negatives never."""
+    from pyspark.sql import functions as F
+
+    from py_etl_spark.operators.sketch import bloom_build, bloom_contains
+
+    cut = min(cut, len(vals))
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    union = bloom_build(df, "v").collect()[0]
+
+    halves = spark.createDataFrame(
+        [(v, int(i < cut)) for i, v in enumerate(vals)], "v long, g int"
+    )
+    orred = [0] * len(union.bloom)
+    for p in bloom_build(halves, "v", group_cols=("g",)).collect():
+        for j, w in enumerate(p.bloom):
+            orred[j] |= w
+    assert orred == list(union.bloom)
+
+    probe = df.select(
+        bloom_contains(list(union.bloom), F.col("v")).alias("hit")
+    )
+    assert all(r.hit for r in probe.collect())
+
+
+# ---- compare_trees: self-diff empty + side-swap antisymmetry --------------
+
+state_maps = st.dictionaries(
+    keys=st.sampled_from([f"uid=u{i},o=t" for i in range(5)]),
+    values=st.tuples(
+        st.sampled_from(["x", "y", None]), st.sampled_from(["1", "2", None])
+    ),
+    max_size=5,
+)
+
+
+@settings(max_examples=10, **_SETTINGS)
+@given(a=state_maps, b=state_maps)
+def test_compare_trees_self_empty_and_antisymmetric(spark, a, b):
+    """Structural-diff sanity for arbitrary states: self-compare reports
+    nothing, and swapping the sides exactly mirrors the report
+    (only_lhs <-> only_rhs, attr values swapped) — the property the
+    reconciliation loop's converged-state check rests on."""
+    from py_etl_spark.operators.compare import compare_trees, extra_entries
+
+    def to_df(d):
+        return extra_entries(
+            spark,
+            [{"dn": dn, "cn": cn, "sn": sn} for dn, (cn, sn) in d.items()],
+        )
+
+    da, db = to_df(a), to_df(b)
+    assert compare_trees(da, da.select(*da.columns)).count() == 0
+
+    key = lambda r: (r.dn, r.kind, r.attr, r.lhs_value, r.rhs_value)
+    fwd = {key(r) for r in compare_trees(da, db).collect()}
+    rev = {key(r) for r in compare_trees(db, da).collect()}
+    flip = {"only_lhs": "only_rhs", "only_rhs": "only_lhs", "attr_diff": "attr_diff"}
+    assert {(dn, flip[k], at, rv, lv) for (dn, k, at, lv, rv) in fwd} == rev
