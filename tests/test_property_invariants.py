@@ -515,3 +515,106 @@ def test_compare_trees_self_empty_and_antisymmetric(spark, a, b):
     rev = {key(r) for r in compare_trees(db, da).collect()}
     flip = {"only_lhs": "only_rhs", "only_rhs": "only_lhs", "attr_diff": "attr_diff"}
     assert {(dn, flip[k], at, rv, lv) for (dn, k, at, lv, rv) in fwd} == rev
+
+
+# ---- cohort retention: two-aggregate plan vs sequential replay ------------
+
+retention_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # user
+        st.integers(min_value=1, max_value=20),  # january day
+        st.integers(min_value=0, max_value=23),  # hour
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=8, **_SETTINGS)
+@given(evs=retention_events)
+def test_cohort_retention_matches_python_replay(spark, evs):
+    """cohort_retention's min-groupBy + distinct + join plan equals the
+    obvious replay: cohort = first-activity day, one count per (cohort,
+    offset) of the users active on that offset day."""
+    import datetime as dt
+
+    from py_etl_spark.operators.funnel import cohort_retention
+
+    rows = [
+        (u, dt.datetime(2024, 1, d, h, 30, 0)) for (u, d, h) in evs
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r.cohort_start.day, r.period_offset): r.n_users
+        for r in cohort_retention(df, period="day").collect()
+    }
+
+    first = {}
+    days = {}
+    for u, t in rows:
+        first[u] = min(first.get(u, t.date()), t.date())
+        days.setdefault(u, set()).add(t.date())
+    expect = {}
+    for u, cohort in first.items():
+        for d in days[u]:
+            k = (cohort.day, (d - cohort).days)
+            expect[k] = expect.get(k, 0) + 1
+    assert got == expect
+
+
+# ---- SCD2 point-in-time join: interval argmax vs sequential lookup --------
+
+pit_history = st.dictionaries(
+    keys=st.integers(min_value=0, max_value=2),  # dimension key
+    values=st.lists(  # change times; values derived from position
+        st.integers(min_value=0, max_value=50),
+        min_size=1,
+        max_size=5,
+        unique=True,
+    ),
+    min_size=1,
+    max_size=3,
+)
+pit_facts = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # key (3 = never in dim)
+        st.integers(min_value=-5, max_value=55),  # fact time
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=8, **_SETTINGS)
+@given(hist=pit_history, facts=pit_facts)
+def test_scd2_point_in_time_join_matches_lookup(spark, hist, facts):
+    """Leakage-safety for arbitrary interval layouts: every fact picks
+    up exactly the attribute valid AT its timestamp (valid_from <= t <
+    valid_to, last interval open), NULL before the key's first interval
+    or for unknown keys — and exactly one output row per fact."""
+    from py_etl_spark.operators.merge import scd2_point_in_time_join
+
+    h_rows = []
+    for k, times in hist.items():
+        ts = sorted(times)
+        for i, t0 in enumerate(ts):
+            t1 = ts[i + 1] if i + 1 < len(ts) else None
+            h_rows.append((k, t0, t1, f"v{k}_{i}"))
+    hdf = spark.createDataFrame(
+        h_rows, "k long, valid_from long, valid_to long, attr string"
+    )
+    f_rows = [(i, k, t) for i, (k, t) in enumerate(facts)]
+    fdf = spark.createDataFrame(f_rows, "fid long, k long, t long")
+
+    out = scd2_point_in_time_join(fdf, hdf, ["k"], "t").collect()
+    assert len(out) == len(f_rows)
+    got = {r.fid: r.pit_attr for r in out}
+
+    expect = {}
+    for i, k, t in f_rows:
+        val = None
+        for hk, t0, t1, v in h_rows:
+            if hk == k and t0 <= t and (t1 is None or t < t1):
+                val = v
+        expect[i] = val
+    assert got == expect
