@@ -618,3 +618,59 @@ def test_scd2_point_in_time_join_matches_lookup(spark, hist, facts):
                 val = v
         expect[i] = val
     assert got == expect
+
+
+# ---- fuzzy join: gram-index plan vs brute-force Jaccard -------------------
+
+fuzzy_names = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=8),
+    min_size=1,
+    max_size=10,
+)
+
+
+def _py_grams(s: str, n: int = 3) -> set[str]:
+    p = " " + s.strip().lower() + " "
+    hi = max(len(p) - (n - 1), 1)
+    return {p[i : i + n] for i in range(hi)}
+
+
+@settings(max_examples=10, **_SETTINGS)
+@given(
+    ls=fuzzy_names,
+    rs=fuzzy_names,
+    thr=st.sampled_from([0.2, 0.5, 0.8]),
+    salt=st.sampled_from([None, 3]),
+)
+def test_fuzzy_join_matches_bruteforce_jaccard(spark, ls, rs, thr, salt):
+    """With the stop-gram cap off, the gram-index join is EXACT w.r.t.
+    n-gram Jaccard >= threshold (a pair above any positive threshold
+    shares >= 1 gram, so candidate generation loses nothing), and
+    gram_salt changes the physical plan, never the output."""
+    from py_etl_spark.operators.fuzzy import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(ls)], "la long, name string"
+    )
+    right = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(rs)], "rb long, name string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in fuzzy_join(
+            left, right, "name", "name", "la", "rb",
+            threshold=thr, gram_salt=salt,
+        ).collect()
+    }
+
+    expect = {}
+    for i, a in enumerate(ls):
+        ga = _py_grams(a)
+        for j, b in enumerate(rs):
+            gb = _py_grams(b)
+            jac = len(ga & gb) / len(ga | gb)
+            if jac >= thr:
+                expect[(i, j)] = round(jac, 6)
+    assert got.keys() == expect.keys()
+    for k in expect:
+        assert abs(got[k] - expect[k]) < 1e-6
