@@ -674,3 +674,100 @@ def test_fuzzy_join_matches_bruteforce_jaccard(spark, ls, rs, thr, salt):
     assert got.keys() == expect.keys()
     for k in expect:
         assert abs(got[k] - expect[k]) < 1e-6
+
+
+# ---- exact k-th selection: histogram narrowing vs sorted() ----------------
+
+kth_vals = st.lists(
+    st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=60
+)
+
+
+@settings(max_examples=10, **_SETTINGS)
+@given(vals=kth_vals, kf=st.floats(min_value=0.0, max_value=1.0))
+def test_exact_kth_value_matches_sorted(spark, vals, kf):
+    """The distributed selection loop (histogram-narrow + direct tail)
+    returns EXACTLY sorted(vals)[k-1] for arbitrary duplicates and any
+    rank — with bins and the direct threshold forced small so the
+    iterative path actually runs."""
+    from py_etl_spark.operators.ranking import exact_kth_value
+
+    k = max(1, min(len(vals), 1 + int(kf * (len(vals) - 1))))
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = exact_kth_value(
+        df, "x", k, bins=4, direct_threshold=3, max_rounds=64
+    )
+    assert got == float(sorted(vals)[k - 1])
+
+
+# ---- banded interval join: anchor-bucket dedup vs brute force -------------
+
+intervals = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),  # key
+        st.integers(min_value=0, max_value=40),  # start
+        st.integers(min_value=0, max_value=25),  # length
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@settings(max_examples=10, **_SETTINGS)
+@given(ls=intervals, rs=intervals)
+def test_interval_overlap_join_matches_bruteforce(spark, ls, rs):
+    """The banded plan (explode-to-buckets + anchor-bucket accept) emits
+    EXACTLY the closed-overlap pairs, each once — for arbitrary interval
+    soups spanning many buckets, zero-length and exact-touch included."""
+    from py_etl_spark.operators.timeseries import interval_overlap_join
+
+    ldf = spark.createDataFrame(
+        [(k, s, s + w, i) for i, (k, s, w) in enumerate(ls)],
+        "key long, start_s long, end_s long, lid long",
+    )
+    rdf = spark.createDataFrame(
+        [(k, s, s + w, i) for i, (k, s, w) in enumerate(rs)],
+        "key long, start_s long, end_s long, rid long",
+    )
+    out = interval_overlap_join(
+        ldf, rdf, "key", bucket_seconds=7
+    ).collect()
+    got = sorted((r.lid_l, r.rid_r) for r in out)
+
+    expect = sorted(
+        (i, j)
+        for i, (lk, lss, lw) in enumerate(ls)
+        for j, (rk, rss, rw) in enumerate(rs)
+        if lk == rk and lss <= rss + rw and rss <= lss + lw
+    )
+    assert got == expect  # exact pair set AND exactly-once multiplicity
+
+
+# ---- global position: bucketed rank vs sorted enumeration -----------------
+
+rank_vals = st.lists(
+    st.integers(min_value=0, max_value=9), min_size=1, max_size=50
+)
+
+
+@settings(max_examples=8, **_SETTINGS)
+@given(vals=rank_vals, nparts=st.integers(min_value=1, max_value=5))
+def test_with_global_position_is_sorted_enumeration(spark, vals, nparts):
+    """The sample-partition-offset rank equals the 1-based index in the
+    fully sorted order for ANY value skew (few distinct values force
+    ties across bucket boundaries; the unique tiebreaker must keep the
+    rank a permutation) and any physical partitioning."""
+    from pyspark.sql import functions as F
+
+    from py_etl_spark.operators.ranking import with_global_position
+
+    rows = [(v, i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "v long, uid long").repartition(nparts)
+    out = with_global_position(
+        df, [F.col("v"), F.col("uid")], num_buckets=4, sample_per_bucket=3
+    ).collect()
+    got = {(r.v, r.uid): r.position for r in out}
+    expect = {
+        vu: i + 1 for i, vu in enumerate(sorted(rows))
+    }
+    assert got == expect
