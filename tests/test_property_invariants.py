@@ -771,3 +771,58 @@ def test_with_global_position_is_sorted_enumeration(spark, vals, nparts):
         vu: i + 1 for i, vu in enumerate(sorted(rows))
     }
     assert got == expect
+
+
+# ---- BM25: JVM column formula vs Python replica ---------------------------
+
+bm25_docs = st.lists(
+    st.text(alphabet="ab1. ", min_size=0, max_size=20),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=10, **_SETTINGS)
+@given(texts=bm25_docs)
+def test_bm25_scores_match_python_replica(spark, texts):
+    """The whole-stage-codegen BM25 column (Robertson/Sparck Jones idf,
+    k1/b length normalization, the exact rounding ladder) reproduces a
+    direct Python implementation on random corpora — every doc's score,
+    match count, and the (score desc, id) ordering."""
+    import math
+    import re
+
+    from py_etl_spark.operators.corpus import TOKEN_RE
+    from py_etl_spark.operators.search import bm25_topk
+
+    texts = texts + ["ab b"]  # ensure a non-empty corpus token-wise
+    terms, k1, b = ["ab", "b"], 1.2, 0.75
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = bm25_topk(df, terms, k=len(texts)).collect()
+
+    toks = [re.findall(TOKEN_RE, t.lower()) for t in texts]
+    dls = [len(ts) for ts in toks]
+    n, avgdl = len(texts), sum(dls) / len(texts)
+    expect = {}
+    for i, ts in enumerate(toks):
+        score, n_match = 0.0, 0
+        for term in terms:
+            tf = ts.count(term)
+            dfreq = sum(1 for o in toks if term in o)
+            idf = round(math.log((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0), 6)
+            score += idf * tf * (k1 + 1.0) / (
+                tf + k1 * (1.0 - b + b * dls[i] / avgdl)
+            )
+            n_match += tf > 0
+        expect[i] = (n_match, score)
+
+    assert len(out) == len(texts)
+    for r in out:
+        en, es = expect[r.doc_id]
+        assert r.n_match == en
+        assert abs(r.score_bm25 - es) < 1e-3
+    # returned order respects (score desc, id asc) on the REPORTED scores
+    keys = [(-r.score_bm25, r.doc_id) for r in out]
+    assert keys == sorted(keys)
