@@ -826,3 +826,61 @@ def test_bm25_scores_match_python_replica(spark, texts):
     # returned order respects (score desc, id asc) on the REPORTED scores
     keys = [(-r.score_bm25, r.doc_id) for r in out]
     assert keys == sorted(keys)
+
+
+# ---- anonymize: format contracts on arbitrary inputs ----------------------
+
+raw_ids = st.lists(
+    st.one_of(st.none(), st.text(alphabet="aB0@._ -", max_size=14)),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=10, **_SETTINGS)
+@given(vals=raw_ids, year=st.integers(min_value=1940, max_value=2010))
+def test_anonymize_format_contracts(spark, vals, year):
+    """The pseudonymization strategies' format guarantees hold for
+    ARBITRARY inputs: equal plaintexts map to equal pseudonyms (the
+    join-key-preserving property), NULL stays NULL everywhere, emails
+    keep their domain, numbers stay under 10^digits, and scrambled
+    birthdates keep the year with month/day in safe ranges."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from py_etl_spark.operators.anonymize import (
+        pseudo_email,
+        pseudo_number,
+        pseudo_word,
+        scramble_birthdate,
+    )
+
+    rows = [
+        (i, v, dt.datetime(year, 6, 15) if v is not None else None)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "i long, v string, d timestamp")
+    out = df.select(
+        "i",
+        "v",
+        pseudo_word(F.col("v"), "s", 8).alias("w"),
+        pseudo_email(F.col("v"), "s").alias("e"),
+        pseudo_number(F.col("v"), "s", 6).alias("n"),
+        scramble_birthdate(F.col("d"), "s").alias("b"),
+    ).collect()
+
+    by_plain = {}
+    for r in out:
+        if r.v is None:
+            assert r.w is None and r.e is None and r.n is None
+            continue
+        by_plain.setdefault(r.v, set()).add((r.w, r.e, r.n))
+        assert r.w != r.v or len(r.v) != 8  # pseudonym, not identity
+        if "@" in r.v:
+            assert r.e.endswith("@" + r.v.rsplit("@", 1)[1])
+        assert 0 <= r.n < 10**6
+        assert r.b.year == year
+        assert 1 <= r.b.month <= 12 and 1 <= r.b.day <= 28
+    for plain, images in by_plain.items():
+        assert len(images) == 1, f"{plain!r} mapped inconsistently"
