@@ -884,3 +884,79 @@ def test_anonymize_format_contracts(spark, vals, year):
         assert 1 <= r.b.month <= 12 and 1 <= r.b.day <= 28
     for plain, images in by_plain.items():
         assert len(images) == 1, f"{plain!r} mapped inconsistently"
+
+
+# ---- head+tail truncation: array slices vs string surgery -----------------
+
+trunc_texts = st.lists(
+    st.text(alphabet="ab ", max_size=30), min_size=1, max_size=12
+)
+
+
+@settings(max_examples=10, **_SETTINGS)
+@given(
+    texts=trunc_texts,
+    h=st.integers(min_value=1, max_value=6),
+    t=st.integers(min_value=1, max_value=6),
+)
+def test_truncate_head_tail_matches_python_slices(spark, texts, h, t):
+    """The pure-Column head+tail truncation equals direct Python list
+    slicing for arbitrary whitespace soups (empty tokens from doubled
+    spaces included): verbatim pass-through within budget, first-h +
+    marker + last-t beyond it."""
+    from py_etl_spark.operators.corpus import truncate_head_tail
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], "i long, text string"
+    )
+    out = {
+        r.i: (r.n_tokens, r.was_truncated, r.trunc_text)
+        for r in truncate_head_tail(df, h, t).collect()
+    }
+    for i, s in enumerate(texts):
+        toks = s.split(" ")
+        n = len(toks)
+        if n > h + t:
+            want = (n, True, " ".join(toks[:h]) + " ... " + " ".join(toks[-t:]))
+        else:
+            want = (n, False, s)
+        assert out[i] == want
+
+
+# ---- interleave: stride schedule's exact prefix counts --------------------
+
+mix_docs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),  # doc id
+        st.sampled_from(["a", "b", "c"]),  # source
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda x: x[0],
+)
+
+
+@settings(max_examples=10, **_SETTINGS)
+@given(docs=mix_docs, wa=st.integers(min_value=1, max_value=4),
+       wb=st.integers(min_value=1, max_value=4))
+def test_interleave_sources_exact_prefix_counts(spark, docs, wa, wb):
+    """Stride scheduling's defining invariant, exactly: among all rows
+    with mix_key <= K, source s contributes min(floor(K·w_s/L), n_s)
+    docs — proportional in every prefix, never front-loaded — and
+    unlisted sources are excluded."""
+    import math
+
+    from py_etl_spark.operators.corpus import interleave_sources
+
+    weights = {"a": wa, "b": wb}
+    df = spark.createDataFrame(list(docs), "doc_id long, source string")
+    rows = interleave_sources(df, weights).collect()
+    assert all(r.source in weights for r in rows)
+    n = {s: sum(1 for _, src in docs if src == s) for s in weights}
+    assert len(rows) == n["a"] + n["b"]
+
+    lcm = math.lcm(wa, wb)
+    for K in {r.mix_key for r in rows}:
+        for s, w in weights.items():
+            got = sum(1 for r in rows if r.source == s and r.mix_key <= K)
+            assert got == min(K * w // lcm, n[s])
