@@ -960,3 +960,96 @@ def test_interleave_sources_exact_prefix_counts(spark, docs, wa, wb):
         for s, w in weights.items():
             got = sum(1 for r in rows if r.source == s and r.mix_key <= K)
             assert got == min(K * w // lcm, n[s])
+
+
+# ---- streaming sessionize: random event soups vs sequential replay --------
+
+sess_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # user
+        st.integers(min_value=0, max_value=60),  # ts (epoch seconds)
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+_SESS_SEQ = iter(range(10_000))
+
+
+@settings(max_examples=5, **_SETTINGS)
+@given(evs=sess_events, cutf=st.floats(min_value=0.0, max_value=1.0))
+def test_streaming_sessionize_matches_replay_on_random_splits(spark, evs, cutf):
+    """Stateful stream sessionization equals the sequential gap replay
+    for ARBITRARY event soups cut into micro-batches at an arbitrary
+    time-ordered point — session state must survive the trigger
+    boundary wherever it lands, including mid-session and between
+    equal-timestamp events."""
+    import datetime as dt
+    import os
+    import tempfile
+    import time as _time
+
+    from py_etl_spark.streaming.sessionize import sessionize_stream
+
+    gap_s = 5
+    base = dt.datetime(2024, 3, 1)
+    rows = sorted(
+        (base + dt.timedelta(seconds=t), u, i)
+        for i, (u, t) in enumerate(evs)
+    )
+    max_ts = max(r[0] for r in rows)
+    sentinel_ts = max_ts + dt.timedelta(seconds=gap_s + 2)
+    sentinels = [
+        (sentinel_ts, u, -1) for u in sorted({u for _, u, _ in rows})
+    ]
+    cut = min(int(cutf * len(rows)), len(rows))
+
+    tmp = tempfile.mkdtemp()
+    batches = [rows[:cut], rows[cut:] + sentinels]
+    schema = "user_id long, ts timestamp, event_id long"
+    for bi, batch in enumerate(batches):
+        if not batch:
+            continue
+        spark.createDataFrame(
+            [(u, ts, i) for ts, u, i in batch], schema
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp, f"b{bi}")
+        )
+        _time.sleep(1.1)  # file source orders triggers by mtime
+
+    name = f"sess_prop_{next(_SESS_SEQ)}"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tmp + "/*")
+    )
+    q = (
+        sessionize_stream(stream, gap_s=gap_s)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    got = {
+        (r.user_id, r.session_id): (r.n_events, r.session_start_ms)
+        for r in spark.table(name).collect()
+    }
+
+    expect = {}
+    for u in {u for _, u, _ in rows}:
+        times = sorted(
+            int(ts.timestamp()) for ts, uu, _ in rows if uu == u
+        )
+        ord_, start, last, n = 0, None, None, 0
+        for t in times:
+            if start is None or t - last > gap_s:
+                if start is not None:
+                    expect[(u, ord_)] = (n, start * 1000)
+                ord_, start, last, n = ord_ + 1, t, t, 1
+            else:
+                last, n = t, n + 1
+        expect[(u, ord_)] = (n, start * 1000)  # closed by the sentinel
+    assert got == expect
