@@ -233,3 +233,61 @@ def test_status_writeback_and_poison_pill(spark):
     assert esc.status == "F  " and esc.attempt == 12.0
     norm = m(apply_status_writeback(ev, e_status)).first()
     assert norm.status == "E  " and norm.attempt == ev.first().attempt + 1
+
+
+def test_cdc_apply_invariant_to_event_order_and_partitioning(spark):
+    """Reordering and repartitioning a micro-batch's event rows must not
+    change anything observable: the CDC machine's truth is the users
+    table, statuses key on record_id, and every reduction inside
+    cdc_apply is order-free (min-pinned messages, distinct uid sets) —
+    so a shuffled batch replays to a bit-identical state and ack set.
+    The golden scenarios pin WHAT one ordering produces; this pins that
+    the ordering was never load-bearing."""
+    cfg = SyncConfig(iv_hex=FIXED_TEST_IV_HEX, batch_ts="20240109000000Z")
+    m = _m(spark)
+    users_all = m(read_users_csv(spark, f"{TD}/initial_data.csv"))
+    counts: dict[int, int] = {}
+    for r in users_all.select("pk_uniqueid").collect():
+        counts[int(r.pk_uniqueid)] = counts.get(int(r.pk_uniqueid), 0) + 1
+    # uids with a single user row: the duplicate-uid rows the fixture
+    # carries for ST12 ack 'W', which is not what this test probes
+    singles = sorted(u for u, n in counts.items() if n == 1)
+    gone, kept = singles[0], singles[1:4]
+    users = m(users_all.filter(F.col("pk_uniqueid") != float(gone)))
+    state = _dual_state(spark, users_all, cfg)
+
+    rows = [
+        # updates of existing uids (S), one duplicated within the batch
+        (1.0, 20240109.0, 6.0, f"pk_uniqueid={kept[0]}", "benutzer_alle_dirxml_v", None, None, 0.0),
+        (2.0, 20240109.0, 6.0, f"pk_uniqueid={kept[1]}", "benutzer_alle_dirxml_v", None, None, 0.0),
+        (3.0, 20240109.0, 6.0, f"pk_uniqueid={kept[0]}", "benutzer_alle_dirxml_v", None, None, 0.0),
+        # delete of a uid gone from the db (real delete path)
+        (4.0, 20240109.0, 4.0, f"pk_uniqueid={gone}", "benutzer_alle_dirxml_v", None, None, 0.0),
+        # delete of an existing uid (W) + update of a missing uid (W)
+        (5.0, 20240109.0, 4.0, f"pk_uniqueid={kept[2]}", "benutzer_alle_dirxml_v", None, None, 0.0),
+        (6.0, 20240109.0, 6.0, "pk_uniqueid=999999", "benutzer_alle_dirxml_v", None, None, 0.0),
+        # invalid event_type (F) + malformed key (F)
+        (7.0, 20240109.0, 9.0, f"pk_uniqueid={kept[1]}", "benutzer_alle_dirxml_v", None, None, 0.0),
+        (8.0, 20240109.0, 6.0, "pk_uniqueid=12.5", "benutzer_alle_dirxml_v", None, None, 0.0),
+    ]
+    schema = (
+        "record_id double, ts double, event_type double, table_key string,"
+        "table_name string, status string, error_message string, attempt double"
+    )
+
+    def run(ev_rows, nparts):
+        ev = m(spark.createDataFrame(ev_rows, schema).repartition(nparts))
+        st, ack = cdc_apply(state, users, ev, "ph08", cfg, materialize=m)
+        st_rows = sorted(tuple(r) for r in m(st).collect())
+        ack_rows = {r.record_id: (r.status, r.error_message) for r in ack.collect()}
+        return st_rows, ack_rows
+
+    st_a, ack_a = run(rows, 1)
+    st_b, ack_b = run(list(reversed(rows)), 7)
+    assert ack_a == ack_b
+    assert st_a == st_b
+    # and the decision table landed where designed
+    assert {k: v[0] for k, v in ack_a.items()} == {
+        1.0: "S", 2.0: "S", 3.0: "S", 4.0: "S",
+        5.0: "W", 6.0: "W", 7.0: "F", 8.0: "F",
+    }
