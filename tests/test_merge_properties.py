@@ -203,3 +203,91 @@ def test_scd2_intervals_partition_time_per_key(spark, log):
         for a, b in zip(rs, rs[1:]):
             assert a.valid_to == b.valid_from
             assert a.v != b.v  # no-op suppression leaves no equal neighbors
+
+
+# ---- multi-batch fold: scd1_merge vs a dictionary state machine -----------
+
+op_strs = st.sampled_from([OP_UPSERT, OP_DELETE])
+
+
+@st.composite
+def batch_seq(draw):
+    """3 change batches, each with unique keys (duplicate-key fan-out is
+    a separate documented behavior) mapping key -> (value, op)."""
+    return [
+        draw(
+            st.dictionaries(
+                keys, st.tuples(vals, op_strs), min_size=0, max_size=5
+            )
+        )
+        for _ in range(3)
+    ]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(seq=batch_seq(), start=st.dictionaries(keys, vals, max_size=5))
+def test_scd1_fold_matches_dict_replay_hard_delete(spark, seq, start):
+    """Folding scd1_merge over arbitrary batch sequences equals the
+    obvious dictionary state machine under the hard-delete policy:
+    upsert assigns, delete removes, delete-of-missing is a no-op."""
+    state = spark.createDataFrame(
+        [(k, v) for k, v in start.items()], "k long, name string"
+    )
+    model = dict(start)
+    for batch in seq:
+        changes = spark.createDataFrame(
+            [(k, v, op) for k, (v, op) in batch.items()],
+            f"k long, name string, {OP_COL} string",
+        )
+        state = scd1_merge(state, changes, ["k"])
+        for k, (v, op) in batch.items():
+            if op == OP_UPSERT:
+                model[k] = v
+            else:
+                model.pop(k, None)
+    got = {r.k: r.name for r in state.collect()}
+    assert got == model
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(seq=batch_seq(), start=st.dictionaries(keys, vals, max_size=5))
+def test_scd1_fold_matches_dict_replay_tombstone(spark, seq, start):
+    """Same fold under the soft-delete policy: delete keeps the row's
+    values and raises the tombstone (even for never-seen keys — the
+    reference's delete-event-first arrival), upsert always clears it
+    (resurrection, ST10)."""
+    policy = MergePolicy(tombstone_col="deleted")
+    state = spark.createDataFrame(
+        [(k, v, None) for k, v in start.items()],
+        "k long, name string, deleted string",
+    )
+    model = {k: (v, None) for k, v in start.items()}
+    for batch in seq:
+        changes = spark.createDataFrame(
+            [(k, v, op) for k, (v, op) in batch.items()],
+            f"k long, name string, {OP_COL} string",
+        )
+        state = scd1_merge(state, changes, ["k"], policy=policy)
+        for k, (v, op) in batch.items():
+            if op == OP_UPSERT:
+                model[k] = (v, None)
+            elif k in model:
+                model[k] = (model[k][0], "TRUE")
+            else:
+                model[k] = (None, "TRUE")
+    got = {r.k: (r.name, r.deleted) for r in state.collect()}
+    assert got == model
