@@ -1053,3 +1053,110 @@ def test_streaming_sessionize_matches_replay_on_random_splits(spark, evs, cutf):
                 last, n = t, n + 1
         expect[(u, ord_)] = (n, start * 1000)  # closed by the sentinel
     assert got == expect
+
+
+# ---- data-skipping: prune_files must never skip a matching file -----------
+
+prune_rows = st.lists(
+    st.integers(min_value=-50, max_value=50), min_size=1, max_size=40
+)
+
+
+@settings(max_examples=8, **_SETTINGS)
+@given(
+    vs=prune_rows,
+    nparts=st.integers(min_value=1, max_value=6),
+    lo=st.integers(min_value=-60, max_value=60),
+    width=st.integers(min_value=0, max_value=40),
+)
+def test_prune_files_sound_for_any_layout(spark, vs, nparts, lo, width):
+    """SOUNDNESS of min/max file pruning — the dangerous direction: for
+    any physical file layout and any range predicate, reading only the
+    surviving files yields exactly the rows the full scan yields.
+    (Keeping extra files is allowed; dropping a matching row is not.)"""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from py_etl_spark.operators.layout import file_minmax_stats, prune_files
+
+    hi = lo + width
+    tmp = tempfile.mkdtemp()
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vs)], "i long, v long")
+    df.repartition(nparts).write.mode("overwrite").parquet(tmp)
+
+    stats = file_minmax_stats(spark, tmp, ["v"])
+    survivors = prune_files(stats, {"v": (lo, hi)})
+    want = sorted((i, v) for i, v in enumerate(vs) if lo <= v <= hi)
+    if not survivors:
+        assert not want
+        return
+    got = sorted(
+        (r.i, r.v)
+        for r in spark.read.parquet(*survivors)
+        .filter((F.col("v") >= lo) & (F.col("v") <= hi))
+        .collect()
+    )
+    assert got == want
+
+
+# ---- dq constraints: compiled report vs Python counting -------------------
+
+dq_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=8)),  # a
+        st.one_of(st.none(), st.sampled_from(["x", "y", "z"])),  # b
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@settings(max_examples=8, **_SETTINGS)
+@given(rows=dq_rows, fkeys=st.sets(st.integers(min_value=0, max_value=8), max_size=6))
+def test_check_constraints_matches_python_counts(spark, rows, fkeys):
+    """The minimal-pass violation report equals direct Python counting
+    for arbitrary NULL/duplicate soups: not_null counts NULLs, in_range
+    and in_set skip NULLs, unique counts rows beyond the first per
+    group, foreign_key counts non-NULL orphans — empty tables report
+    zero, never NULL."""
+    from py_etl_spark.operators.dq import (
+        check_constraints,
+        foreign_key,
+        in_range,
+        in_set,
+        not_null,
+        unique,
+    )
+
+    df = spark.createDataFrame(rows, "a int, b string")
+    dim = spark.createDataFrame([(k,) for k in sorted(fkeys)], "k int")
+    report = check_constraints(
+        df,
+        [
+            not_null("a"),
+            in_range("a", 2, 6),
+            in_set("b", {"x", "y"}),
+            unique("a", "b"),
+            foreign_key("a", dim, "k"),
+        ],
+    ).collect()
+    got = {r.check_name: (r.n_violations, r.passed) for r in report}
+
+    from collections import Counter
+
+    nn = sum(1 for a, _ in rows if a is None)
+    rng = sum(1 for a, _ in rows if a is not None and (a < 2 or a > 6))
+    ins = sum(1 for _, b in rows if b is not None and b not in {"x", "y"})
+    dup = sum(c - 1 for c in Counter(rows).values() if c > 1)
+    fk = sum(1 for a, _ in rows if a is not None and a not in fkeys)
+    expect = {
+        "not_null(a)": nn,
+        "in_range(a)": rng,
+        "in_set(b)": ins,
+        "unique(a,b)": dup,
+        "fk(a)": fk,
+    }
+    for name, n in expect.items():
+        key = name if name in got else [k for k in got if k.startswith(name.split("(")[0])][0]
+        assert got[key] == (n, n == 0), (name, got)
