@@ -1160,3 +1160,89 @@ def test_check_constraints_matches_python_counts(spark, rows, fkeys):
     for name, n in expect.items():
         key = name if name in got else [k for k in got if k.startswith(name.split("(")[0])][0]
         assert got[key] == (n, n == 0), (name, got)
+
+
+# ---- streaming funnel: random trigger cuts vs strict-advance replay -------
+
+sfunnel_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # user
+        st.integers(min_value=0, max_value=10),  # ts seconds
+        st.sampled_from(["a", "b", "x"]),  # type
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=5, **_SETTINGS)
+@given(evs=sfunnel_events, cutf=st.floats(min_value=0.0, max_value=1.0))
+def test_streaming_funnel_matches_replay_on_random_splits(spark, evs, cutf):
+    """The stateful streaming funnel emits exactly the completions the
+    strict-advance replay predicts, for arbitrary event soups cut into
+    micro-batches at an arbitrary time-ordered point — funnel state
+    (stage, t_last, completion times) must survive the trigger boundary
+    mid-funnel."""
+    import datetime as dt
+    import os
+    import tempfile
+    import time as _time
+
+    from py_etl_spark.streaming.funnel_stream import funnel_stream
+
+    steps = ["a", "b"]
+    base = dt.datetime(2024, 4, 1)
+    rows = sorted(
+        (base + dt.timedelta(seconds=t), i, u, ty)
+        for i, (u, t, ty) in enumerate(evs)
+    )
+    cut = min(int(cutf * len(rows)), len(rows))
+
+    tmp = tempfile.mkdtemp()
+    schema = "user_id long, ts timestamp, event_type string, event_id long"
+    for bi, batch in enumerate((rows[:cut], rows[cut:])):
+        if not batch:
+            continue
+        spark.createDataFrame(
+            [(u, ts, ty, i) for ts, i, u, ty in batch], schema
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp, f"b{bi}")
+        )
+        _time.sleep(1.1)  # file source orders triggers by mtime
+
+    name = f"funnel_prop_{next(_SESS_SEQ)}"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tmp + "/*")
+    )
+    q = (
+        funnel_stream(stream, steps)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    got = {
+        r.user_id: (r.t_step1_ms, r.t_step2_ms)
+        for r in spark.table(name).collect()
+    }
+
+    expect = {}
+    for u in {u for _, _, u, _ in rows}:
+        seq = [
+            (int(ts.timestamp()) * 1000, i, ty)
+            for ts, i, uu, ty in rows
+            if uu == u
+        ]
+        stage, t_last, times = 0, None, []
+        for t, _i, ty in sorted(seq):
+            if stage < 2 and ty == steps[stage] and (stage == 0 or t > t_last):
+                times.append(t)
+                stage, t_last = stage + 1, t
+        if stage == 2:
+            expect[u] = (times[0], times[1])
+    assert got == expect
