@@ -1246,3 +1246,147 @@ def test_streaming_funnel_matches_replay_on_random_splits(spark, evs, cutf):
         if stage == 2:
             expect[u] = (times[0], times[1])
     assert got == expect
+
+
+# ---- PNG codec: spec-forward filtering vs the decoder's inverse -----------
+
+png_dims = st.tuples(
+    st.integers(min_value=1, max_value=6),  # width
+    st.integers(min_value=1, max_value=6),  # height
+    st.sampled_from([1, 2, 3, 4]),  # channels
+)
+
+
+@settings(max_examples=20, **_SETTINGS)
+@given(dims=png_dims, data=st.data())
+def test_png_decoder_inverts_spec_forward_filters(dims, data):
+    """parse_png must invert scanlines filtered the way the PNG spec
+    (§9) defines the FORWARD direction — implemented here independently
+    — for random pixels, dims, channels, and a random filter type
+    (None/Sub/Up/Average/Paeth) per row. Catches any off-by-one in the
+    decoder's Sub/Average/Paeth neighbor indexing that the filter-0
+    roundtrip can never see."""
+    import struct
+    import zlib
+
+    from py_etl_spark.operators.media_codec import parse_png
+
+    w, h, ch = dims
+    stride = w * ch
+    px = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=stride * h,
+                max_size=stride * h,
+            )
+        )
+    )
+    ftypes = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=4), min_size=h, max_size=h
+        )
+    )
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = bytearray()
+    prev = bytes(stride)
+    for y, ft in enumerate(ftypes):
+        line = px[y * stride : (y + 1) * stride]
+        filt = bytearray()
+        for i in range(stride):
+            a = line[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) >> 1, 4: paeth(a, b, c)}[ft]
+            filt.append((line[i] - pred) & 0xFF)
+        raw += bytes([ft]) + filt
+        prev = line
+
+    def chunk(ctype, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    meta = parse_png(png)
+    assert (meta["width"], meta["height"], meta["channels"]) == (w, h, ch)
+    assert bytes(meta["pixels"]) == px
+
+
+@settings(max_examples=20, **_SETTINGS)
+@given(dims=png_dims, data=st.data())
+def test_png_encode_decode_roundtrip(dims, data):
+    """encode_png -> parse_png is the identity on random pixel buffers
+    (the docstring's contract, pinned for arbitrary inputs)."""
+    from py_etl_spark.operators.media_codec import encode_png, parse_png
+
+    w, h, ch = dims
+    px = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=w * h * ch,
+                max_size=w * h * ch,
+            )
+        )
+    )
+    meta = parse_png(encode_png(px, w, h, ch))
+    assert bytes(meta["pixels"]) == px
+
+
+# ---- WAV parser: RIFF walk vs a directly constructed file -----------------
+
+wav_samples = st.lists(
+    st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=40
+)
+
+
+@settings(max_examples=20, **_SETTINGS)
+@given(
+    samples=wav_samples,
+    nch=st.sampled_from([1, 2]),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    junk_len=st.integers(min_value=0, max_value=5),
+)
+def test_wav_parser_matches_constructed_riff(samples, nch, rate, junk_len):
+    """parse_wav recovers format, frame count, duration, and RMS from a
+    RIFF file built directly from random samples — including an
+    odd-length junk chunk before fmt/data, which exercises the spec's
+    word-alignment rule in the chunk walk."""
+    import struct
+
+    from py_etl_spark.operators.media_codec import parse_wav
+
+    if nch == 2 and len(samples) % 2:
+        samples = samples + [0]
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    junk = b"J" * junk_len
+    fmt = struct.pack("<HHIIHH", 1, nch, rate, rate * nch * 2, nch * 2, 16)
+    chunks = (
+        b"junk" + struct.pack("<I", junk_len) + junk + (b"\x00" if junk_len % 2 else b"")
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    meta = parse_wav(wav)
+    n_frames = len(samples) // nch
+    assert meta["channels"] == nch and meta["sample_rate"] == rate
+    assert meta["bits_per_sample"] == 16 and meta["n_frames"] == n_frames
+    assert meta["duration_ms"] == int(1000 * n_frames / rate)
+    rms = (sum(s * s for s in samples) / len(samples)) ** 0.5 / 32768.0
+    assert abs(meta["rms"] - rms) < 1e-12
