@@ -1390,3 +1390,78 @@ def test_wav_parser_matches_constructed_riff(samples, nch, rate, junk_len):
     assert meta["duration_ms"] == int(1000 * n_frames / rate)
     rms = (sum(s * s for s in samples) / len(samples)) ** 0.5 / 32768.0
     assert abs(meta["rms"] - rms) < 1e-12
+
+
+# ---- AES hex transport: decrypt inverts encrypt for arbitrary text --------
+
+aes_texts = st.lists(
+    st.one_of(
+        st.none(),
+        st.text(
+            alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+            max_size=24,
+        ),
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@settings(max_examples=8, **_SETTINGS)
+@given(vals=aes_texts, fixed_iv=st.booleans())
+def test_aes_hex_roundtrip_arbitrary_text(spark, vals, fixed_iv):
+    """aes_decrypt_from_hex inverts aes_encrypt_hex for arbitrary
+    unicode plaintexts (empty string included) under both the pinned-IV
+    and random-IV modes, and NULL passes through both directions."""
+    from pyspark.sql import functions as F
+
+    from py_etl_spark.functions.crypto import (
+        FIXED_TEST_IV_HEX,
+        aes_decrypt_from_hex,
+        aes_encrypt_hex,
+    )
+
+    key = "0123456789abcdef"
+    iv = FIXED_TEST_IV_HEX if fixed_iv else None
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, v string"
+    )
+    out = df.select(
+        "i",
+        "v",
+        aes_decrypt_from_hex(
+            aes_encrypt_hex(F.col("v"), key, iv_hex=iv), key
+        ).alias("back"),
+    ).collect()
+    for r in out:
+        assert r.back == r.v, (repr(r.v), repr(r.back))
+
+
+# ---- multi-value normalize: permutation invariance + idempotence ----------
+
+mv_parts = st.lists(
+    st.text(alphabet="abc0", max_size=4), min_size=1, max_size=6
+)
+
+
+@settings(max_examples=8, **_SETTINGS)
+@given(parts=mv_parts, data=st.data())
+def test_multi_value_normalize_permutation_invariant(spark, parts, data):
+    """The sort-normalization that makes multi-valued attrs comparable
+    (F16): any permutation of the ;-joined parts normalizes to the SAME
+    string, and normalizing twice equals normalizing once."""
+    from pyspark.sql import functions as F
+
+    from py_etl_spark.functions.conversions import multi_value_normalize
+
+    perm = data.draw(st.permutations(parts))
+    df = spark.createDataFrame(
+        [(";".join(parts), ";".join(perm))], "a string, b string"
+    )
+    r = df.select(
+        multi_value_normalize("a").alias("na"),
+        multi_value_normalize("b").alias("nb"),
+        multi_value_normalize(multi_value_normalize("a")).alias("naa"),
+    ).first()
+    assert r.na == r.nb
+    assert r.naa == r.na
