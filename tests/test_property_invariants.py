@@ -1465,3 +1465,61 @@ def test_multi_value_normalize_permutation_invariant(spark, parts, data):
     ).first()
     assert r.na == r.nb
     assert r.naa == r.na
+
+
+# ---- posting-list merge: tf-summing union vs a dict model -----------------
+
+posting_side = st.dictionaries(
+    keys=st.sampled_from(["t0", "t1", "t2"]),  # term
+    values=st.dictionaries(
+        keys=st.integers(min_value=0, max_value=8),  # doc_id
+        values=st.integers(min_value=1, max_value=5),  # tf
+        min_size=1,
+        max_size=5,
+    ),
+    min_size=0,
+    max_size=3,
+)
+
+
+@settings(max_examples=10, **_SETTINGS)
+@given(a=posting_side, b=posting_side)
+def test_merge_posting_lists_matches_dict_model(spark, a, b):
+    """merge_posting_lists equals the dictionary model for ARBITRARY
+    index pairs — crucially including documents present on BOTH sides
+    (the re-crawled-doc tf-summing path, which the disjoint even/odd
+    driver oracle never exercises), terms on one side only, and empty
+    sides."""
+    from py_etl_spark.operators.search import merge_posting_lists
+
+    def to_df(side):
+        rows = []
+        for tok, docs in side.items():
+            ds = sorted(docs)
+            rows.append(
+                (tok, len(ds), ds, [docs[d] for d in ds])
+            )
+        return spark.createDataFrame(
+            rows, "tok string, df long, postings array<long>, tfs array<long>"
+        )
+
+    merged = merge_posting_lists(to_df(a), to_df(b)).collect()
+    got = {
+        r.tok: (r.df, list(r.postings), list(r.tfs)) for r in merged
+    }
+
+    model: dict[str, dict[int, int]] = {}
+    for side in (a, b):
+        for tok, docs in side.items():
+            for d, tf in docs.items():
+                model.setdefault(tok, {})
+                model[tok][d] = model[tok].get(d, 0) + tf
+    expect = {
+        tok: (
+            len(docs),
+            sorted(docs),
+            [docs[d] for d in sorted(docs)],
+        )
+        for tok, docs in model.items()
+    }
+    assert got == expect
