@@ -1523,3 +1523,91 @@ def test_merge_posting_lists_matches_dict_model(spark, a, b):
         for tok, docs in model.items()
     }
     assert got == expect
+
+
+# ---- chunking: map-side slices partition the token stream -----------------
+
+chunk_texts = st.lists(
+    st.text(alphabet="ab1. ", max_size=40), min_size=1, max_size=8
+)
+
+
+@settings(max_examples=10, **_SETTINGS)
+@given(texts=chunk_texts, sz=st.integers(min_value=1, max_value=7))
+def test_chunk_documents_partitions_tokens_exactly(spark, texts, sz):
+    """For any corpus and chunk size: chunks re-joined in chunk_id order
+    reproduce the document's full token list exactly once, every chunk
+    is full except possibly the last, and token-less documents emit no
+    rows."""
+    import re
+
+    from py_etl_spark.operators.corpus import TOKEN_RE, chunk_documents
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = chunk_documents(df, chunk_tokens=sz).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(
+            (r.chunk_id, r.n_chunk_tokens, r.chunk)
+        )
+    for i, t in enumerate(texts):
+        toks = re.findall(TOKEN_RE, t)
+        chunks = sorted(by_doc.get(i, []))
+        if not toks:
+            assert chunks == []
+            continue
+        assert [c[0] for c in chunks] == list(range(len(chunks)))
+        rejoined = [tok for _, _, ch in chunks for tok in ch.split(" ")]
+        assert rejoined == toks
+        assert all(n == sz for _, n, _ in chunks[:-1])
+        assert 1 <= chunks[-1][1] <= sz
+
+
+# ---- dense resample + trailing mean vs a calendar replay ------------------
+
+ts_events = st.lists(
+    st.tuples(
+        st.sampled_from(["g1", "g2"]),
+        st.integers(min_value=1, max_value=12),  # march day
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=8, **_SETTINGS)
+@given(evs=ts_events, win=st.integers(min_value=1, max_value=5))
+def test_resample_rolling_matches_calendar_replay(spark, evs, win):
+    """resample_daily densifies to zero-filled per-(group, day) counts
+    over the data's own min..max span, and rolling_mean's trailing
+    window (warm-up: average what exists) equals the obvious Python
+    replay over that dense series."""
+    import datetime as dt
+
+    from py_etl_spark.operators.timeseries import resample_daily, rolling_mean
+
+    rows = [
+        (g, dt.datetime(2024, 3, d, 10, 0, 0)) for g, d in evs
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    dense = resample_daily(df)
+    out = rolling_mean(dense, window_rows=win).collect()
+    got = {
+        (r.event_type, r.day.day): (r.n, r.rolling_mean) for r in out
+    }
+
+    lo = min(d for _, d in evs)
+    hi = max(d for _, d in evs)
+    groups = {g for g, _ in evs}
+    expect = {}
+    for g in groups:
+        series = [
+            sum(1 for gg, dd in evs if gg == g and dd == d)
+            for d in range(lo, hi + 1)
+        ]
+        for idx, d in enumerate(range(lo, hi + 1)):
+            w = series[max(0, idx - win + 1) : idx + 1]
+            expect[(g, d)] = (series[idx], round(sum(w) / len(w), 4))
+    assert got == expect
