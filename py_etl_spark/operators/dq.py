@@ -28,6 +28,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+#: Overflow ceiling for drift numerators (int64 max). A parameter on
+#: :func:`distribution_drift` (not a buried literal) so tests can lower
+#: it and exercise the assert_true raise path in both SQL modes.
+INT64_MAX = 9223372036854775807
+
 Constraint = tuple  # (name, kind, payload) — see builders below
 
 
@@ -155,6 +160,7 @@ def distribution_drift(
     lo: float,
     hi: float,
     bins: int = 64,
+    int64_guard: int = INT64_MAX,
 ) -> DataFrame:
     """Distribution-drift report between two slices of a table — the
     training-data monitor for "did source X's length/score/price
@@ -175,6 +181,8 @@ def distribution_drift(
     both SQL modes (the bare cast would throw under the Spark 4 ANSI
     default but yield NULL under legacy mode, and a NULL numerator
     would quietly turn a threshold comparison into unknown).
+    ``int64_guard`` is that ceiling (default int64 max) — a parameter so
+    tests can lower it and prove the raise path actually fires.
 
     Plan: one scan of the two slices into the same (group, bin) count
     shuffle as :func:`~py_etl_spark.operators.sketch.hist_sketch` (the
@@ -206,7 +214,7 @@ def distribution_drift(
         # assert_true raises regardless of mode; it returns NULL when
         # the condition holds, hence the when(...isNull()) wrapper.
         ok = F.assert_true(
-            dec_col <= F.lit(9223372036854775807),
+            dec_col <= F.lit(int64_guard),
             F.lit(f"dq_drift_report: {name} exceeds int64 — the slices "
                   "are large enough that the exact numerator no longer "
                   "fits the report's BIGINT contract"),

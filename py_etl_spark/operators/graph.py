@@ -86,21 +86,32 @@ def pagerank_fixed_point(
     deg = edges.groupBy(F.col(src_col).alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
+    # Loop-INVARIANT adjacency: degree is folded into the edge list ONCE
+    # (edges ⋈ deg, both already keyed on the source node, sharing the
+    # degree groupBy's exchange), so each iteration is a single
+    # ranks ⋈ adj join + the dst groupBy — not the former
+    # ranks ⋈ deg ⋈ edges two-join chain. The adj subtree is identical
+    # across iterations, so Catalyst's ReusedExchange materializes its
+    # shuffle once for all of them; ranks itself leaves every iteration
+    # hash-partitioned on node (the contrib groupBy + nodes join), so
+    # the next iteration's join re-uses that partitioning too — the
+    # per-iteration data motion is exactly one |E|-row map-side-combined
+    # aggregation shuffle. floor(rank/deg) is evaluated per edge row
+    # instead of per node (same integer value; codegen-cheap) — the
+    # bit-exact replay property pins equality with the per-node form.
+    adj = edges.select(
+        F.col(src_col).alias("node"), F.col(dst_col).alias("dst")
+    ).join(deg, "node")
     ranks = nodes.withColumn("rank_micro", F.lit(init).cast("long"))
     for it in range(iterations):
         contrib = (
-            ranks.join(deg, "node")
-            .withColumn(
-                "share", F.floor(F.col("rank_micro") / F.col("deg")).cast("long")
-            )
-            .join(
-                edges.select(
-                    F.col(src_col).alias("node"), F.col(dst_col).alias("dst")
-                ),
-                "node",
-            )
+            ranks.join(adj, "node")
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("share").alias("in_micro"))
+            .agg(
+                F.sum(
+                    F.floor(F.col("rank_micro") / F.col("deg")).cast("long")
+                ).alias("in_micro")
+            )
         )
         ranks = (
             nodes.join(contrib, "node", "left")

@@ -622,8 +622,19 @@ def semantic_dedup(
     # over the b-side's scan partitions with zero shuffle, and the
     # per-task work is b_rows/tasks · cap dot products regardless of
     # how few cells there are.
+    # Row count alone is the wrong broadcast gate for vector payloads:
+    # 65536 rows of 768-dim doubles is ~400 MB on the wire — past any
+    # sane driver/executor broadcast budget even though the row count
+    # looks tiny. Budget BYTES: rows x dim x 8 (the unit vector is the
+    # payload; id/cell are noise next to it) against 64 MB, with the
+    # old 65536-row cap kept as a secondary bound so degenerate tiny
+    # dims can't push row counts into the millions.
+    dim = len(centroids[0]) if centroids else 0
+    max_rows = len(centroids) * cell_cap if cell_cap is not None else 0
     small_a = (
-        cell_cap is not None and len(centroids) * cell_cap <= 65536
+        cell_cap is not None
+        and max_rows <= 65536
+        and max_rows * max(dim, 1) * 8 <= 64 * 1024 * 1024
     )
     pair_a = F.broadcast(a) if small_a else a
     if small_a:

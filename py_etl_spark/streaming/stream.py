@@ -19,7 +19,10 @@ runs under ``foreachBatch``:
 from __future__ import annotations
 
 import json
+import logging
+import os
 import time
+import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -34,6 +37,35 @@ from py_etl_spark.streaming.state_store import VersionedState
 class StreamResult:
     batches: int
     statuses: list
+
+
+def _checkpoint_run_token(checkpoint: str) -> str:
+    """Per-checkpoint-RUN token, persisted inside the checkpoint dir.
+
+    Spark's batch_id counter is only meaningful relative to one
+    checkpoint's WAL: wipe the dir and batch_ids restart at 0. A replay
+    guard keyed on the checkpoint PATH alone would then treat the new
+    run's first batches as replays of the old run's and silently skip
+    them against a retained state store. Writing a uuid file on first
+    use — same lifecycle as the WAL itself — ties the lineage key to
+    the WAL instance: survive a plain driver restart (token file still
+    there), fence a wipe-and-recreate (fresh token → fresh lineage).
+    """
+    token_file = os.path.join(checkpoint, "_run_token")
+    try:
+        with open(token_file) as fh:
+            tok = fh.read().strip()
+            if tok:
+                return tok
+    except OSError:
+        pass
+    os.makedirs(checkpoint, exist_ok=True)
+    tok = uuid.uuid4().hex
+    tmp = f"{token_file}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        fh.write(tok)
+    os.replace(tmp, token_file)
+    return tok
 
 
 class CdcStreamDriver:
@@ -82,9 +114,15 @@ class CdcStreamDriver:
         # Replay-detection lineage: foreachBatch is AT-LEAST-ONCE — a
         # driver killed between the state commit and the checkpoint's
         # offset commit redelivers the same (batch_id, input). batch_id
-        # is only meaningful per checkpoint, so the checkpoint path IS
-        # the lineage key; run_file_stream sets it. Without a
-        # checkpoint there is no replay contract and the guard is off.
+        # is only meaningful per checkpoint RUN, so the lineage key is
+        # checkpoint path + a run token persisted INSIDE the checkpoint
+        # dir (run_file_stream sets it). The token is what makes a
+        # wipe-and-recreate of the checkpoint dir against a retained
+        # state store safe: batch_ids restart at 0, but the fresh token
+        # changes the lineage key, so the guard can never mistake the
+        # new run's batch 0..N for replays of the old run's (which
+        # would silently drop data). Without a checkpoint there is no
+        # replay contract and the guard is off.
         self._lineage: str | None = None
         self._migrate_legacy_layout()
 
@@ -126,7 +164,16 @@ class CdcStreamDriver:
                 # checkpoint WAL pins the file set per batch_id), so
                 # re-applying would double-apply retries/tombstone GC.
                 # Status acks are NOT re-emitted — the ack protocol is
-                # at-least-once (ST2), matching the reference.
+                # at-least-once (ST2), matching the reference. Every
+                # skip is logged so a mis-skip (guard bug, manual state
+                # surgery) is observable in the driver log, never silent.
+                logging.getLogger(__name__).warning(
+                    "replay guard: skipping already-committed batch_id=%s "
+                    "(state at batch_id=%s, lineage=%s)",
+                    batch_id,
+                    meta["batch_id"],
+                    self._lineage,
+                )
                 self.batches += 1
                 self._beat()
                 return
@@ -169,7 +216,11 @@ class CdcStreamDriver:
     ):
         """Consume eventlog files appearing in a directory (the batch-file
         equivalent of the reference's polling query)."""
-        self._lineage = checkpoint
+        self._lineage = (
+            f"{checkpoint}#{_checkpoint_run_token(checkpoint)}"
+            if checkpoint
+            else None
+        )
         stream = (
             self.spark.readStream.schema(EVENTLOG_SCHEMA)
             .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -2024,6 +2024,40 @@ def test_distribution_drift_bounds(spark):
     assert r["ks_num"] == 100 * 150 and abs(r["ks"] - 1.0) < 1e-12
 
 
+def test_distribution_drift_overflow_guard_raises_both_sql_modes(spark):
+    """The assert_true int64 ceiling must actually FIRE (ADVICE r06: a
+    hard-coded literal meant no test exercised the raise path). With the
+    parameterized bound lowered below a real numerator, the guard must
+    raise under BOTH ANSI and legacy mode — legacy is the dangerous one,
+    where a bare decimal->long overflow cast yields silent NULLs."""
+    import pytest as _pytest
+    from py_etl_spark.operators.dq import distribution_drift
+
+    disjoint = spark.createDataFrame(
+        [(i, "a", 5.0) for i in range(100)]
+        + [(i + 1000, "b", 45.0) for i in range(150)],
+        ["id", "g", "v"],
+    )
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        for mode in ("true", "false"):
+            spark.conf.set("spark.sql.ansi.enabled", mode)
+            # tv_num = 2*100*150 = 30000 > 9999: the guard trips
+            with _pytest.raises(Exception, match="exceeds int64"):
+                distribution_drift(
+                    disjoint, "v", "g", "a", "b", 0.0, 50.0, 25,
+                    int64_guard=9999,
+                ).collect()
+            # bound just above the true numerator: clean run in both modes
+            r = distribution_drift(
+                disjoint, "v", "g", "a", "b", 0.0, 50.0, 25,
+                int64_guard=30000,
+            ).collect()[0]
+            assert r["tv_num"] == 30000
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
 def test_equi_depth_buckets_balanced_on_uniform_data(spark):
     from py_etl_spark.operators.sketch import equi_depth_buckets
 

@@ -147,8 +147,11 @@ def test_cdc_stream_replay_idempotence_after_crash(spark, tmp_path):
     events_df = spark.read.schema(EVENTLOG_SCHEMA).csv(
         e_dir, sep=";", header=True
     )
+    from py_etl_spark.streaming.stream import _checkpoint_run_token
+
     drv3 = CdcStreamDriver(spark, users, s_path, "ph08", cfg)
-    drv3._lineage = ckpt  # what run_file_stream(checkpoint=ckpt) sets
+    # what run_file_stream(checkpoint=ckpt) sets: path + persisted token
+    drv3._lineage = f"{ckpt}#{_checkpoint_run_token(ckpt)}"
     drv3.process_batch(events_df, 0)  # same (lineage, batch_id): replayed
     assert drv3.store.current_version() == v0 + 1  # skipped, no new version
     assert drv3.statuses == []  # acks not re-emitted (at-least-once, ST2)
@@ -161,6 +164,25 @@ def test_cdc_stream_replay_idempotence_after_crash(spark, tmp_path):
     drv3._lineage = ckpt + "-fresh"
     drv3.process_batch(events_df, 0)
     assert drv3.store.current_version() == v0 + 2
+
+    # -- wipe-and-recreate fencing: rm -rf the checkpoint dir against the
+    # retained state store. batch_ids restart at 0, which the stored max
+    # (batch_id=0 under the OLD run token) would shadow if lineage were
+    # keyed on the path alone — the fresh run token forces the new run's
+    # batch 0 to APPLY, not silently skip (ADVICE r06).
+    old_token = _checkpoint_run_token(ckpt)
+    shutil.rmtree(ckpt)
+    assert _checkpoint_run_token(ckpt) != old_token
+    drv4 = CdcStreamDriver(spark, users, s_path, "ph08", cfg)
+    q4 = drv4.run_file_stream(e_dir, checkpoint=ckpt)
+    q4.awaitTermination(300)
+    assert q4.exception() is None
+    assert drv4.store.current_version() == v0 + 3  # applied, not skipped
+    # ...while a plain restart (token file intact) still skips replays:
+    drv5 = CdcStreamDriver(spark, users, s_path, "ph08", cfg)
+    q5 = drv5.run_file_stream(e_dir, checkpoint=ckpt)
+    q5.awaitTermination(300)
+    assert drv5.store.current_version() == v0 + 3  # no new version
 
     # -- the crash orphan is GC-swept once its prefix leaves retention ----
     drv3.store.commit(drv3.store.read(), {"gc": True})
