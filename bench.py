@@ -498,17 +498,88 @@ def _skew_posture(spark, sf_dir: str) -> dict:
     return out
 
 
-def _run_block(qs, names, sf_dir: str, reps: int, spark):
+def _rest_json(spark, path: str):
+    """Spark monitoring REST API (needs spark.ui.enabled=true)."""
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    url = f"{base}/api/v1/applications/{app}{path}"
+    with urllib.request.urlopen(url, timeout=15) as r:
+        return json.loads(r.read().decode())
+
+
+def _max_stage_id(spark) -> int:
+    try:
+        return max(
+            (s["stageId"] for s in _rest_json(spark, "/stages")), default=-1
+        )
+    except Exception:
+        return -1
+
+
+def _task_skew_since(spark, after_stage: int):
+    """Per-TASK input balance of everything run since ``after_stage``:
+    for the stage whose busiest task read the most rows (input +
+    shuffle), report that stage's max and median task read and their
+    ratio — the per-query analogue of skew_posture's partition-row
+    evidence, from the UI status store (no re-execution, no extra jobs).
+    A ratio near 1 means reducers are balanced; a large ratio is the
+    100 TB straggler signature."""
+    try:
+        stages = _rest_json(spark, "/stages")
+    except Exception:
+        return None
+    worst = None
+    for s in stages:
+        if s.get("stageId", -1) <= after_stage:
+            continue
+        if s.get("status") != "COMPLETE":
+            continue
+        try:
+            ts = _rest_json(
+                spark,
+                f"/stages/{s['stageId']}/{s.get('attemptId', 0)}"
+                "/taskSummary?quantiles=0.5,1.0",
+            )
+        except Exception:
+            continue
+        md = mx = 0.0
+        for key, sub in (
+            ("inputMetrics", "recordsRead"),
+            ("shuffleReadMetrics", "readRecords"),
+        ):
+            q = ts.get(key, {}).get(sub)
+            if q and len(q) == 2:
+                md += q[0]
+                mx += q[1]
+        if mx and (worst is None or mx > worst["max_task_rows"]):
+            worst = {
+                "stage": s["stageId"],
+                "n_tasks": s.get("numCompleteTasks"),
+                "max_task_rows": int(mx),
+                "median_task_rows": int(md),
+                "ratio": round(mx / md, 2) if md else None,
+            }
+    return worst
+
+
+def _run_block(qs, names, sf_dir: str, reps: int, spark, skew=None):
     mins: dict[str, float] = {}
     medians: dict[str, float] = {}
     for name in names:
         samples = []
-        for _ in range(reps):
+        for i in range(reps):
+            watermark = _max_stage_id(spark) if (
+                skew is not None and i == reps - 1
+            ) else None
             t0 = time.time()
             qs[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
             samples.append(time.time() - t0)
+            if watermark is not None:
+                skew[name] = _task_skew_since(spark, watermark)
         mins[name] = round(min(samples), 3)
         medians[name] = round(statistics.median(samples), 3)
     return mins, medians
@@ -519,7 +590,10 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
-    spark = get_spark("bench")
+    # UI on for this session only: the monitoring REST API is what feeds
+    # the per-query task-skew column (taskSummary quantiles) without
+    # re-running anything. The library session factory keeps it off.
+    spark = get_spark("bench", extra_conf={"spark.ui.enabled": "true"})
 
     qs = dict(Q.queries())
     # bench-local entries (scale-posture variants, not registry queries)
@@ -665,7 +739,18 @@ def main() -> None:
                 decade=2,
             )
             build10_sec = round(time.time() - t0, 3)
-            t_mins, _ = _run_block(qs, SF10_SUBSET, sf10_dir, 1, spark)
+            # min-of-2 minimum (VERDICT r06: reps=1 could not adjudicate
+            # a 2x single-sample swing on the shared box — the pagerank
+            # 19.6x-vs-9.66x conflict), plus per-query task skew from
+            # the UI store, captured on the last rep.
+            sf10_reps = max(
+                2, int(os.environ.get("SPARK_GRAFT_SF10_REPS", "2"))
+            )
+            sf10_skew: dict = {}
+            t_mins, _ = _run_block(
+                qs, SF10_SUBSET, sf10_dir, sf10_reps, spark,
+                skew=sf10_skew,
+            )
             ratios2 = {
                 n: round(t_mins[n] / max(s_mins[n], 0.05), 2)
                 for n in t_mins
@@ -687,9 +772,12 @@ def main() -> None:
                 "note": "10x key-offset replica of the sf1 replica "
                         f"(built once, {build10_sec}s; offset 1e10 so "
                         "second-decade keys clear first-decade ones); "
-                        "single rep, worst-first-decade subset",
-                "reps": 1,
+                        "min-of-N reps, worst-first-decade subset; "
+                        "task_skew = busiest stage's max/median task "
+                        "input+shuffle rows (UI taskSummary, last rep)",
+                "reps": sf10_reps,
                 "queries": t_mins,
+                "task_skew": sf10_skew,
                 "ratio_vs_sf1": ratios2,
                 "ratio_vs_sf0.1_decade1": {
                     n: ratios1.get(n) for n in t_mins
