@@ -2156,15 +2156,31 @@ def corpus_sample_stratified(spark, sf_dir):
 def pagerank_part_supplier(spark, sf_dir):
     from py_etl_spark.operators.graph import pagerank_fixed_point
 
+    # Node ids stay BIGINT through the whole iterative core — part p
+    # encodes as 2p, supplier s as 2s+1 — and decode to the oracle's
+    # 'p:<k>'/'s:<k>' strings only in the final projection. Every
+    # exchange in the loop (the distinct, degree, the per-iteration
+    # rank join + dst rollup) hashes/sorts 8-byte longs instead of
+    # 10-14 byte strings with string comparators; the rank arithmetic
+    # never touches the key, so the result is bit-identical. Exact up
+    # to keys of 2^52 (keys double under the encoding) — twelve orders
+    # above the sf10 replica's 2e10 offset keys.
     li = _t(spark, sf_dir, "lineitem")
     pairs = li.select(
-        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("src"),
-        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+        (F.col("l_partkey") * 2).cast("long").alias("src"),
+        (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
     ).distinct()
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    return pagerank_fixed_point(edges, damping=0.85, iterations=3)
+    ranks = pagerank_fixed_point(edges, damping=0.85, iterations=3)
+    node_str = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("p:"), F.expr("node DIV 2").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("s:"), F.expr("(node - 1) DIV 2").cast("string"))
+    )
+    return ranks.select(node_str.alias("node"), "rank_micro")
 
 
 @query(
@@ -8141,30 +8157,81 @@ def rolling_7d_distinct_users_hll(spark, sf_dir):
 # The external driver checks registry entries in dict order and caps its
 # list at 50. Emit the registry in an explicit priority order so the cap
 # lands on queries whose correctness is independently evidenced elsewhere:
-#   _FRONT (r06 rotation, exactly 50 — count pinned by
-#           test_queries_contract): the 7 queries whose plan or oracle
-#           changed in r06 (semantic_dedup_fixed per-cell cap + oracle
-#           cap, bpe_train_merges NEW unrolled-Sennrich oracle — was
-#           rows-only, fuzzy_join/fuzzy_rerank gram salting,
-#           dq_drift_doc_lengths assert_true overflow guard,
-#           exact_median_price seeded selection loop,
-#           dedup_keep_canonical CC confirmation round), plus the 43
-#           queries whose newest driver-green row is r01/r02 — the
-#           stalest evidence in the union (every registry query HAS a
-#           green row; this window refreshes the oldest 43 to keep the
-#           4-round attestation cadence).
-#   middle: r03/r04-green queries not selected for _TAIL — they keep
-#           their rows.
-#   _TAIL (50): the r05 window's greens plus enough r04 greens to fill
-#           50 — the freshest evidence, cheapest to cede to the cap.
+#   _FRONT (r07 rotation, exactly 50 — count pinned by
+#           test_queries_contract): the 10 queries whose plan or shared
+#           kernel changed in r07 (the _alpha_tokens tokenizer swap:
+#           token_pmi_pairs fused counts + windows, corpus_top_bigrams,
+#           search_posting_lists, posting_lists_incremental_merge,
+#           source_similarity_matrix, safety_blocklist_filter,
+#           vocab_coverage_report; pagerank_part_supplier BIGINT node
+#           encoding + 1-join loop; semantic_dedup_fixed byte-budget
+#           broadcast gate; dq_drift_doc_lengths parameterized overflow
+#           guard), plus 40 of the 81 queries whose newest driver-green
+#           row is r03/r04 — the stalest evidence in the union
+#           (quality_compression_ratio excluded from the fill: it is
+#           declared rows-only, a window slot buys it nothing). The
+#           remaining 41 of that cohort rotate in r08.
+#   middle: the rest of the r03/r04 cohort — they keep their rows.
+#   _TAIL (50): the r06 window's greens (freshest evidence, cheapest to
+#           cede to the cap), topped up from the r05 window.
 # tools/check_correctness.py runs the FULL registry regardless (committed
 # as CORRECTNESS_FULL_r*.json).
 _FRONT = [
+    "token_pmi_pairs",
+    "corpus_top_bigrams",
+    "pagerank_part_supplier",
+    "search_posting_lists",
+    "posting_lists_incremental_merge",
+    "source_similarity_matrix",
+    "safety_blocklist_filter",
+    "vocab_coverage_report",
     "semantic_dedup_fixed",
+    "dq_drift_doc_lengths",
+    "s3_point_lookup",
+    "s4_sorted_limit",
+    "s5_csv_roundtrip",
+    "s7_scope_scan",
+    "s10_tree_ancestors",
+    "p3_rename_convert_projection",
+    "p4_status_filter",
+    "p5_watermark_filter",
+    "p6_keyset_semi_join",
+    "p10_validity_routing",
+    "p12_first_n_per_group",
+    "j1_snapshot_reconcile_outer",
+    "j2_event_entity_lookup",
+    "j3_two_key_fallback_join",
+    "j4_sorted_merge_tree_compare",
+    "j7_anti_join_guard",
+    "a1_count_by_group",
+    "a2_watermark_running_max",
+    "a3_last_writer_wins",
+    "a4_duplicate_key_detection",
+    "a5_partition_boundaries",
+    "a7_pending_work_exists",
+    "w2_retry_escalation",
+    "o2_case_insensitive_sort",
+    "e1_set_difference",
+    "e2_set_intersection",
+    "f_string_suite",
+    "f_date_number_suite",
+    "f_hash_fingerprint",
+    "st_tumbling_window_agg",
+    "cdc_merge_scd1",
+    "cdc_tombstone_lifecycle",
+    "cm_estimate_heavy_users",
+    "kmv_join_size_estimate",
+    "hist_quantile_prices",
+    "dedup_exact_groups",
+    "text_stats",
+    "lang_id_heuristic",
+    "dedup_minhash_portable_small",
+    "ann_cosine_topk",
+]
+_TAIL = [
     "bpe_train_merges",
     "fuzzy_join_part_names",
     "fuzzy_rerank_levenshtein",
-    "dq_drift_doc_lengths",
     "exact_median_price",
     "dedup_keep_canonical",
     "a9_price_histogram",
@@ -8210,58 +8277,8 @@ _FRONT = [
     "s2_keyset_range_scan",
     "skew_salted_join_orders",
     "token_count_bpe",
-]
-_TAIL = [
-    "posting_lists_incremental_merge",
-    "search_posting_lists",
     "embedding_label_centroids",
     "user_event_sequences",
-    "hll_distinct_event_ids",
-    "cm_sketch_events",
-    "kmv_distinct_users",
-    "kmv_distinct_rollup",
-    "bloom_build_users",
-    "scd2_history_from_events",
-    "corpus_sample_mixture",
-    "corpus_curation_pipeline",
-    "quality_score_hashed_linear",
-    "scd2_apply_incremental",
-    "bloom_semi_join_prune",
-    "lm_fluency_bits",
-    "bm25_search_topk",
-    "dedup_duplicate_spans",
-    "text_normalize_unicode",
-    "interval_overlap_signup_purchase",
-    "corpus_sample_stratified",
-    "pagerank_part_supplier",
-    "agg_incremental_monthly_revenue",
-    "analyze_stats_orders",
-    "dedup_segments_corpus",
-    "dedup_incremental_batch",
-    "quality_repetition_metrics",
-    "embedding_quantize_int8",
-    "ann_cosine_topk_int8",
-    "ann_cosine_topk_twostage",
-    "key_skew_profile_lineitem",
-    "corpus_mix_report",
-    "corpus_pack_examples",
-    "corpus_assemble_examples",
-    "funnel_signup_click_purchase",
-    "cohort_retention_weekly",
-    "zorder_key_orders",
-    "events_daily_resample",
-    "events_rolling_7d",
-    "orc_roundtrip_documents",
-    "audio_window_features_synthetic",
-    "part_pair_cooccurrence",
-    "token_pmi_pairs",
-    "corpus_top_bigrams",
-    "bpe_token_count_fixed",
-    "privacy_k_anonymity_report",
-    "events_cusum_alarm",
-    "source_similarity_matrix",
-    "stable_row_ids_docs",
-    "retrieval_rrf_fusion",
 ]
 
 
