@@ -39,9 +39,11 @@ from py_etl_spark.operators.refsync import (
     USER_OBJECTCLASS,
     SyncConfig,
     base_dn_for,
+    delete_uids,
     sync_users_into_state,
     users_to_entries,
 )
+from py_etl_spark.schemas import ACC_ACTIVE_ATTRS, ACC_STATUS_ATTRS
 from py_etl_spark.schemas import STATE_COLS, STATE_SCHEMA, USERS_COLS, USERS_SCHEMA
 
 _SETTINGS = dict(
@@ -62,6 +64,9 @@ PAYLOAD = [
     ("vorname", "givenName"),
     ("nachname", "sn"),
     ("emailadresse_st", "phonlineEmailStudent"),
+    # an account-status attr so delete_uids' OK -> GESPERRT lock and its
+    # any_change timestamp rule have mass to act on
+    ("account_status_st", "phonlineAccStStudent"),
 ]
 PW_POOL = ["pw-one", "pw-two"]
 
@@ -195,6 +200,11 @@ def test_sync_users_into_state_matches_sequential_reference_model(spark, data):
     cn_pool = [f"cn{i}" for i in range(8)]
     uids = [str(u) for u in range(1, 5)]
     names = st.one_of(st.none(), st.sampled_from(["ann", "bob", "cat"]))
+    accs = st.one_of(st.none(), st.sampled_from(["OK", "NO"]))
+    attr_strats = {
+        attr: (accs if attr == "phonlineAccStStudent" else names)
+        for _, attr in PAYLOAD
+    }
     pws = st.one_of(st.none(), st.sampled_from(PW_POOL))
 
     # non-user row (tree node): must pass through every round untouched
@@ -257,7 +267,7 @@ def test_sync_users_into_state_matches_sequential_reference_model(spark, data):
             else:
                 ent = {"cn": cn, "uid": uid, "pw": data.draw(pws)}
                 for _, attr in PAYLOAD:
-                    ent[attr] = data.draw(names)
+                    ent[attr] = data.draw(attr_strats[attr])
             # affected state cns for this row under the CURRENT model =
             # its cn-match target, every uid-fallback candidate, and the
             # row's own (possibly new) cn
@@ -313,17 +323,59 @@ def test_sync_users_into_state_matches_sequential_reference_model(spark, data):
             for c in STATE_COLS:
                 assert gr[c] == er[c], (dn, c, gr[c], er[c])
 
-        # -- carry forward; maybe tombstone some rows between rounds ------
+        # -- carry forward; tombstone between rounds through the REAL
+        # delete_uids operator (etl.py:466-574), checked against its own
+        # model: idnDeleted backfills to TRUE only when absent, OK
+        # account-status locks to GESPERRT, active flags force to N, and
+        # etlTimestamp moves ONLY when the change set is non-empty — a
+        # REPEATED delete of an already-locked tombstone must not
+        # re-stamp (etl.py:503-506), which the uid redraws exercise.
         state_rows = [dict(r) for r in got_rows]
-        for dn in data.draw(
-            st.sets(st.sampled_from(sorted(model) or ["-"]), max_size=2),
-            label=f"r{rnd}-tomb",
-        ):
-            if dn in model:
-                model[dn]["idnDeleted"] = TOMB_TS
-                for r in state_rows:
-                    if r["dn"] == dn:
-                        r["idnDeleted"] = TOMB_TS
+        del_uids = sorted(
+            data.draw(
+                st.sets(st.sampled_from(uids), max_size=2),
+                label=f"r{rnd}-del",
+            )
+        )
+        if del_uids:
+            del_ts = f"2024010109000{rnd}Z"
+            del_cfg = SyncConfig(iv_hex=FIXED_TEST_IV_HEX, batch_ts=del_ts)
+            uid_df = spark.createDataFrame(
+                [(u,) for u in del_uids], "uid string"
+            )
+            state_rows = [
+                r.asDict()
+                for r in delete_uids(
+                    mkdf(state_rows), uid_df, INST, del_cfg
+                ).collect()
+            ]
+            for r in model.values():
+                if r["phonlineUniqueId"] not in del_uids:
+                    continue
+                any_change = (
+                    r["idnDeleted"] is None
+                    or any(r[a] == "OK" for a in ACC_STATUS_ATTRS)
+                    or any(
+                        r[a] is not None and r[a] != "N"
+                        for a in ACC_ACTIVE_ATTRS
+                    )
+                )
+                if r["idnDeleted"] is None:
+                    r["idnDeleted"] = "TRUE"
+                for a in ACC_STATUS_ATTRS:
+                    if r[a] == "OK":
+                        r[a] = "GESPERRT"
+                for a in ACC_ACTIVE_ATTRS:
+                    if r[a] is not None and r[a] != "N":
+                        r[a] = "N"
+                if any_change:
+                    r["etlTimestamp"] = del_ts
+            exp = {r["dn"]: r for r in list(model.values()) + [tree]}
+            got = {r["dn"]: r for r in state_rows}
+            assert sorted(got) == sorted(exp)
+            for dn, er in exp.items():
+                for c in STATE_COLS:
+                    assert got[dn][c] == er[c], (dn, c, got[dn][c], er[c])
 
 
 # ---------------------------------------------------------------------------
