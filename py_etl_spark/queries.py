@@ -8166,7 +8166,7 @@ def rolling_7d_distinct_users_hll(spark, sf_dir):
 #           vocab_coverage_report; pagerank_part_supplier BIGINT node
 #           encoding + 1-join loop; semantic_dedup_fixed byte-budget
 #           broadcast gate; dq_drift_doc_lengths parameterized overflow
-#           guard), plus 40 of the 81 queries whose newest driver-green
+#           guard; bm25_search_topk native term counting), plus 39 of the 81 queries whose newest driver-green
 #           row is r03/r04 — the stalest evidence in the union
 #           (quality_compression_ratio excluded from the fill: it is
 #           declared rows-only, a window slot buys it nothing). The
@@ -8177,6 +8177,7 @@ def rolling_7d_distinct_users_hll(spark, sf_dir):
 # tools/check_correctness.py runs the FULL registry regardless (committed
 # as CORRECTNESS_FULL_r*.json).
 _FRONT = [
+    "bm25_search_topk",
     "token_pmi_pairs",
     "corpus_top_bigrams",
     "pagerank_part_supplier",
@@ -8226,7 +8227,6 @@ _FRONT = [
     "text_stats",
     "lang_id_heuristic",
     "dedup_minhash_portable_small",
-    "ann_cosine_topk",
 ]
 _TAIL = [
     "bpe_train_merges",
