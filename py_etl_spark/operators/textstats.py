@@ -50,10 +50,18 @@ def punct_count(text: Column) -> Column:
 
 
 def stopword_count(text: Column, lang: str = "en") -> Column:
-    """Occurrences of the language's marker stopwords as standalone tokens."""
+    """Occurrences of the language's marker stopwords as standalone
+    tokens. Counted as Σ per-marker ``size(toks) -
+    size(array_remove(toks, m))`` — all native codegen array ops (the
+    bm25 term-count recipe; markers are distinct so the sum never
+    double-counts), replacing an interpreted filter-with-array_contains
+    HOF pass per language."""
     toks = _tokens(F.lower(text))
-    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
-    return F.size(F.filter(toks, lambda t: F.array_contains(markers, t))).cast("long")
+    n = F.size(toks)
+    count = F.lit(0)
+    for m in LANG_MARKERS[lang]:
+        count = count + (n - F.size(F.array_remove(toks, m)))
+    return count.cast("long")
 
 
 def quality_score(text: Column) -> Column:
