@@ -59,3 +59,54 @@ def test_rotation_window_exactly_fifty_and_valid():
     unknown = [n for n in _FRONT + _TAIL if n not in REGISTRY]
     assert not unknown, f"roster names not in registry: {unknown}"
     assert len(set(_FRONT)) == 50 and not set(_FRONT) & set(_TAIL)
+
+
+def test_alpha_tokens_equals_oracle_tokenizer_on_adversarial_text(spark):
+    """queries._alpha_tokens (the fast split-based corpus tokenizer) must
+    produce the EXACT token stream of the oracle spelling —
+    list_filter(string_split(lower(regexp_replace(text, '[^A-Za-z ]',
+    ' ', 'g')), ' '), t -> t <> '') — proven three ways on adversarial
+    inputs (unicode letters, digits glued to words, edge whitespace,
+    empty/None, all-delimiter strings): against Spark's old
+    regexp_replace idiom AND against DuckDB evaluating the literal
+    oracle expression. Hash matches pin this corpus-wide; this pins the
+    edge cases a synthetic corpus never exercises."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from py_etl_spark.queries import _alpha_tokens
+
+    texts = [
+        "Hello, World!  X1y2z3 end",
+        "  leading and trailing  ",
+        "ALLCAPS mixedCase lower",
+        "digits123inside and 456 alone",
+        "punct-only !!! ... ---",
+        "",
+        "   ",
+        "café naïve Über straße",  # é/ï/Ü/ß are delimiters
+        "tab\tnewline\nmix\r\nend",
+        "a",
+        "1",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    old = F.filter(
+        F.split(
+            F.lower(F.regexp_replace(F.col("text"), "[^A-Za-z ]", " ")), " "
+        ),
+        lambda t: t != "",
+    )
+    rows = df.select("i", _alpha_tokens().alias("new"), old.alias("old")).collect()
+    for r in rows:
+        assert r.new == r.old, (texts[r.i], r.new, r.old)
+
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        want = con.execute(
+            "SELECT list_filter(string_split(lower(regexp_replace(?,"
+            " '[^A-Za-z ]', ' ', 'g')), ' '), t -> t <> '')",
+            [t],
+        ).fetchone()[0]
+        got = next(r.new for r in rows if r.i == i)
+        assert got == want, (t, got, want)
