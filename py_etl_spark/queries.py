@@ -80,18 +80,30 @@ def _alpha_tokens() -> Column:
     SAME token stream, one pass: replacing every non-alpha char with a
     space and re-splitting is a per-char regex REWRITE of the whole
     corpus before tokenization even starts; splitting directly on
-    ``[^a-z]+`` after lower() yields the identical maximal-alpha-run
-    tokens (lower() maps A-Z onto a-z and nothing else into it; every
-    other char is a delimiter under both spellings) for ~13x less CPU —
+    ``[^A-Za-z]+`` and lowercasing the resulting tokens yields the
+    identical maximal-ASCII-alpha-run tokens for ~13x less CPU —
     measured sf1: 0.21 s vs 2.70 s for the bare tokenize, and it took
-    corpus_top_bigrams from 7.4 s to 1.1 s. The empty-string filter
-    drops the split artifacts at the text edges, exactly like the
-    oracle's ``t <> ''``. Oracles keep the regexp_replace spelling —
-    per-query hash matches pin the equivalence.
+    corpus_top_bigrams from 7.4 s to 1.1 s.
+
+    ORDER MATTERS (r08 fix): the split must happen BEFORE any
+    lowercasing. ``split(lower(text), '[^a-z]+')`` is NOT equivalent —
+    Unicode characters whose lower() maps INTO ``[a-z]`` (U+212A KELVIN
+    SIGN -> ``k``, U+0130 LATIN CAPITAL I WITH DOT -> ``i``) become
+    token characters under that spelling, while the oracle strips them
+    before lowering (``"xKy"`` with U+212A: oracle ``['x','y']``, the
+    broken spelling ``['xky']``). Splitting the ORIGINAL text on
+    ``[^A-Za-z]+`` makes every token a pure-ASCII letter run, on which
+    per-token lower() cannot import or drop characters — exact on ALL
+    inputs, proven by the three-way adversarial pin and the hypothesis
+    property over random Unicode (tests/test_queries_contract.py). The
+    empty-string filter drops the split artifacts at the text edges,
+    exactly like the oracle's ``t <> ''``. Oracles keep the
+    regexp_replace spelling — per-query hash matches pin the
+    equivalence corpus-wide.
     """
-    return F.filter(
-        F.split(F.lower(F.col("text")), "[^a-z]+"),
-        lambda t: t != "",
+    return F.transform(
+        F.filter(F.split(F.col("text"), "[^A-Za-z]+"), lambda t: t != ""),
+        F.lower,
     )
 
 

@@ -89,6 +89,14 @@ def test_alpha_tokens_equals_oracle_tokenizer_on_adversarial_text(spark):
         "tab\tnewline\nmix\r\nend",
         "a",
         "1",
+        # The class that breaks lower-then-split: Unicode chars whose
+        # lower() maps INTO [a-z]. They must be DELIMITERS (stripped
+        # before lowering, as the oracle does), not token characters.
+        "xKy",          # U+212A KELVIN SIGN, lower -> 'k'
+        "Xİ",           # U+0130 I-WITH-DOT, lower -> 'i' (+combining dot)
+        "5KC café İstanbul",
+        "ſs longſ",  # U+017F LONG S (lower() fixpoint, casefolds to s)
+        "KİK",  # all-divergent-delimiter string
     ]
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
     old = F.filter(
@@ -110,3 +118,75 @@ def test_alpha_tokens_equals_oracle_tokenizer_on_adversarial_text(spark):
         ).fetchone()[0]
         got = next(r.new for r in rows if r.i == i)
         assert got == want, (t, got, want)
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis property: the fixed adversarial list above missed the U+212A /
+# U+0130 divergence for a full round because it sampled exactly the
+# non-divergent Unicode class. Random text over explicit Unicode categories
+# plus the known-treacherous singletons can't be gamed the same way: the
+# three-way equality (fast kernel == old Spark idiom == DuckDB literal
+# oracle) must hold per generated string. This property FAILS in seconds if
+# _alpha_tokens regresses to the lower-before-split spelling.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_TREACHEROUS = st.sampled_from(
+    list("KİſKIiıẞß \taZ0Éé.’-_\n")
+)
+_UNI_CHARS = st.characters(
+    categories=["Lu", "Ll", "Lt", "Lo", "Nd", "Po", "Zs"],
+    exclude_characters="\x00",
+)
+_UNI_TEXT = st.text(
+    alphabet=st.one_of(_TREACHEROUS, _UNI_CHARS), min_size=0, max_size=40
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.data_too_large,
+    ],
+)
+@given(texts=st.lists(_UNI_TEXT, min_size=8, max_size=24))
+def test_alpha_tokens_property_random_unicode(spark, texts):
+    """Three-way tokenizer equality on random Unicode text (one Spark job
+    per example batch, one DuckDB eval per string)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from py_etl_spark.queries import _alpha_tokens
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    old = F.filter(
+        F.split(
+            F.lower(F.regexp_replace(F.col("text"), "[^A-Za-z ]", " ")), " "
+        ),
+        lambda t: t != "",
+    )
+    rows = {
+        r.i: (r.new, r.old)
+        for r in df.select(
+            "i", _alpha_tokens().alias("new"), old.alias("old")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        new, old_toks = rows[i]
+        assert new == old_toks, (repr(t), new, old_toks)
+        want = con.execute(
+            "SELECT list_filter(string_split(lower(regexp_replace(?,"
+            " '[^A-Za-z ]', ' ', 'g')), ' '), t -> t <> '')",
+            [t],
+        ).fetchone()[0]
+        assert new == want, (repr(t), new, want)
+    con.close()
