@@ -544,22 +544,30 @@ def _task_skew_since(spark, after_stage: int):
             )
         except Exception:
             continue
+        # Keep the input-read and shuffle-read families SEPARATE: a sum
+        # of per-family medians is not the median of per-task totals, so
+        # a combined ratio is distorted for stages doing both kinds of
+        # read. Judge the stage by its worse family.
         md = mx = 0.0
+        ratio = None
         for key, sub in (
             ("inputMetrics", "recordsRead"),
             ("shuffleReadMetrics", "readRecords"),
         ):
             q = ts.get(key, {}).get(sub)
-            if q and len(q) == 2:
-                md += q[0]
-                mx += q[1]
+            if q and len(q) == 2 and q[1]:
+                fam_ratio = (q[1] / q[0]) if q[0] else None
+                if q[1] > mx:
+                    md, mx = q[0], q[1]
+                if fam_ratio is not None and (ratio is None or fam_ratio > ratio):
+                    ratio = fam_ratio
         if mx and (worst is None or mx > worst["max_task_rows"]):
             worst = {
                 "stage": s["stageId"],
                 "n_tasks": s.get("numCompleteTasks"),
                 "max_task_rows": int(mx),
                 "median_task_rows": int(md),
-                "ratio": round(mx / md, 2) if md else None,
+                "ratio": round(ratio, 2) if ratio is not None else None,
             }
     return worst
 

@@ -61,10 +61,18 @@ def _checkpoint_run_token(checkpoint: str) -> str:
         pass
     os.makedirs(checkpoint, exist_ok=True)
     tok = uuid.uuid4().hex
-    tmp = f"{token_file}.tmp.{os.getpid()}"
-    with open(tmp, "w") as fh:
+    # O_CREAT|O_EXCL so exactly one token wins if two drivers race on an
+    # empty checkpoint dir: an os.replace here could clobber the first
+    # driver's token, leaving it with an in-memory lineage no longer on
+    # disk (a later restart would re-apply its committed batches). On
+    # EEXIST, adopt the winner's token.
+    try:
+        fd = os.open(token_file, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+    except FileExistsError:
+        with open(token_file) as fh:
+            return fh.read().strip()
+    with os.fdopen(fd, "w") as fh:
         fh.write(tok)
-    os.replace(tmp, token_file)
     return tok
 
 
