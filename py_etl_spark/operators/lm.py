@@ -51,33 +51,75 @@ def _tokens(text_col: str) -> F.Column:
     )
 
 
-def _pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def tokenize_docs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(id, toks)``: the corpus pre-tokenization as a narrow frame.
+
+    Train + score together walk the token stream four times (unigram
+    counts, bigram pairs, the total-token scalar, the scoring pairs);
+    with lazy plans each walk re-runs the TOKEN_RE regex over every
+    corpus byte — the dominant cost at scale (~4 full regex passes of
+    45.9 s total at sf10). Materialize this frame ONCE
+    (``tokenize_docs(df).localCheckpoint(eager=True)``) and pass it as
+    ``toks_df`` to :func:`train_bigram_lm` / :func:`lm_score`: every
+    pass then re-reads serialized token arrays (no regex, no parquet
+    decode) from executor-local block storage. The frame is
+    corpus-sized but narrow — (id, array<string>) — and spills to local
+    disk if it outgrows storage memory."""
+    return df.select(F.col(id_col), _tokens(text_col).alias("toks"))
+
+
+def _toks_frame(
+    df: DataFrame | None,
+    toks_df: DataFrame | None,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    if toks_df is not None:
+        return toks_df
+    return tokenize_docs(df, id_col, text_col)
+
+
+def _pairs(
+    df: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    toks_df: DataFrame | None = None,
+) -> DataFrame:
     """(id, w1, w2) for every adjacent token pair; docs with <2 tokens
     contribute nothing. Explode is map-side; the token array lives only
     inside one task's row scope."""
-    toks = _tokens(text_col)
+    base = _toks_frame(df, toks_df, id_col, text_col)
+    toks = F.col("toks")
     n = F.size(toks)
     zipped = F.arrays_zip(
         F.slice(toks, 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
         F.slice(toks, 2, F.greatest(n - 1, F.lit(0))).alias("w2"),
     )
-    return df.select(
+    return base.select(
         F.col(id_col), F.explode(zipped).alias("p")
     ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
 
 
 def train_bigram_lm(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    toks_df: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Count model: returns ``(unigrams, bigrams)`` where unigrams is
     ``(w, c)`` and bigrams is ``(w1, w2, c12, c1)`` — c1 denormalized
     onto the bigram row at train time so scoring's seen-bigram branch
     needs ONE join, not two. One count-shuffle each, both with map-side
-    partial aggregation; output is vocabulary-sized."""
-    toks = df.select(F.explode(_tokens(text_col)).alias("w"))
+    partial aggregation; output is vocabulary-sized. Pass ``toks_df``
+    (a materialized :func:`tokenize_docs` frame) to avoid re-running
+    the tokenizer regex over the corpus per count family."""
+    base = _toks_frame(df, toks_df, id_col, text_col)
+    toks = base.select(F.explode(F.col("toks")).alias("w"))
     unigrams = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     bigrams = (
-        _pairs(df, id_col, text_col)
+        _pairs(df, id_col, text_col, toks_df=toks_df)
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
         .join(
@@ -102,6 +144,7 @@ def lm_score(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_avg_bits: float = 8.0,
+    toks_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document fluency: total/average stupid-backoff code length in
     bits over adjacent-pair transitions.
@@ -110,9 +153,11 @@ def lm_score(
     ``avg_bits`` is NULL for docs with <2 tokens (nothing to score) and
     those are not fluent. ``total_tokens`` is the training-corpus token
     count — a single driver scalar (bounded metadata, same class as the
-    broadcast-scalar subquery patterns).
+    broadcast-scalar subquery patterns). Pass ``toks_df`` (materialized
+    :func:`tokenize_docs` output for ``docs``) to score from the
+    already-tokenized frame instead of re-running the regex.
     """
-    pairs = _pairs(docs, id_col, text_col)
+    pairs = _pairs(docs, id_col, text_col, toks_df=toks_df)
     scored = (
         pairs.join(bigrams, ["w1", "w2"], "left")
         .join(

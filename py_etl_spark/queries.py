@@ -1684,12 +1684,20 @@ def cm_estimate_heavy_users(spark, sf_dir):
     "plan; train = 2 count-shuffles, score = 2 model joins + 1 doc agg",
 )
 def lm_fluency_bits(spark, sf_dir):
-    from py_etl_spark.operators.lm import lm_score, train_bigram_lm
+    from py_etl_spark.operators.lm import lm_score, tokenize_docs, train_bigram_lm
 
     docs = _t(spark, sf_dir, "documents")
-    unigrams, bigrams = train_bigram_lm(docs)
+    # Tokenize ONCE: train + score walk the token stream 4x (unigrams,
+    # bigram pairs, total scalar, scoring pairs); materializing the
+    # narrow (doc_id, toks) frame turns 4 corpus regex passes into 1
+    # (r08, measured sf10: 45.9 -> see SCALING.md). Blocks are freed
+    # with the frame's RDD by the ContextCleaner.
+    toks = tokenize_docs(docs).localCheckpoint(eager=True)
+    unigrams, bigrams = train_bigram_lm(toks_df=toks)
     total = unigrams.agg(F.sum("c")).collect()[0][0]
-    return lm_score(docs, unigrams, bigrams, total_tokens=int(total))
+    return lm_score(
+        docs, unigrams, bigrams, total_tokens=int(total), toks_df=toks
+    )
 
 
 @query(
