@@ -246,6 +246,15 @@ def pack_chunks(
             F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
         ).cast("long"),
     )
+    # NOTE on task fan-out (r08): do NOT "fix" task balance with an
+    # explicit repartition(num_shards, "shard") — hashing a
+    # num_shards-valued key into num_shards partitions collides
+    # (measured: 64→64 left tasks holding 0-4 shards, task-row ratio
+    # 4.0). Let AQE coalesce the groupBy exchange instead: with shards
+    # FINER than the expected task count it bin-packs several per task
+    # and per-task rows even out; at scale, shards exceed the advisory
+    # partition size, coalescing stops, and balance converges to the
+    # md5 hash balance (pinned ~1.0 by the shard-balance unit test).
     return prepared.groupBy("shard").applyInPandas(pack, schema=out_schema)
 
 

@@ -5060,8 +5060,8 @@ def bpe_train_merges(spark, sf_dir):
       FROM c
       WHERE len(list_slice(toks, chunk_id * 50 + 1, chunk_id * 50 + 50)) > 0
     ), ordered AS (
-      SELECT CAST(h % 8 AS INTEGER) AS shard, doc_id, chunk_id, n,
-             row_number() OVER (PARTITION BY h % 8
+      SELECT CAST(h % 256 AS INTEGER) AS shard, doc_id, chunk_id, n,
+             row_number() OVER (PARTITION BY h % 256
                                 ORDER BY h, doc_id, chunk_id) AS rn
       FROM ch
     ), packed AS (
@@ -5092,7 +5092,7 @@ def corpus_pack_examples(spark, sf_dir):
     from py_etl_spark.operators.corpus import chunk_documents, pack_chunks
 
     chunks = chunk_documents(_t(spark, sf_dir, "documents"), chunk_tokens=50)
-    return pack_chunks(chunks, context_tokens=200, num_shards=8).select(
+    return pack_chunks(chunks, context_tokens=200, num_shards=256).select(
         "shard", "doc_id", "chunk_id", "n_chunk_tokens", "example_id"
     )
 
@@ -5116,9 +5116,9 @@ def corpus_pack_examples(spark, sf_dir):
       FROM c
       WHERE len(list_slice(toks, chunk_id * 50 + 1, chunk_id * 50 + 50)) > 0
     ), ordered AS (
-      SELECT CAST(h % 8 AS INTEGER) AS shard, doc_id, h, chunk_id,
+      SELECT CAST(h % 256 AS INTEGER) AS shard, doc_id, h, chunk_id,
              len(ct) AS n, array_to_string(ct, ' ') AS chunk,
-             row_number() OVER (PARTITION BY h % 8
+             row_number() OVER (PARTITION BY h % 256
                                 ORDER BY h, doc_id, chunk_id) AS rn
       FROM ch
     ), packed AS (
@@ -5155,7 +5155,7 @@ def corpus_assemble_examples(spark, sf_dir):
     )
 
     chunks = chunk_documents(_t(spark, sf_dir, "documents"), chunk_tokens=50)
-    packed = pack_chunks(chunks, context_tokens=200, num_shards=8)
+    packed = pack_chunks(chunks, context_tokens=200, num_shards=256)
     return assemble_examples(packed).select(
         "shard", "example_id", "n_chunks", "example_tokens", "example_text"
     )

@@ -545,6 +545,41 @@ def test_pack_chunks_budget_exactly_once_and_repartition_stable(spark):
     ) == sorted((r.shard, r.doc_id, r.chunk_id, r.example_id) for r in rows)
 
 
+def test_pack_chunks_shard_fanout_and_balance(spark):
+    """Scale contract for the packing shuffle: the md5 hash-shard
+    assignment must (a) populate every shard once docs >> shards — the
+    per-task parallelism lever the docstring promises at 100 TB — and
+    (b) balance rows across shards (max/median bounded), so the
+    applyInPandas walk has no hot task. The r07 sf10 bench measured
+    task-row skew 1.99 on this operator: that was 8 shards being
+    AQE-coalesced into 7 tasks (partition-count granularity, not a hot
+    key); the registry queries now run num_shards=64."""
+    from py_etl_spark.operators.corpus import pack_chunks
+
+    import statistics
+
+    # ~1250 rows/shard: large enough that md5-bucket Poisson noise sits
+    # well under the bound (stddev ~sqrt(1250) => max/median ~1.1); the
+    # r07 flag fired at tiny per-shard sizes where count granularity,
+    # not hashing, set the ratio.
+    n_docs, shards = 40_000, 64
+    chunks = spark.range(n_docs).selectExpr(
+        "id AS doc_id",
+        "explode(array(0L, 1L)) AS chunk_id",
+    ).selectExpr(
+        "doc_id", "chunk_id", "40 + (doc_id * 7 + chunk_id) % 20 AS n_chunk_tokens"
+    )
+    packed = pack_chunks(chunks, context_tokens=200, num_shards=shards)
+    per_shard = {
+        r.shard: r.n
+        for r in packed.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    }
+    assert len(per_shard) == shards  # every shard populated
+    counts = sorted(per_shard.values())
+    ratio = counts[-1] / statistics.median(counts)
+    assert ratio <= 1.2, (ratio, counts[-1], statistics.median(counts))
+
+
 def test_hopping_window_multiplicity(spark):
     from py_etl_spark.schemas import load_table
     from tests.conftest import SF_MED
