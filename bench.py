@@ -216,6 +216,17 @@ SF10_SUBSET = [
     # watch
     "token_pmi_pairs",
     "corpus_top_bigrams",
+    # r08 widening (VERDICT r07 item 3): the highest-shuffle / heaviest-
+    # sf1 plans that had never seen 10x data — the 100x claim should
+    # rest on measured trajectories, not plan arguments
+    "q21_last_shipper",          # sf1 worst-5 (7.2 s), 4-way self-join
+    "dq_check_star_fks",         # 10 shuffles (FK sweep over all dims)
+    "hll_grouping_sets_docs",    # 12 shuffles (grouping-set rollups)
+    "quality_rank_ensemble",     # 6 shuffles, 3.9 s at sf0.1
+    "retrieval_rrf_fusion",      # rank fusion, multi-branch window
+    "embedding_moments_matrix",  # d^2 map-side partials
+    "ann_cosine_topk_twostage",  # int8 prefilter + exact rerank
+    "scd2_apply_incremental",    # interval-partitioned merge
 ]
 
 # Historical note (r02-r05): the sf1 block ran a hand-picked

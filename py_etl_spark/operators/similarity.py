@@ -732,55 +732,66 @@ def embedding_moments_int(
 
     Driver-side :func:`pca_from_moments` turns this into mean/cov/PCA.
 
-    Plan: the d(d+1)/2 pair terms are built as ONE nested-transform
-    array expression and exploded map-side; the only shuffle is the
-    (i, j) sum, and with map-side partial aggregation each task emits
-    at most d(d+1)/2 + d + 1 partial rows — shuffle volume is bounded
-    by tasks·d², independent of row count (same posture as the CM/HLL
-    sketch builds). Overflow bound: n·(scale·max|x|)² must stay below
-    2^63 — at scale=1e5 and |x| ≤ 1 that allows ~9×10⁸ rows per job;
+    Plan: quantization stays a Spark Column expression (F.round's
+    half-away-from-zero is the cross-engine contract; numpy's round is
+    banker's and must NOT touch the values), then an Arrow-batched
+    ``mapInPandas`` accumulates one integer Gram matrix per TASK —
+    ``G += Qᵀ·Q`` in numpy int64, a vectorized C loop — and emits
+    d(d+1)/2 + d + 1 partial rows; the only shuffle is the (i, j)
+    partial sum, bounded by tasks·d² rows, independent of row count
+    (same posture as the CM/HLL sketch builds). This replaced the r07
+    shape (per-row nested-transform explode of d(d+1)/2 structs): the
+    interpreted-HOF struct build dominated at scale — sf10 same-session
+    A/B min-of-2: 23.4 s → 2.9 s, parity exact (SCALING.md §5).
+    Overflow bound: n·(scale·max|x|)² must stay below 2^63 — at
+    scale=1e5 and |x| ≤ 1 that allows ~9×10⁸ rows per job;
     shard-and-merge (the moment rows are plain-sum mergeable) or lower
     the scale beyond that.
     """
+    import numpy as np
+    import pandas as pd
+
     q = F.transform(
         F.col(vec_col).cast("array<double>"),
         lambda x: F.round(x * F.lit(scale)).cast("long"),
     )
     base = df.select(q.alias("__q"))
-    idx = F.sequence(F.lit(0), F.lit(dim - 1))
-    qi = lambda i: F.element_at(F.col("__q"), (i + 1).cast("int"))  # noqa: E731
-    pair_terms = F.flatten(
-        F.transform(
-            idx,
-            lambda i: F.transform(
-                F.sequence(i, F.lit(dim - 1)),
-                lambda j: F.struct(
-                    i.cast("int").alias("i"),
-                    j.cast("int").alias("j"),
-                    (qi(i) * qi(j)).alias("p"),
+
+    def gram_partials(batches):
+        G = np.zeros((dim, dim), dtype=np.int64)
+        s1 = np.zeros(dim, dtype=np.int64)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.stack(pdf["__q"].to_numpy()).astype(np.int64)
+            G += Q.T @ Q
+            s1 += Q.sum(axis=0)
+            n += len(Q)
+        iu = np.triu_indices(dim)
+        yield pd.concat(
+            [
+                pd.DataFrame(
+                    {
+                        "i": iu[0].astype("int32"),
+                        "j": iu[1].astype("int32"),
+                        "s": G[iu],
+                    }
                 ),
-            ),
+                pd.DataFrame(
+                    {
+                        "i": np.arange(dim, dtype="int32"),
+                        "j": np.full(dim, -1, dtype="int32"),
+                        "s": s1,
+                    }
+                ),
+                pd.DataFrame({"i": [-1], "j": [-1], "s": [n]}),
+            ],
+            ignore_index=True,
         )
-    )
-    moments = (
-        base.select(F.explode(pair_terms).alias("t"))
-        .groupBy(F.col("t.i").alias("i"), F.col("t.j").alias("j"))
-        .agg(F.sum("t.p").alias("s"))
-    )
-    first_terms = F.transform(
-        idx, lambda i: F.struct(i.cast("int").alias("i"), qi(i).alias("p"))
-    )
-    firsts = (
-        base.select(F.explode(first_terms).alias("t"))
-        .groupBy(F.col("t.i").alias("i"))
-        .agg(F.lit(-1).cast("int").alias("j"), F.sum("t.p").alias("s"))
-    )
-    count = base.agg(
-        F.lit(-1).cast("int").alias("i"),
-        F.lit(-1).cast("int").alias("j"),
-        F.count(F.lit(1)).alias("s"),
-    )
-    return moments.unionByName(firsts).unionByName(count)
+
+    partials = base.mapInPandas(gram_partials, schema="i int, j int, s long")
+    return partials.groupBy("i", "j").agg(F.sum("s").alias("s"))
 
 
 def pca_from_moments(

@@ -648,10 +648,14 @@ def test_audio_windows_arrow_batched_single_bucketing_shuffle(spark):
 def test_embedding_moments_bounded_shuffles_no_python(spark):
     df = Q.REGISTRY["embedding_moments_matrix"].fn(spark, SF_MED)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # pair/first/count aggs — each map-side partial bounds shuffle volume
-    # at tasks·d² rows; the nested-transform outer product is pure JVM
-    assert shuffle_count(df) == 3
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # ONE shuffle: the (i, j) partial-Gram sum, bounded at tasks·d² rows.
+    # The Gram accumulation itself is an Arrow-batched mapInPandas
+    # (vectorized numpy int64 — r08, replaced the 3-agg nested-transform
+    # explode that was 8x slower at sf10); quantization stays a JVM
+    # Column expression so rounding semantics never touch numpy.
+    assert shuffle_count(df) == 1
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
 
 
 def test_hll_grouping_sets_no_cartesian_bounded(spark):
