@@ -133,14 +133,37 @@ def check_constraints(df: DataFrame, constraints: list[Constraint]) -> DataFrame
             reports.append(dup.select(F.lit(name).alias("check_name"), "n_violations"))
         elif kind == "fk":
             col, dim, dim_col, bcast = payload
-            keys = dim.select(F.col(dim_col).alias(col)).distinct()
+            keys = dim.select(F.col(dim_col).alias(col))
             if bcast:
-                keys = F.broadcast(keys)
-            orphans = (
-                df.filter(F.col(col).isNotNull())
-                .join(keys, on=col, how="left_anti")
-                .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
-            )
+                # distinct only pays on the broadcast path (smaller
+                # build side); an anti-join is set-semantic, so dim
+                # duplicates never multiply rows either way
+                orphans = (
+                    df.filter(F.col(col).isNotNull())
+                    .join(F.broadcast(keys.distinct()), on=col, how="left_anti")
+                    .agg(
+                        F.count(F.lit(1)).cast("long").alias("n_violations")
+                    )
+                )
+            else:
+                # fact-sized dim: pre-aggregate the fact to (key, rows)
+                # with map-side combine, anti-join keys-vs-keys, then
+                # sum the per-key row counts back — the shuffle carries
+                # distinct-key partials instead of every fact row
+                # (r08, sf10 min-of-2: 18.6 -> 5.6 s on
+                # lineitem->orders; the dim-side distinct was dropped
+                # as pure waste)
+                orphans = (
+                    df.filter(F.col(col).isNotNull())
+                    .groupBy(col)
+                    .agg(F.count(F.lit(1)).alias("__n"))
+                    .join(keys, on=col, how="left_anti")
+                    .agg(
+                        F.coalesce(F.sum("__n"), F.lit(0))
+                        .cast("long")
+                        .alias("n_violations")
+                    )
+                )
             reports.append(
                 orphans.select(F.lit(name).alias("check_name"), "n_violations")
             )
