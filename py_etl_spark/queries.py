@@ -8207,35 +8207,81 @@ def rolling_7d_distinct_users_hll(spark, sf_dir):
 # The external driver checks registry entries in dict order and caps its
 # list at 50. Emit the registry in an explicit priority order so the cap
 # lands on queries whose correctness is independently evidenced elsewhere:
-#   _FRONT (r07 rotation, exactly 50 — count pinned by
-#           test_queries_contract): the 10 queries whose plan or shared
-#           kernel changed in r07 (the _alpha_tokens tokenizer swap:
-#           token_pmi_pairs fused counts + windows, corpus_top_bigrams,
-#           search_posting_lists, posting_lists_incremental_merge,
-#           source_similarity_matrix, safety_blocklist_filter,
-#           vocab_coverage_report; pagerank_part_supplier BIGINT node
-#           encoding + 1-join loop; semantic_dedup_fixed byte-budget
-#           broadcast gate; dq_drift_doc_lengths parameterized overflow
-#           guard; bm25_search_topk native term counting), plus 39 of the 81 queries whose newest driver-green
-#           row is r03/r04 — the stalest evidence in the union
-#           (quality_compression_ratio excluded from the fill: it is
-#           declared rows-only, a window slot buys it nothing). The
-#           remaining 41 of that cohort rotate in r08.
-#   middle: the rest of the r03/r04 cohort — they keep their rows.
-#   _TAIL (50): the r06 window's greens (freshest evidence, cheapest to
-#           cede to the cap), topped up from the r05 window.
+#   _FRONT (r08 rotation, exactly 50 — count pinned by
+#           test_queries_contract): the 14 queries whose plan or shared
+#           kernel changed in r08 (the 7 _alpha_tokens sharers after the
+#           Unicode split-first fix; lm_fluency_bits' materialized token
+#           frame; corpus_pack/assemble_examples at num_shards=256;
+#           embedding_moments_matrix's numpy Gram rewrite;
+#           q21_last_shipper's collect_set decorrelation; the two dq FK
+#           queries after the pre-aggregated anti-join), plus 36 of the
+#           remaining 40 hash-able queries whose newest driver-green row
+#           is r03/r04 — the stalest evidence in the union
+#           (quality_compression_ratio / audio_window_features_synthetic
+#           excluded: declared rows-only, a window slot buys them
+#           nothing). Deferred to r09 (r04-green, property-backed corpus
+#           ops): corpus_augment_word_dropout, corpus_interleave_sources,
+#           corpus_sample_weighted, corpus_truncate_head_tail.
+#   middle: everything r05/r06-green that isn't prioritized.
+#   _TAIL (50): the r07 window's unchanged greens (freshest evidence,
+#           cheapest to cede to the cap), topped up from the r06 window.
 # tools/check_correctness.py runs the FULL registry regardless (committed
 # as CORRECTNESS_FULL_r*.json).
 _FRONT = [
-    "bm25_search_topk",
     "token_pmi_pairs",
     "corpus_top_bigrams",
-    "pagerank_part_supplier",
     "search_posting_lists",
     "posting_lists_incremental_merge",
     "source_similarity_matrix",
     "safety_blocklist_filter",
     "vocab_coverage_report",
+    "lm_fluency_bits",
+    "corpus_pack_examples",
+    "corpus_assemble_examples",
+    "embedding_moments_matrix",
+    "q21_last_shipper",
+    "dq_check_star_fks",
+    "dq_check_orders",
+    "ann_cosine_topk",
+    "q6_forecast_revenue",
+    "q14_promo_revenue_share",
+    "q18_large_volume_customers",
+    "json_props_extract",
+    "a8_distinct_and_percentile",
+    "e5_unpivot_metrics",
+    "g1_rollup",
+    "g2_cube",
+    "g3_pivot",
+    "sessionize_events",
+    "asof_latest_order_at_shipdate",
+    "st_hopping_window_agg",
+    "trending_event_types_hourly",
+    "events_anomaly_days",
+    "quality_boilerplate_lines",
+    "st_session_window_agg",
+    "hll_rollup_doc_ids",
+    "hll_grouping_sets_docs",
+    "event_transition_matrix",
+    "last_n_events_per_user",
+    "partition_gap_report",
+    "quality_rank_ensemble",
+    "embedding_outlier_scores",
+    "ann_hard_negatives",
+    "knn_label_agreement",
+    "scd2_point_in_time_features",
+    "split_leakage_report",
+    "asof_next_order_within_30d",
+    "feature_bucketize_order_prices",
+    "privacy_k_anonymity_report",
+    "events_cusum_alarm",
+    "retrieval_rrf_fusion",
+    "pareto_frontier_docs",
+    "rolling_7d_distinct_users_hll",
+    "stable_row_ids_docs",
+]
+_TAIL = [
+    "bm25_search_topk",
+    "pagerank_part_supplier",
     "semantic_dedup_fixed",
     "dq_drift_doc_lengths",
     "s3_point_lookup",
@@ -8277,8 +8323,6 @@ _FRONT = [
     "text_stats",
     "lang_id_heuristic",
     "dedup_minhash_portable_small",
-]
-_TAIL = [
     "bpe_train_merges",
     "fuzzy_join_part_names",
     "fuzzy_rerank_levenshtein",
@@ -8286,51 +8330,7 @@ _TAIL = [
     "dedup_keep_canonical",
     "a9_price_histogram",
     "ann_cosine_lsh",
-    "ann_ivf_topk_fixed",
-    "anonymize_email_domains",
-    "corpus_chunk_tokens",
-    "corpus_decontaminate_vs_benchmark",
-    "corpus_split_deterministic",
-    "corpus_token_budget_quota",
-    "dedup_cc_clusters",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "doc_winnow_fingerprints",
-    "embedding_near_dup",
-    "ivf_assign_fixed",
-    "jsonl_roundtrip_documents",
-    "ngram_jaccard_allpairs_small",
-    "pii_scrub_stats",
-    "profile_orders_table",
-    "q10_returned_revenue",
-    "q11_important_stock",
-    "q12_priority_lineclass",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_brand_revenue",
-    "q1_pricing_summary",
-    "q20_heavy_part_suppliers",
-    "q21_last_shipper",
-    "q22_idle_customer_balance",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority_exists",
-    "q5_local_supplier_volume",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "quality_filter_gopher",
-    "range_join_followup_events",
-    "s1_full_scan_projection",
-    "s2_keyset_range_scan",
-    "skew_salted_join_orders",
-    "token_count_bpe",
-    "embedding_label_centroids",
-    "user_event_sequences",
 ]
-
 
 def _ordered_registry() -> dict[str, QuerySpec]:
     front = [n for n in _FRONT if n in REGISTRY]
