@@ -126,41 +126,43 @@ def chunk_documents(
     Output: ``(id_col, chunk_id, n_chunk_tokens, chunk)`` with
     ``chunk = the i-th run of chunk_tokens tokens re-joined by spaces``.
 
-    Entirely MAP-SIDE: tokenize (JVM regex) → explode one chunk index per
-    ``chunk_tokens`` tokens → slice. No shuffle, no Python — chunking a
-    100 TB corpus is embarrassingly parallel and this plan keeps it that
-    way. The per-doc token array lives only inside one task's row scope,
-    so memory is bounded by the largest single document, not the corpus.
+    Entirely MAP-SIDE: tokenize (JVM regex) → pre-slice every chunk
+    inside ONE transform → posexplode the sliced arrays. No shuffle, no
+    Python — chunking a 100 TB corpus is embarrassingly parallel and
+    this plan keeps it that way. The per-doc token array lives only
+    inside one task's row scope, so memory is bounded by the largest
+    single document, not the corpus.
+
+    ORDER MATTERS (r08): the previous shape exploded a chunk INDEX next
+    to the full token array and sliced afterwards — each output row
+    carried the WHOLE document's tokens, O(doc_tokens × chunks_per_doc)
+    materialized bytes, quadratic in doc length. Slicing before the
+    explode keeps every token in exactly one output row: sf10
+    same-session A/B min-of-2, 24.2 → 5.9 s, identical rows. The
+    tokenize itself is evaluated once per row (``__toks`` is a
+    materialized projection column, not re-evaluated per transform
+    element).
     """
     toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
-    n = F.size(toks)
+    step1 = df.select(F.col(id_col), toks.alias("__toks"))
+    n = F.size(F.col("__toks"))
     n_chunks = F.ceil(n / F.lit(float(chunk_tokens))).cast("int")
-    out = (
-        df.select(
-            F.col(id_col),
-            toks.alias("__toks"),
-            F.explode(
-                F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
-            ).alias("chunk_id"),
-        )
-        .select(
-            id_col,
-            F.col("chunk_id").cast("long").alias("chunk_id"),
-            F.slice(
-                F.col("__toks"),
-                F.col("chunk_id") * chunk_tokens + 1,
-                F.lit(chunk_tokens),
-            ).alias("__chunk_toks"),
+    chunks_arr = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+        lambda i: F.slice(F.col("__toks"), i * chunk_tokens + 1, chunk_tokens),
+    )
+    return (
+        step1.select(
+            id_col, F.posexplode(chunks_arr).alias("chunk_id", "__chunk_toks")
         )
         .filter(F.size("__chunk_toks") > 0)
         .select(
             id_col,
-            "chunk_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
             F.size("__chunk_toks").cast("long").alias("n_chunk_tokens"),
             F.concat_ws(" ", F.col("__chunk_toks")).alias("chunk"),
         )
     )
-    return out
 
 
 def next_fit_pack(sizes: list[int], budget: int) -> list[int]:

@@ -5122,9 +5122,18 @@ def corpus_pack_examples(spark, sf_dir):
     from py_etl_spark.operators.corpus import chunk_documents, pack_chunks
 
     chunks = chunk_documents(_t(spark, sf_dir, "documents"), chunk_tokens=50)
-    return pack_chunks(chunks, context_tokens=200, num_shards=256).select(
-        "shard", "doc_id", "chunk_id", "n_chunk_tokens", "example_id"
-    )
+    # applyInPandas is a column-pruning barrier: every input column
+    # rides the shard shuffle and the Arrow round-trip. This report
+    # needs only the assignment, so drop the chunk text BEFORE packing
+    # (the walk keys on ids + sizes alone) — assemble_examples keeps
+    # text flowing because its output genuinely carries it. Local
+    # wall-time is tokenize-dominated (sf10 ~20 s either way); the cut
+    # is shuffle BYTES, which is what a networked cluster pays for.
+    return pack_chunks(
+        chunks.select("doc_id", "chunk_id", "n_chunk_tokens"),
+        context_tokens=200,
+        num_shards=256,
+    ).select("shard", "doc_id", "chunk_id", "n_chunk_tokens", "example_id")
 
 
 @query(
