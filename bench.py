@@ -227,6 +227,19 @@ SF10_SUBSET = [
     "embedding_moments_matrix",  # d^2 map-side partials
     "ann_cosine_topk_twostage",  # int8 prefilter + exact rerank
     "scd2_apply_incremental",    # interval-partitioned merge
+    # second r08 widening: one representative per remaining plan family
+    # that had no measured second decade — the 100x claim should rest
+    # on trajectories across ALL plan shapes, not just the worst-cost
+    # ones (each smoked at sf10 first: every warm ratio <= ~6x)
+    "q9_product_profit",            # 5-way star join + profit agg
+    "q13_order_count_distribution", # outer join + count distribution
+    "user_event_sequences",         # per-user ordered event arrays
+    "sessionize_events",            # gap-based sessionization windows
+    "range_join_followup_events",   # time-range self join
+    "st_session_window_agg",        # session windows (streaming semantics)
+    "privacy_k_anonymity_report",   # k-anon grouping (r07 noise regressor)
+    "cm_sketch_events",             # count-min sketch build
+    "rolling_7d_distinct_users_hll",# rolling HLL distinct
 ]
 
 # Historical note (r02-r05): the sf1 block ran a hand-picked
