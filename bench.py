@@ -596,24 +596,71 @@ def _task_skew_since(spark, after_stage: int):
     return worst
 
 
-def _run_block(qs, names, sf_dir: str, reps: int, spark, skew=None):
+def _run_block(
+    qs, names, sf_dir: str, reps: int, spark, skew=None,
+    stable_ratio: float = 1.3, extra_reps: int = 4, meta=None,
+):
+    """Time each query; per-query min and median.
+
+    Adaptive-rep protocol (r09, VERDICT r08 item 1): a fixed min-of-3
+    could not adjudicate multi-action queries — fns that run driver-side
+    jobs while BUILDING the DataFrame (IVF training collects, boundary
+    samples) pay per-rep Catalyst compile + orchestration whose noise
+    floor exceeds the signal (ivf_assign_fixed recorded 1.04 s in r07
+    and 5.74 s in r08 with zero code change on its path; fresh-session
+    reps spanned 6.6 -> 2.6 s). The fix: a min is only reported as
+    STABLE when a second sample corroborates it within ``stable_ratio``;
+    until then keep running extra reps (up to ``reps + extra_reps``).
+    Cheap stable queries still run exactly ``reps`` times; only noisy
+    ones pay extra. Per-query rep counts, corroboration flags, and the
+    build-vs-execute split of the best rep land in ``meta`` so an
+    uncorroborated min is visible in the detail file instead of being
+    silently compared across rounds.
+    """
     mins: dict[str, float] = {}
     medians: dict[str, float] = {}
     for name in names:
-        samples = []
-        for i in range(reps):
+        samples: list[float] = []
+        builds: list[float] = []
+        i = 0
+        while True:
             watermark = _max_stage_id(spark) if (
                 skew is not None and i == reps - 1
             ) else None
             t0 = time.time()
-            qs[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            df = qs[name](spark, sf_dir)
+            t1 = time.time()
+            df.write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
+            builds.append(t1 - t0)
             if watermark is not None:
                 skew[name] = _task_skew_since(spark, watermark)
+            i += 1
+            if i < reps:
+                continue
+            s = sorted(samples)
+            if (
+                reps == 1
+                or s[1] <= s[0] * stable_ratio
+                or i >= reps + extra_reps
+            ):
+                break
         mins[name] = round(min(samples), 3)
         medians[name] = round(statistics.median(samples), 3)
+        if meta is not None:
+            s = sorted(samples)
+            best = samples.index(min(samples))
+            meta[name] = {
+                "n_reps": i,
+                "min_corroborated": bool(
+                    reps > 1 and s[1] <= s[0] * stable_ratio
+                ),
+                # fn-call time of the best rep: driver-side orchestration
+                # (plan build + any collect-backed sub-jobs) vs the noop
+                # write that executes the returned plan
+                "build_sec": round(builds[best], 3),
+                "exec_sec": round(samples[best] - builds[best], 3),
+            }
     return mins, medians
 
 
@@ -633,7 +680,10 @@ def main() -> None:
     qs["semantic_dedup_fixedcell"] = _semantic_dedup_fixedcell
     # warm the JVM/codegen paths once with a trivial action
     spark.range(1).count()
-    mins, medians = _run_block(qs, HEADLINE, sf_dir, reps, spark)
+    rep_meta: dict = {}
+    mins, medians = _run_block(
+        qs, HEADLINE, sf_dir, reps, spark, meta=rep_meta
+    )
     total = round(sum(mins.values()), 3)
 
     def worst5(d: dict[str, float]) -> dict[str, float]:
@@ -652,6 +702,12 @@ def main() -> None:
         # this normalized mean, not raw totals
         "n_queries": len(mins),
         "mean_sec_per_query": round(total / max(len(mins), 1), 3),
+        # r09 protocol: per-query adaptive-rep evidence — n_reps,
+        # whether the min was corroborated by a second sample within
+        # 1.3x, and the build(fn-call)/execute(noop write) split of the
+        # best rep. An uncorroborated min is NOT comparable across
+        # rounds (the r08 ivf_assign_fixed lesson).
+        "rep_meta": rep_meta,
     }
 
     detail_file = os.environ.get(
@@ -699,6 +755,7 @@ def main() -> None:
             compact["sf10"] = {
                 "total": detail["sf10"]["total"],
                 "n_queries": len(detail["sf10"]["queries"]),
+                "n_smoke": len(detail["sf10"].get("smoke_queries", {})),
                 "superlinear_flags": detail["sf10"]["superlinear_flags"],
             }
         for k in ("semdedup_sqrtk_posture", "semdedup_fixedcell_posture"):
@@ -729,8 +786,9 @@ def main() -> None:
         _build_replica(spark, sf_dir, sf1_dir)
         build_sec = round(time.time() - t0, 3)
         sf1_reps = max(2, reps - 1)
+        sf1_meta: dict = {}
         s_mins, s_medians = _run_block(
-            qs, HEADLINE, sf1_dir, sf1_reps, spark
+            qs, HEADLINE, sf1_dir, sf1_reps, spark, meta=sf1_meta
         )
         # per-query first-decade ratio: sf1 min / sf0.1 min. Floor the
         # denominator at 50 ms — below that the "ratio" measures job
@@ -750,6 +808,7 @@ def main() -> None:
             "reps": sf1_reps,
             "queries": s_mins,
             "queries_median": s_medians,
+            "rep_meta": sf1_meta,
             "ratio_vs_sf0.1": ratios1,
             "total": round(sum(s_mins.values()), 3),
         }
@@ -779,9 +838,10 @@ def main() -> None:
                 2, int(os.environ.get("SPARK_GRAFT_SF10_REPS", "2"))
             )
             sf10_skew: dict = {}
+            sf10_meta: dict = {}
             t_mins, _ = _run_block(
                 qs, SF10_SUBSET, sf10_dir, sf10_reps, spark,
-                skew=sf10_skew,
+                skew=sf10_skew, extra_reps=2, meta=sf10_meta,
             )
             ratios2 = {
                 n: round(t_mins[n] / max(s_mins[n], 0.05), 2)
@@ -798,6 +858,45 @@ def main() -> None:
             # margin; ratio2/ratio1 curvature still lands in the detail
             # for trend reading.
             flags = sorted(n for n in ratios2 if ratios2[n] > 11.5)
+            # Smoke pass (VERDICT r08 item 3): one rep at sf10 for EVERY
+            # remaining headline query, so the 100x claim rests on a
+            # measured trajectory for all of them, not a family-sampling
+            # argument. One rep is enough for the cheap tail; anything
+            # whose single-rep decade ratio flags gets a confirming
+            # min-of-2 before judging (the first sf10 touch of a table
+            # is always cold — st_session measured 23 s cold / 2.8 s
+            # warm in r08). Disable with SPARK_GRAFT_SF10_SMOKE=0.
+            smoke_mins: dict = {}
+            smoke_ratios: dict = {}
+            if os.environ.get("SPARK_GRAFT_SF10_SMOKE", "1") != "0":
+                smoke_names = [
+                    n for n in HEADLINE if n not in SF10_SUBSET
+                ]
+                smoke_mins, _ = _run_block(
+                    qs, smoke_names, sf10_dir, 1, spark
+                )
+                suspects = [
+                    n for n in smoke_names
+                    if smoke_mins[n] / max(s_mins.get(n, 0.0), 0.05)
+                    > 11.5
+                ]
+                if suspects:
+                    re_mins, _ = _run_block(
+                        qs, suspects, sf10_dir, 2, spark, extra_reps=2
+                    )
+                    for n in suspects:
+                        smoke_mins[n] = min(smoke_mins[n], re_mins[n])
+                smoke_ratios = {
+                    n: round(
+                        smoke_mins[n] / max(s_mins.get(n, 0.0), 0.05), 2
+                    )
+                    for n in smoke_names
+                    if n in s_mins
+                }
+                flags = sorted(
+                    set(flags)
+                    | {n for n in smoke_ratios if smoke_ratios[n] > 11.5}
+                )
             detail["sf10"] = {
                 "sf": 10.0,
                 "dir": sf10_dir,
@@ -810,6 +909,12 @@ def main() -> None:
                 "reps": sf10_reps,
                 "queries": t_mins,
                 "task_skew": sf10_skew,
+                "rep_meta": sf10_meta,
+                "smoke_queries": smoke_mins,
+                "smoke_ratio_vs_sf1": smoke_ratios,
+                "smoke_note": "1 rep (cold-cache caveat; min-of-2 "
+                              "confirm for any flag) — every headline "
+                              "query now has an sf10 data point",
                 "ratio_vs_sf1": ratios2,
                 "ratio_vs_sf0.1_decade1": {
                     n: ratios1.get(n) for n in t_mins
@@ -855,11 +960,15 @@ def main() -> None:
         n_events = spark.read.parquet(
             os.path.join(sf1_dir, "events.parquet")
         ).count()
-        cdc_mins, _ = _run_block(qs, ["cdc_merge_scd1"], sf1_dir, 2, spark)
+        cdc_meta: dict = {}
+        cdc_mins, _ = _run_block(
+            qs, ["cdc_merge_scd1"], sf1_dir, 2, spark, meta=cdc_meta
+        )
         cdc_wall = cdc_mins["cdc_merge_scd1"]
         detail["cdc_throughput"] = {
             "events": n_events,
             "wall_sec": cdc_wall,
+            "rep_meta": cdc_meta["cdc_merge_scd1"],
             "events_per_sec": round(n_events / max(cdc_wall, 1e-9)),
             "reference_ceiling_events_per_sec": 5,
             "note": "cdc_merge_scd1 (window + merge kernel) over the "

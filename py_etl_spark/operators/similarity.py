@@ -732,6 +732,14 @@ def embedding_moments_int(
 
     Driver-side :func:`pca_from_moments` turns this into mean/cov/PCA.
 
+    Null handling: rows whose vector is NULL, contains a NULL element,
+    or is not exactly ``dim`` long are DROPPED (listwise) before the
+    numpy stage. Arrow surfaces null array elements as float NaN, and
+    ``astype(np.int64)`` would silently turn NaN into INT64_MIN garbage
+    (and ``np.stack`` raises on ragged input) — the guard makes the
+    non-null/fixed-width precondition explicit and keeps every moment
+    row (sums AND count) consistent over the same filtered population.
+
     Plan: quantization stays a Spark Column expression (F.round's
     half-away-from-zero is the cross-engine contract; numpy's round is
     banker's and must NOT touch the values), then an Arrow-batched
@@ -755,7 +763,11 @@ def embedding_moments_int(
         F.col(vec_col).cast("array<double>"),
         lambda x: F.round(x * F.lit(scale)).cast("long"),
     )
-    base = df.select(q.alias("__q"))
+    base = df.select(q.alias("__q")).where(
+        F.col("__q").isNotNull()
+        & (F.size("__q") == dim)
+        & ~F.exists("__q", lambda e: e.isNull())
+    )
 
     def gram_partials(batches):
         G = np.zeros((dim, dim), dtype=np.int64)

@@ -61,18 +61,24 @@ def _checkpoint_run_token(checkpoint: str) -> str:
         pass
     os.makedirs(checkpoint, exist_ok=True)
     tok = uuid.uuid4().hex
-    # O_CREAT|O_EXCL so exactly one token wins if two drivers race on an
-    # empty checkpoint dir: an os.replace here could clobber the first
-    # driver's token, leaving it with an in-memory lineage no longer on
-    # disk (a later restart would re-apply its committed batches). On
-    # EEXIST, adopt the winner's token.
+    # Write the token to a private tmp file first, then publish with
+    # os.link — an atomic create-if-absent that only ever exposes a
+    # COMPLETE token. The earlier O_EXCL-open-then-write left a window
+    # where a losing driver could read the winner's still-empty file and
+    # return "" as its run token, defeating the replay-guard lineage key
+    # (the read path above treats an empty token as invalid). link also
+    # keeps the no-clobber property: exactly one creator wins; on EEXIST
+    # adopt the winner's (necessarily complete) token.
+    tmp_file = f"{token_file}.tmp.{tok}"
+    with open(tmp_file, "w") as fh:
+        fh.write(tok)
     try:
-        fd = os.open(token_file, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+        os.link(tmp_file, token_file)
     except FileExistsError:
         with open(token_file) as fh:
-            return fh.read().strip()
-    with os.fdopen(fd, "w") as fh:
-        fh.write(tok)
+            tok = fh.read().strip()
+    finally:
+        os.unlink(tmp_file)
     return tok
 
 

@@ -553,7 +553,8 @@ def test_pack_chunks_shard_fanout_and_balance(spark):
     applyInPandas walk has no hot task. The r07 sf10 bench measured
     task-row skew 1.99 on this operator: that was 8 shards being
     AQE-coalesced into 7 tasks (partition-count granularity, not a hot
-    key); the registry queries now run num_shards=64."""
+    key); the registry queries now run num_shards=256 (r08 raised
+    64 -> 256 for cluster-scale task granularity)."""
     from py_etl_spark.operators.corpus import pack_chunks
 
     import statistics
@@ -1965,6 +1966,41 @@ def test_embedding_moments_and_pca_recover_principal_axis(spark):
     # moments are integer-exact: repartitioning changes nothing at all
     again = embedding_moments_int(df.repartition(13), dim=d).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_embedding_moments_drops_null_and_ragged_vectors(spark):
+    """ADVICE r08 (similarity.py): Arrow surfaces null array elements as
+    float NaN, and astype(int64) turns NaN into INT64_MIN garbage (a
+    fully-null vector makes np.stack raise). The guard must drop rows
+    with a NULL vector, a NULL element, or the wrong width — the result
+    must equal running on the clean subset alone."""
+    from py_etl_spark.operators.similarity import embedding_moments_int
+
+    d = 4
+    clean = [
+        (1, [1.0, 2.0, 3.0, 4.0]),
+        (2, [0.5, -1.0, 2.5, 0.0]),
+        (3, [-2.0, 0.25, 1.0, -0.75]),
+    ]
+    dirty = clean + [
+        (4, None),  # null vector
+        (5, [1.0, None, 3.0, 4.0]),  # null element -> NaN via Arrow
+        (6, [1.0, 2.0]),  # ragged width -> np.stack would raise
+    ]
+    schema = "vec_id long, embedding array<double>"
+    want = sorted(
+        map(tuple, embedding_moments_int(
+            spark.createDataFrame(clean, schema), dim=d
+        ).collect())
+    )
+    got = sorted(
+        map(tuple, embedding_moments_int(
+            spark.createDataFrame(dirty, schema), dim=d
+        ).collect())
+    )
+    assert got == want
+    n_row = [s for i, j, s in got if i == -1 and j == -1]
+    assert n_row == [len(clean)]
 
 
 def test_hll_grouped_merge_equals_direct_per_group(spark):

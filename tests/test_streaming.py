@@ -365,6 +365,28 @@ def test_check_liveness_staleness_bound():
     assert check_liveness(p, grace_s=1000) is True
 
 
+def test_run_token_race_never_yields_empty(tmp_path):
+    """ADVICE r08 (stream.py): the old O_EXCL-open-then-write published
+    the token file BEFORE its content existed, so a losing driver could
+    read "" and use an empty lineage key. The link-publish fix only ever
+    exposes a complete file. Hammer the mint from many threads on a
+    shared empty dir: every caller must get the SAME non-empty token,
+    exactly one token file must remain, and no tmp files may linger."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from py_etl_spark.streaming.stream import _checkpoint_run_token
+
+    ckpt = str(tmp_path / "ckpt")
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        toks = list(ex.map(lambda _: _checkpoint_run_token(ckpt), range(64)))
+    assert all(toks)  # never empty
+    assert len(set(toks)) == 1  # one winner, everyone adopts it
+    leftovers = [f for f in os.listdir(ckpt) if f.startswith("_run_token")]
+    assert leftovers == ["_run_token"]  # tmp files all unlinked
+    # idempotent re-read returns the persisted winner
+    assert _checkpoint_run_token(ckpt) == toks[0]
+
+
 def test_watermark_windowed_counts_batch_equivalence(spark):
     ev = spark.createDataFrame(
         [(1, "2024-01-01 00:05:00"), (2, "2024-01-01 00:40:00"), (3, "2024-01-01 01:10:00")],
