@@ -55,8 +55,32 @@ def deduplicate_exact(
 
 
 def _norm_tokens(text_col: str) -> F.Column:
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"[^a-z0-9\s]", " ")
-    return F.split(F.trim(norm), r"\s+")
+    """Normalized word tokens: maximal ``[a-z0-9]`` runs of the lowered
+    text, in order; a text with NO such runs yields ``[""]``; NULL stays
+    NULL. Oracle spelling (DuckDB, all 4 shingle-family oracles):
+    ``coalesce(nullif(list_filter(string_split_regex(lower(text),
+    '[^a-z0-9]+'), x -> x <> ''), []), [''])`` under a NULL-passthrough
+    CASE.
+
+    r09: this replaced the r02–r08 spelling
+    ``split(trim(regexp_replace(lower(trim(text)), '[^a-z0-9\\s]', ' ')),
+    '\\s+')`` on BOTH sides of the contract at once. The regexp_replace
+    idiom is a hidden full rewrite pass over every corpus byte —
+    measured at the 100× replica: 21.2 s vs 1.45 s for the identical
+    26M-token stream (the r07 `_alpha_tokens` lesson on the `[a-z0-9]`
+    alphabet); lower() still runs FIRST, so chars whose lowercase maps
+    into the class (U+212A → k) are kept exactly as before. The old
+    spelling also had a wart the new contract drops: SQL ``trim`` strips
+    spaces only, so text made of other whitespace ('\\t\\n') tokenized
+    to ['',''] instead of ['']. Token streams are identical for every
+    text containing ≥1 alnum char (verified corpus-wide at sf10: zero
+    diffs) and pinned for random Unicode by
+    test_norm_tokens_matches_contract_spelling."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+        lambda t: t != F.lit(""),
+    )
+    return F.when(F.size(toks) == 0, F.array(F.lit(""))).otherwise(toks)
 
 
 def _shingles(text_col: str, k: int = 3) -> F.Column:
@@ -239,14 +263,18 @@ def connected_components(
     """Cluster candidate pairs into duplicate groups: (node, cluster_id)
     where cluster_id = min node id reachable in the undirected pair graph.
 
-    Min-label propagation: each iteration every node takes the min of its
-    own label and its neighbours' labels — one equi-join on the edge list
-    plus one groupBy(min), both shuffling on node id, so a single iteration
-    costs two shuffles regardless of cluster count. Converges in
-    O(component diameter) iterations; near-dup graphs are unions of small
-    cliques (diameter ≲ 2), so the loop exits after 2–3 rounds in practice.
-    Lineage is cut with ``localCheckpoint`` per iteration so the plan stays
-    bounded (on a cluster: ``checkpoint`` against the checkpoint dir).
+    Min-label propagation over the edge-incident subgraph: each iteration
+    every node takes the min of its own label and its neighbours' labels.
+    The edge list is materialized hash-partitioned on the probe key and
+    labels stay hash-partitioned on node (localCheckpoint preserves
+    outputPartitioning), so an iteration costs ONE exchange bounded by
+    2·|E| rows (the neighbour-min groupBy) — the two label joins are
+    co-partitioned. Isolated nodes never ride the loop; they are attached
+    once at the end as singletons. Converges in O(component diameter)
+    iterations; near-dup graphs are unions of small cliques (diameter
+    ≲ 2), so the loop exits after 2–3 rounds in practice. Lineage is cut
+    with ``localCheckpoint`` per iteration so the plan stays bounded (on
+    a cluster: ``checkpoint`` against the checkpoint dir).
 
     Convergence witness: labels are MONOTONE non-increasing (every
     update is a min), so Σ labels strictly decreases on any effective
@@ -255,8 +283,9 @@ def connected_components(
     int64 wrap) — cheaper than the old two-label-set join + count.
 
     ``nodes``: one-column DataFrame of all node ids; isolated nodes (no
-    edges) become singleton clusters. Defaults to the ids present in
-    ``edges``.
+    edges) become singleton clusters and edge endpoints outside ``nodes``
+    are dropped (it defines the output universe). Defaults to the ids
+    present in ``edges``.
     """
     und = edges.select(
         F.col(src).cast("long").alias("node"), F.col(dst).cast("long").alias("nbr")
@@ -264,25 +293,31 @@ def connected_components(
         edges.select(
             F.col(dst).cast("long").alias("node"), F.col(src).cast("long").alias("nbr")
         )
-    ).localCheckpoint(eager=True)
+    ).repartition(F.col("nbr")).localCheckpoint(eager=True)
     # ^ materialized once: edges are typically the output of an expensive
     # candidate pipeline (LSH banding); without the checkpoint every
-    # iteration's action would re-run that whole lineage.
-    if nodes is None:
-        labels = (
-            und.select("node").distinct().select("node", F.col("node").alias("label"))
-        )
-    else:
-        id_col = nodes.columns[0]
-        labels = nodes.select(
-            F.col(id_col).cast("long").alias("node"),
-            F.col(id_col).cast("long").alias("label"),
-        )
-    labels = labels.localCheckpoint(eager=True)
-    # Name-based (USING) joins throughout: labels and und share lineage when
-    # nodes defaults from edges, and column-expression joins on same-exprId
-    # attributes fail Spark's ambiguous-self-join check; USING joins are
-    # auto-deduplicated.
+    # iteration's action would re-run that whole lineage. Partitioned by
+    # ``nbr`` — the propagate join's key — and localCheckpoint PRESERVES
+    # outputPartitioning (LogicalRDD keeps it), so the edge side never
+    # re-shuffles inside the loop.
+    #
+    # r09 shape: propagation runs over EDGE-INCIDENT nodes only. An
+    # isolated node can never change its label, yet the r08 union-based
+    # propagate shuffled every corpus node's label row through every
+    # iteration (n + 2|E| rows per groupBy). Now each iteration is one
+    # co-partitioned join (und by nbr ⋈ labels by node, no exchange) +
+    # one groupBy over ≤2|E| rows + one co-partitioned left join back —
+    # a single bounded-by-the-edge-set exchange per iteration; isolated
+    # nodes from ``nodes`` are attached once at the end as singletons.
+    labels = (
+        und.select("node")
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    # Name-based (USING) joins throughout: labels and und share lineage,
+    # and column-expression joins on same-exprId attributes fail Spark's
+    # ambiguous-self-join check; USING joins are auto-deduplicated.
 
     def label_sum(lbl: DataFrame):
         return lbl.agg(
@@ -290,25 +325,49 @@ def connected_components(
         ).collect()[0]["s"]
 
     def propagate(lbl: DataFrame) -> DataFrame:
-        nbr_labels = (
-            und.select(F.col("node").alias("dst"), F.col("nbr").alias("src"))
-            .join(lbl.select(F.col("node").alias("src"), "label"), "src")
-            .select(F.col("dst").alias("node"), "label")
+        nbr_min = (
+            und.join(
+                lbl.select(
+                    F.col("node").alias("nbr"), F.col("label").alias("nl")
+                ),
+                "nbr",
+            )
+            .groupBy("node")
+            .agg(F.min("nl").alias("nl"))
         )
         return (
-            lbl.select("node", "label")
-            .union(nbr_labels)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            lbl.join(nbr_min, "node", "left")
+            # least() skips NULLs, so a node whose neighbours are all
+            # higher-labelled (or absent) keeps its own label
+            .select("node", F.least("label", "nl").alias("label"))
             .localCheckpoint(eager=True)
         )
+
+    def finish(lbl: DataFrame) -> DataFrame:
+        out = lbl.select("node", F.col("label").alias("cluster_id"))
+        if nodes is not None:
+            id_col = nodes.columns[0]
+            # singletons attached ONCE here instead of riding every
+            # iteration; ``nodes`` also bounds the output universe (edge
+            # endpoints outside it are dropped)
+            out = (
+                nodes.select(F.col(id_col).cast("long").alias("node"))
+                .join(out, "node", "left")
+                .select(
+                    "node",
+                    F.coalesce("cluster_id", F.col("node")).alias(
+                        "cluster_id"
+                    ),
+                )
+            )
+        return out
 
     prev_sum = label_sum(labels)
     for _ in range(max_iter):
         labels = propagate(labels)
         new_sum = label_sum(labels)
         if new_sum == prev_sum:
-            return labels.select("node", F.col("label").alias("cluster_id"))
+            return finish(labels)
         prev_sum = new_sum
     # The last allowed iteration still changed labels — but it may have
     # been the one that COMPLETED propagation (converged, just not yet
@@ -317,7 +376,7 @@ def connected_components(
     # the diameter genuinely exceeds the budget.
     confirm = propagate(labels)
     if label_sum(confirm) == prev_sum:
-        return confirm.select("node", F.col("label").alias("cluster_id"))
+        return finish(confirm)
     # A quiet fall-through here would hand back PARTIALLY propagated
     # labels — components larger than max_iter hops would be silently
     # split into several clusters, and a dedup consumer would keep

@@ -58,6 +58,8 @@ def fuzzy_join(
     n: int = 3,
     max_gram_freq: int | None = None,
     gram_salt: int | None = None,
+    broadcast_left_grams: bool = False,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Pairs ``(id_a, id_b, jaccard)`` with char-n-gram Jaccard ≥
     ``threshold``. ``max_gram_freq`` enables the stop-gram cap (frequency
@@ -76,7 +78,40 @@ def fuzzy_join(
     restores full parallelism with IDENTICAL output — each (gram, pair)
     meets exactly once, under the right row's single salt value. Use
     for probe-style joins (small left, huge right); the left side is
-    replicated ×salt, so don't salt two big sides."""
+    replicated ×salt, so don't salt two big sides.
+
+    ``broadcast_left_grams``: when the left side is a bounded probe set
+    (its exploded gram index fits in a broadcast — a few MB), hint the
+    gram join to broadcast it. The right side's gram rows then never
+    shuffle AT ALL (map-side hash join; the only remaining exchange is
+    the candidate-pair groupBy, which is hash-balanced by construction),
+    and ``gram_salt`` becomes moot — salt exists to spread a hot gram's
+    reducer in the SHUFFLE join, and a broadcast join has no gram
+    reducer. Catalyst won't pick this on its own: the post-explode size
+    estimate of the left frame is row-count-blind, so AQE plans a
+    shuffle join at scale. Don't set it for two big sides.
+
+    ``prefix_filter``: EXACT candidate pruning (Chaudhuri/Ganti/Kaushik
+    prefix filtering). J(A,B) ≥ τ implies |A∩B| ≥ ⌈τ·|A|⌉, so B can
+    miss at most |A| − ⌈τ|A|⌉ of A's grams — any fixed subset of
+    ⌊(1−τ)·|A|⌋ + 1 grams of A must be hit (pigeonhole). Indexing only
+    each left string's GLOBALLY RAREST that-many grams (rarest by
+    right-side document frequency — the choice that minimizes candidate
+    fan-out) generates every qualifying pair and far fewer others:
+    candidates fall from Σ_g fL(g)·fR(g) to Σ_A Σ_{g∈rare(A)} fR(g)
+    (the gram DF table is ≤ |alphabet|^n rows, always broadcastable).
+    Shared-gram COUNTS can no longer be read off the pruned join, so
+    candidates are verified exactly per pair via ``array_intersect`` of
+    the two full gram sets — bit-identical output, pinned by the
+    brute-force property test. Composes with ``broadcast_left_grams``;
+    mutually exclusive with ``max_gram_freq`` (the cap changes which
+    grams exist, breaking the pigeonhole bound)."""
+    if prefix_filter and max_gram_freq is not None:
+        raise ValueError(
+            "prefix_filter's pigeonhole bound is exact only over the "
+            "FULL gram sets; combining it with max_gram_freq would drop "
+            "qualifying pairs — pick one"
+        )
     lg = left.select(
         F.col(left_id).alias("id_a"),
         F.explode(char_ngrams(F.col(left_on), n)).alias("gram"),
@@ -103,7 +138,60 @@ def fuzzy_join(
         F.col(right_id).alias("id_b"),
         F.size(char_ngrams(F.col(right_on), n)).alias("sz_b"),
     )
-    if gram_salt:
+    if prefix_filter:
+        from pyspark.sql import Window as W
+
+        # right-side gram document frequency: bounded by the n-gram
+        # alphabet (tens of thousands of rows), always broadcastable
+        gfreq = rg.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+        # rank each left string's grams rarest-first (absent-from-right
+        # grams first: fR = 0 generates zero candidates) and keep the
+        # floor(sz_a·(1−τ))+1 prefix the pigeonhole bound needs
+        w = W.partitionBy("id_a").orderBy(
+            F.col("__df").asc_nulls_first(), F.col("gram")
+        )
+        lp = (
+            lg.join(F.broadcast(gfreq), "gram", "left")
+            .join(sizes_l, "id_a")
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(
+                F.col("__rn")
+                <= F.floor(F.col("sz_a") * (1.0 - threshold)) + 1
+            )
+            .select("id_a", "gram")
+        )
+        if broadcast_left_grams:
+            lp = F.broadcast(lp)
+        cand = lp.join(rg, "gram").select("id_a", "id_b").distinct()
+        # exact verification over the FULL gram sets: the pruned join
+        # can't count shared grams, array_intersect can
+        ga = left.select(
+            F.col(left_id).alias("id_a"),
+            char_ngrams(F.col(left_on), n).alias("__ga"),
+        )
+        gb = right.select(
+            F.col(right_id).alias("id_b"),
+            char_ngrams(F.col(right_on), n).alias("__gb"),
+        )
+        if broadcast_left_grams:
+            ga = F.broadcast(ga)
+        verified = (
+            cand.join(ga, "id_a")
+            .join(gb, "id_b")
+            .withColumn(
+                "inter", F.size(F.array_intersect("__ga", "__gb"))
+            )
+            .withColumn(
+                "__j",
+                F.col("inter")
+                / (F.size("__ga") + F.size("__gb") - F.col("inter")),
+            )
+            .filter(F.col("__j") >= threshold)
+        )
+        return verified.select(
+            "id_a", "id_b", F.round("__j", 6).alias("jaccard")
+        )
+    if gram_salt and not broadcast_left_grams:
         rg = rg.withColumn(
             "__gs",
             F.pmod(F.xxhash64(F.col("id_b")), F.lit(gram_salt)).cast(
@@ -117,6 +205,8 @@ def fuzzy_join(
         join_keys = ["gram", "__gs"]
     else:
         join_keys = ["gram"]
+    if broadcast_left_grams:
+        lg = F.broadcast(lg)
     inter = (
         lg.join(rg, join_keys)
         .groupBy("id_a", "id_b")

@@ -2515,8 +2515,10 @@ def _shingle_hash_ctes(where: str = "") -> str:
     return f"""
     WITH raw AS (
       SELECT doc_id,
-             string_split_regex(trim(regexp_replace(lower(trim(text)),
-                 '[^a-z0-9\\s]', ' ', 'g')), '\\s+') AS toks
+             CASE WHEN text IS NULL THEN NULL
+                  ELSE coalesce(nullif(list_filter(string_split_regex(
+                         lower(text), '[^a-z0-9]+'), x -> x <> ''),
+                       []::VARCHAR[]), ['']::VARCHAR[]) END AS toks
       FROM documents {where}
     ), toks AS (
       SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
@@ -2637,8 +2639,10 @@ def _simhash_oracle_sql() -> str:
     return f"""
     WITH raw AS (
       SELECT doc_id,
-             string_split_regex(trim(regexp_replace(lower(trim(text)),
-                 '[^a-z0-9\\s]', ' ', 'g')), '\\s+') AS toks
+             CASE WHEN text IS NULL THEN NULL
+                  ELSE coalesce(nullif(list_filter(string_split_regex(
+                         lower(text), '[^a-z0-9]+'), x -> x <> ''),
+                       []::VARCHAR[]), ['']::VARCHAR[]) END AS toks
       FROM documents
     ), toks AS (
       SELECT doc_id, unnest(toks) AS tok FROM raw
@@ -3215,8 +3219,10 @@ def asof_latest_order_at_shipdate(spark, sf_dir):
     """
     WITH raw AS (
       SELECT doc_id,
-             string_split_regex(trim(regexp_replace(lower(trim(text)),
-                 '[^a-z0-9\\s]', ' ', 'g')), '\\s+') AS toks
+             CASE WHEN text IS NULL THEN NULL
+                  ELSE coalesce(nullif(list_filter(string_split_regex(
+                         lower(text), '[^a-z0-9]+'), x -> x <> ''),
+                       []::VARCHAR[]), ['']::VARCHAR[]) END AS toks
       FROM documents WHERE doc_id < 40
     ), toks AS (
       SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
@@ -3338,7 +3344,16 @@ def fuzzy_join_part_names(spark, sf_dir):
         left_id="p_partkey",
         right_id="p_partkey",
         threshold=0.5,
-        gram_salt=16,  # hot-gram reducer spread; output identical
+        # bounded probe side: broadcast its gram index — the corpus-side
+        # gram rows never shuffle (replaces the r06 gram_salt=16 reducer
+        # spread: a broadcast join has no gram reducer to salt).
+        # prefix_filter measured WORSE here (sf10 28.5 -> 35.8 s): TPC-H
+        # p_name draws 5 words from ~92 colors, so each probe string's
+        # "rarest" floor(|A|/2)+1 grams still include ~100k-DF in-word
+        # grams — candidate volume barely drops while the DF pass +
+        # distinct + verification join add cost. The lever needs a
+        # Zipfian gram DF (real text), not a 92-word vocabulary.
+        broadcast_left_grams=True,
     )
     return out.filter(F.col("id_a") < F.col("id_b"))
 
@@ -4854,8 +4869,10 @@ def corpus_token_budget_quota(spark, sf_dir):
     """
     WITH raw AS (
       SELECT doc_id, source,
-             string_split_regex(trim(regexp_replace(lower(trim(text)),
-                 '[^a-z0-9\\s]', ' ', 'g')), '\\s+') AS toks
+             CASE WHEN text IS NULL THEN NULL
+                  ELSE coalesce(nullif(list_filter(string_split_regex(
+                         lower(text), '[^a-z0-9]+'), x -> x <> ''),
+                       []::VARCHAR[]), ['']::VARCHAR[]) END AS toks
       FROM documents
     ), toks AS (
       SELECT doc_id, source, unnest(toks) AS tok,
@@ -7606,7 +7623,16 @@ def fuzzy_rerank_levenshtein(spark, sf_dir):
         left_id="p_partkey",
         right_id="p_partkey",
         threshold=0.5,
-        gram_salt=16,  # hot-gram reducer spread; output identical
+        # bounded probe side: broadcast its gram index — the corpus-side
+        # gram rows never shuffle (replaces the r06 gram_salt=16 reducer
+        # spread: a broadcast join has no gram reducer to salt).
+        # prefix_filter measured WORSE here (sf10 28.5 -> 35.8 s): TPC-H
+        # p_name draws 5 words from ~92 colors, so each probe string's
+        # "rarest" floor(|A|/2)+1 grams still include ~100k-DF in-word
+        # grams — candidate volume barely drops while the DF pass +
+        # distinct + verification join add cost. The lever needs a
+        # Zipfian gram DF (real text), not a 92-word vocabulary.
+        broadcast_left_grams=True,
     ).filter(F.col("id_a") < F.col("id_b"))
     return levenshtein_rerank(
         cands,

@@ -742,9 +742,12 @@ def test_keep_canonical_windows_metadata_not_text(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # the canonical-pick window shuffles only (id, cluster, quality)
     # triples (CC stages are localCheckpoint-bounded upstream); the
-    # clusters↔quality join broadcasts
+    # clusters↔quality join broadcasts. r09: +1 exchange for CC's
+    # singleton-attach join (corpus ids ⋈ edge-node labels) — the trade
+    # that removed the CORPUS-sized label rows from every propagate
+    # iteration; one n-row join once beats n rows per iteration.
     assert "CartesianProduct" not in plan
-    assert shuffle_count(df) <= 2
+    assert shuffle_count(df) <= 3
     assert single_partition_exchange_count(df) == 0
 
 

@@ -641,12 +641,18 @@ def _py_grams(s: str, n: int = 3) -> set[str]:
     rs=fuzzy_names,
     thr=st.sampled_from([0.2, 0.5, 0.8]),
     salt=st.sampled_from([None, 3]),
+    bcast=st.booleans(),
+    prefix=st.booleans(),
 )
-def test_fuzzy_join_matches_bruteforce_jaccard(spark, ls, rs, thr, salt):
+def test_fuzzy_join_matches_bruteforce_jaccard(
+    spark, ls, rs, thr, salt, bcast, prefix
+):
     """With the stop-gram cap off, the gram-index join is EXACT w.r.t.
     n-gram Jaccard >= threshold (a pair above any positive threshold
     shares >= 1 gram, so candidate generation loses nothing), and
-    gram_salt changes the physical plan, never the output."""
+    gram_salt / broadcast_left_grams / prefix_filter change the
+    physical plan (salted shuffle, broadcast probe, pigeonhole-pruned
+    candidates + array_intersect verification), never the output."""
     from py_etl_spark.operators.fuzzy import fuzzy_join
 
     left = spark.createDataFrame(
@@ -659,7 +665,8 @@ def test_fuzzy_join_matches_bruteforce_jaccard(spark, ls, rs, thr, salt):
         (r.id_a, r.id_b): r.jaccard
         for r in fuzzy_join(
             left, right, "name", "name", "la", "rb",
-            threshold=thr, gram_salt=salt,
+            threshold=thr, gram_salt=salt, broadcast_left_grams=bcast,
+            prefix_filter=prefix,
         ).collect()
     }
 

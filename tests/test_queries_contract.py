@@ -190,3 +190,59 @@ def test_alpha_tokens_property_random_unicode(spark, texts):
         ).fetchone()[0]
         assert new == want, (repr(t), new, want)
     con.close()
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.data_too_large,
+    ],
+)
+@given(texts=st.lists(_UNI_TEXT, min_size=8, max_size=24))
+def test_norm_tokens_matches_contract_spelling(spark, texts):
+    """dedup._norm_tokens (single split on [^a-z0-9]+ — the r09 swap,
+    14x cheaper than the regexp_replace idiom) must equal the contract
+    spelling every MinHash/SimHash oracle now uses (DuckDB
+    list_filter/string_split_regex with the [''] fallback) on random
+    Unicode. The DuckDB leg is gated on lower() agreement: engines
+    legitimately disagree on e.g. U+0130 (JVM/Python lower -> i +
+    combining dot; DuckDB -> i), which no contract can reconcile — and
+    the corpus is ASCII, so the oracle gate never sees those. Also pins
+    the r08->r09 contract change directly: all-whitespace text is ['']
+    (the old trim-spaces-only spelling gave ['',''] for '\\t\\n')."""
+    import duckdb
+
+    from py_etl_spark.operators.dedup import _norm_tokens
+
+    # force the edge cases into every run
+    texts = list(texts) + ["", "!!! ?? ..", " \t\n", "7am—Ok", "x  y"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    rows = {
+        r.i: r.new
+        for r in df.select(
+            "i", _norm_tokens("text").alias("new")
+        ).collect()
+    }
+    con = duckdb.connect()
+    oracle = (
+        "SELECT CASE WHEN t IS NULL THEN NULL ELSE "
+        "coalesce(nullif(list_filter(string_split_regex(lower(t),"
+        " '[^a-z0-9]+'), x -> x <> ''), []::VARCHAR[]),"
+        " ['']::VARCHAR[]) END FROM (SELECT ? AS t)"
+    )
+    for i, t in enumerate(texts):
+        duck_lower = con.execute(
+            "SELECT lower(?)", [t]
+        ).fetchone()[0]
+        if duck_lower != t.lower():
+            continue  # cross-engine lower() divergence; see docstring
+        want = con.execute(oracle, [t]).fetchone()[0]
+        assert rows[i] == want, (repr(t), rows[i], want)
+    con.close()
+    assert rows[len(texts) - 4] == [""]  # ' \t\n' -> [''] (r09 contract)
+    assert rows[len(texts) - 5] == [""]  # '!!! ?? ..' -> ['']
