@@ -972,10 +972,41 @@ def main() -> None:
             "events_per_sec": round(n_events / max(cdc_wall, 1e-9)),
             "reference_ceiling_events_per_sec": 5,
             "note": "cdc_merge_scd1 (window + merge kernel) over the "
-                    "sf1 replica's whole event log, min of 2 reps; "
+                    "sf1 replica's whole event log, adaptive min; "
                     "reference ceiling from BASELINE.md (100-event "
-                    "batch / 20 s poll, row-at-a-time)",
+                    "batch / 20 s poll, row-at-a-time). The sf1 figure "
+                    "carries a ~0.5 s fixed plan-compile floor on a "
+                    "~1 s query (r07 1.29M vs r08 1.18M was THAT, not "
+                    "a regression — adjudicated r09); the sf10 block "
+                    "below is the cleaner steady-state number.",
         }
+        # steady-state variant at 10x the events (when the sf10 replica
+        # exists): the fixed ~0.5 s driver compile is ~5 % of wall here
+        # instead of ~45 %, so this is the number that tracks per-event
+        # cost across rounds. r09 solo measurement: 10M events,
+        # wall 2.78 s -> 3.6M ev/s (exec-only 4.45M).
+        if os.environ.get("SPARK_GRAFT_SF10", "1") != "0":
+            sf10_dir = os.environ.get(
+                "SPARK_GRAFT_SF10_DIR", "/tmp/spark_graft_sf10"
+            )
+            ev10 = os.path.join(sf10_dir, "events.parquet")
+            if os.path.exists(ev10):
+                n10 = spark.read.parquet(ev10).count()
+                m10: dict = {}
+                c10, _ = _run_block(
+                    qs, ["cdc_merge_scd1"], sf10_dir, 2, spark, meta=m10
+                )
+                w10 = c10["cdc_merge_scd1"]
+                x10 = m10["cdc_merge_scd1"]["exec_sec"]
+                detail["cdc_throughput"]["sf10"] = {
+                    "events": n10,
+                    "wall_sec": w10,
+                    "rep_meta": m10["cdc_merge_scd1"],
+                    "events_per_sec": round(n10 / max(w10, 1e-9)),
+                    "events_per_sec_exec_only": round(
+                        n10 / max(x10, 1e-9)
+                    ),
+                }
         flush()
 
     spark.stop()

@@ -39,14 +39,26 @@ def token_count(text: Column) -> Column:
 
 
 def word_token_count(text: Column) -> Column:
-    """BPE-ish word tokens: runs of alphanumerics (lowercased)."""
-    t = F.lower(F.trim(text))
-    cleaned = F.regexp_replace(t, r"[^a-z0-9]+", " ")
-    return token_count(cleaned)
+    """BPE-ish word tokens: count of maximal ``[a-z0-9]`` runs of the
+    lowered text. Counted as a single split on the complement class —
+    equivalent to the r02–r08 ``token_count(regexp_replace(lower(trim),
+    '[^a-z0-9]+', ' '))`` spelling for every input (both count exactly
+    the alnum runs; NULL→NULL, run-less→0) without the regexp_replace
+    full-rewrite pass over the corpus (the r07/r09 tokenizer lesson)."""
+    runs = F.filter(
+        F.split(F.lower(text), r"[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+    return F.size(runs).cast("long")
 
 
 def punct_count(text: Column) -> Column:
-    return F.length(F.regexp_replace(text, r"[^.,;:!?'\"-]", "")).cast("long")
+    """Count of ``.,;:!?'"-`` chars, as a length difference under
+    ``translate`` (a char-map pass) — equivalent to the prior
+    ``length(regexp_replace(text, '[^.,;:!?\\'"-]', ''))`` for every
+    input, without running a regex over every byte."""
+    return (
+        F.length(text) - F.length(F.translate(text, ".,;:!?'\"-", ""))
+    ).cast("long")
 
 
 def stopword_count(text: Column, lang: str = "en") -> Column:

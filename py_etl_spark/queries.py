@@ -8257,9 +8257,9 @@ def rolling_7d_distinct_users_hll(spark, sf_dir):
 #           in r09 (q21_last_shipper's null-suppkey DISTINCT fix,
 #           embedding_moments_matrix's null/ragged-vector guard — both
 #           ADVICE r08); all 35 queries whose newest green row is r05;
-#           and 9 of the r06 cohort, picked where r09 touches their
-#           paths (the ivf/similarity and CC/fuzzy perf items) or where
-#           they share kernels with changed code.
+#           8 of the r06 cohort, picked where r09 touches their paths
+#           (the ivf/similarity and CC/fuzzy perf items); and
+#           text_stats (r09 textstats kernel swap).
 #           (quality_compression_ratio / audio_window_features_synthetic
 #           excluded: declared rows-only, a window slot buys them
 #           nothing.)
@@ -8322,7 +8322,8 @@ _FRONT = [
     "fuzzy_join_part_names",
     "fuzzy_rerank_levenshtein",
     "exact_median_price",
-    "embedding_near_dup",
+    # changed in r09 (textstats punct/word-token kernel swap)
+    "text_stats",
 ]
 _TAIL = [
     "token_pmi_pairs",
