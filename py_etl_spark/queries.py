@@ -7130,25 +7130,29 @@ def split_leakage_report(spark, sf_dir):
 )
 def part_pair_cooccurrence(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # Hot-basket cap: rows with equal (l_orderkey, l_partkey) are
-    # interchangeable after this projection, so the row_number tie-break
-    # is value-deterministic even though the row choice is not.
-    w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
-    capped = (
-        li.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= 16)
-        .drop("__rn")
+    # Bounded-group decorrelation (the q21/r08 recipe): an order is a
+    # bounded basket, so collect it ONCE and build pairs in-row instead
+    # of self-joining the fact table — the join shape scanned lineitem
+    # twice and sorted both sides for the SMJ; this shape is one
+    # order-keyed groupBy + map-side pair explode. The hot-basket cap
+    # (16 smallest partkeys, duplicates counted — identical multiset to
+    # the old row_number-over-partkey cap, value-deterministic) is a
+    # sort_array+slice on the collected array. The exploded part_a row
+    # carries the ≤16-element array, so generator memory is bounded.
+    per_order = li.groupBy("l_orderkey").agg(
+        F.slice(F.sort_array(F.collect_list("l_partkey")), 1, 16).alias(
+            "parts"
+        )
     )
-    a = capped.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    ex = per_order.select(
+        "parts", F.posexplode("parts").alias("i", "part_a")
     )
-    b = capped.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
-    )
+    pairs = ex.select(
+        "part_a",
+        F.explode(F.slice("parts", F.col("i") + 2, 16)).alias("part_b"),
+    ).filter(F.col("part_a") < F.col("part_b"))
     return (
-        a.join(b, "ok")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
+        pairs.groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
         .limit(100)
