@@ -240,6 +240,14 @@ SF10_SUBSET = [
     "privacy_k_anonymity_report",   # k-anon grouping (r07 noise regressor)
     "cm_sketch_events",             # count-min sketch build
     "rolling_7d_distinct_users_hll",# rolling HLL distinct
+    # r09 widening: the top absolute line items from the r09 smoke pass
+    # (1-rep, cold-cache) graduate to min-of-2 + task-skew so r10 has
+    # corroborated numbers for them
+    "doc_winnow_fingerprints",      # 22.4 s smoke
+    "dedup_duplicate_spans",        # 21.3 s smoke
+    "part_pair_cooccurrence",       # r09 bounded-group rewrite (-22%)
+    "q18_large_volume_customers",   # 14.1 s smoke, ratio 8.55
+    "corpus_curation_pipeline",     # 12.1 s smoke, multi-op chain
 ]
 
 # Historical note (r02-r05): the sf1 block ran a hand-picked
