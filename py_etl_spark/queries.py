@@ -8262,8 +8262,13 @@ def rolling_7d_distinct_users_hll(spark, sf_dir):
 #           embedding_moments_matrix's null/ragged-vector guard — both
 #           ADVICE r08); all 35 queries whose newest green row is r05;
 #           8 of the r06 cohort, picked where r09 touches their paths
-#           (the ivf/similarity and CC/fuzzy perf items); and
-#           text_stats (r09 textstats kernel swap).
+#           (the ivf/similarity and CC/fuzzy perf items); text_stats
+#           (r09 textstats kernel swap); and the 4 other queries on the
+#           r09 _norm_tokens contract migration (simhash, portable
+#           minhash, ngram jaccard, decontaminate) — swapped in for 4
+#           unchanged r05 entries (analyze_stats_orders,
+#           bloom_build_users, events_daily_resample,
+#           orc_roundtrip_documents), which front in r10.
 #           (quality_compression_ratio / audio_window_features_synthetic
 #           excluded: declared rows-only, a window slot buys them
 #           nothing.)
@@ -8283,10 +8288,10 @@ _FRONT = [
     "embedding_moments_matrix",
     # the full r05-green cohort (35)
     "agg_incremental_monthly_revenue",
-    "analyze_stats_orders",
+    "dedup_simhash",  # r09 _norm_tokens contract
     "ann_cosine_topk_int8",
     "ann_cosine_topk_twostage",
-    "bloom_build_users",
+    "dedup_minhash_portable_small",  # r09 _norm_tokens contract
     "bloom_semi_join_prune",
     "bpe_token_count_fixed",
     "cm_sketch_events",
@@ -8300,7 +8305,7 @@ _FRONT = [
     "dedup_segments_corpus",
     "embedding_label_centroids",
     "embedding_quantize_int8",
-    "events_daily_resample",
+    "ngram_jaccard_allpairs_small",  # r09 _norm_tokens contract
     "events_rolling_7d",
     "funnel_signup_click_purchase",
     "hll_distinct_event_ids",
@@ -8308,7 +8313,7 @@ _FRONT = [
     "key_skew_profile_lineitem",
     "kmv_distinct_rollup",
     "kmv_distinct_users",
-    "orc_roundtrip_documents",
+    "corpus_decontaminate_vs_benchmark",  # r09 _norm_tokens contract
     "part_pair_cooccurrence",
     "quality_repetition_metrics",
     "quality_score_hashed_linear",
