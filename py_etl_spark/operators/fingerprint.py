@@ -62,29 +62,45 @@ def winnow_fingerprints(
     each doc tail).
     """
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    grams = (
+    # r09 shape: ONE exchange, placed where rows are SMALL. The old plan
+    # exploded first and let the per-doc window shuffle every (id, pos,
+    # hash) gram row — ~20 bytes × |corpus chars| (10 GB at the 100×
+    # replica) — then paid a second (id, fp) exchange for distinct.
+    # Repartitioning the DOCUMENT rows by id up front moves the only
+    # exchange to the ~1 KB/doc normalized-text rows (the corpus' own
+    # size); the explode and hash stay map-side, the window then finds
+    # its partitioning already satisfied (Generate preserves the child's
+    # hashpartitioning — only the local sort remains), and the distinct
+    # becomes a per-doc collect_set + explode that reuses the same
+    # partitioning (fingerprint sets are bounded: ~2/(w+1) density).
+    # Measured sf10 interleaved A/B min-of-2: 19.7 → 15.9 s (the
+    # remainder is map-side compute: gram explode ~6.7 s + md5 ~4.3 s +
+    # the window's local sort). Output rows identical.
+    base = (
         df.select(F.col(id_col), norm.alias("__norm"))
         .filter(F.length("__norm") >= k)
-        .select(
-            id_col,
-            F.explode(
-                F.sequence(F.lit(1), F.length("__norm") - F.lit(k - 1))
-            ).alias("__p"),
-            "__norm",
-        )
-        .select(
-            id_col,
-            "__p",
-            F.substring(F.col("__norm"), F.col("__p"), F.lit(k)).alias("__gram"),
-        )
+        .repartition(F.col(id_col))
+    )
+    grams = base.select(
+        id_col,
+        F.explode(
+            F.sequence(F.lit(1), F.length("__norm") - F.lit(k - 1))
+        ).alias("__p"),
+        "__norm",
+    ).select(
+        id_col,
+        "__p",
+        F.substring(F.col("__norm"), F.col("__p"), F.lit(k)).alias("__gram"),
     )
     hashed = grams.select(
         id_col, "__p", _gram_hash(F.col("__gram"), hash_family).alias("__h")
     )
     win = Window.partitionBy(id_col).orderBy("__p").rowsBetween(0, w - 1)
+    fps = hashed.select(id_col, F.min("__h").over(win).alias("fp"))
     return (
-        hashed.select(id_col, F.min("__h").over(win).alias("fp"))
-        .distinct()
+        fps.groupBy(id_col)
+        .agg(F.collect_set("fp").alias("__fps"))
+        .select(id_col, F.explode("__fps").alias("fp"))
     )
 
 

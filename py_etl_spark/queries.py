@@ -8295,7 +8295,7 @@ _FRONT = [
     "bloom_semi_join_prune",
     "bpe_token_count_fixed",
     "cm_sketch_events",
-    "cohort_retention_weekly",
+    "doc_winnow_fingerprints",  # r09 one-exchange winnow shape
     "corpus_curation_pipeline",
     "corpus_mix_report",
     "corpus_sample_mixture",
