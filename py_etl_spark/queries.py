@@ -2968,15 +2968,26 @@ def q14_promo_revenue_share(spark, sf_dir):
 def q18_large_volume_customers(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy(
-            F.col("o_custkey").alias("c_custkey"),
-            F.col("l_orderkey").alias("o_orderkey"),
-        )
+    # Aggregate below the join (r09): an orderkey maps to exactly one
+    # custkey, so grouping by (custkey, orderkey) after a fact-fact join
+    # equals grouping lineitem by orderkey alone and attaching custkey
+    # afterwards. The old shape shuffled BOTH facts for the join and then
+    # the joined rows again for the aggregate; this shape's only big
+    # exchange is lineitem's map-side-combined per-order sum, and the
+    # >150 filter leaves so few qualifying orders that AQE broadcasts
+    # them — orders never shuffles at all. Same trick family as
+    # q21/part_pair bounded-group decorrelation.
+    per_order = (
+        li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("total_qty"))
         .filter(F.col("total_qty") > 150)
-        .withColumn("total_qty", F.col("total_qty").cast("long"))
+    )
+    return per_order.join(
+        orders, per_order.l_orderkey == orders.o_orderkey
+    ).select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("total_qty").cast("long").alias("total_qty"),
     )
 
 
@@ -8297,7 +8308,7 @@ _FRONT = [
     "cm_sketch_events",
     "doc_winnow_fingerprints",  # r09 one-exchange winnow shape
     "corpus_curation_pipeline",
-    "corpus_mix_report",
+    "q18_large_volume_customers",  # r09 agg-below-join rewrite
     "corpus_sample_mixture",
     "corpus_sample_stratified",
     "dedup_duplicate_spans",
@@ -8350,7 +8361,6 @@ _TAIL = [
     "ann_cosine_topk",
     "q6_forecast_revenue",
     "q14_promo_revenue_share",
-    "q18_large_volume_customers",
     "json_props_extract",
     "a8_distinct_and_percentile",
     "e5_unpivot_metrics",
