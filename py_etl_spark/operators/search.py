@@ -68,22 +68,48 @@ def bm25_topk(
             )
         norm_terms.append(toks_t[0])
     terms = norm_terms
-    toks = F.regexp_extract_all(
-        F.lower(F.col(text_col)), F.lit(TOKEN_RE), F.lit(0)
+    # BM25 needs token COUNTS, never the token array — so the TOKEN_RE
+    # alternation extract (one backtracking matcher pass + an array of
+    # every token string per doc) decomposes into the cheap primitives
+    # the r09 _norm_tokens/winnowing swaps measured: TOKEN_RE's three
+    # branches are disjoint, so
+    #   dl = #letter-runs + #digit-runs + #non-alnum-non-space chars,
+    # with the run counts from simple-char-class splits and the punct
+    # count from one translate-delete (no regex at all). tf for a
+    # letter/digit query term counts its exact run in the matching
+    # split array (a maximal [a-z]+ run equals the term iff the token
+    # does — digits or punct on either side still delimit, exactly as
+    # TOKEN_RE tokenizes "hash9" -> ["hash","9"]); a punct term is a
+    # single-char count. Counts — and therefore every downstream score
+    # — are identical to the extract_all spelling; the regex pass and
+    # per-doc token-string allocation are gone.
+    lower = F.lower(F.col(text_col))
+    letter_runs = F.split(lower, r"[^a-z]+", -1)
+    digit_runs = F.split(lower, r"[^0-9]+", -1)
+    # Java \s is exactly [ \t\n\x0B\f\r]; translate deletes a-z0-9\s,
+    # every remaining char is one punct token
+    _keep = "abcdefghijklmnopqrstuvwxyz0123456789 \t\n\x0b\f\r"
+    punct_n = F.length(F.translate(lower, _keep, ""))
+    dl = (
+        F.size(F.array_remove(letter_runs, ""))
+        + F.size(F.array_remove(digit_runs, ""))
+        + punct_n
     )
 
-    # tf via size(toks) - size(array_remove(toks, term)): both native
-    # codegen array ops — measured 2.2x faster at sf1 than the
-    # interpreted F.filter(toks, x == term) HOF it replaces (identical
-    # counts; tokens are never NULL so array_remove's null-skip rule
-    # can't bite). With 3+ query terms the per-term HOF eval was the
-    # scorer's dominant map-side cost.
     def term_count(term: str) -> F.Column:
-        return F.size(toks) - F.size(F.array_remove(toks, term))
+        if term.isascii() and term.isalpha():
+            arr = letter_runs
+        elif term.isdigit():
+            arr = digit_runs
+        else:  # single non-alnum char token
+            return (
+                F.length(lower) - F.length(F.replace(lower, F.lit(term)))
+            )
+        return F.size(arr) - F.size(F.array_remove(arr, term))
 
     base = docs.select(
         F.col(id_col),
-        F.size(toks).cast("long").alias("dl"),
+        dl.cast("long").alias("dl"),
         *[
             term_count(t).cast("long").alias(f"tf{i}")
             for i, t in enumerate(terms)

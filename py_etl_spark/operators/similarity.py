@@ -36,6 +36,23 @@ def _norm(a):
     )
 
 
+def _py_norm(vec) -> float:
+    """Driver-side replay of ``_norm`` for CONSTANT vectors (centroid /
+    hyperplane literals): a sequential left-fold of x*x in float64 then
+    sqrt — the identical IEEE-754 operation sequence the JVM fold runs,
+    so substituting ``F.lit(_py_norm(v))`` for ``_norm(F.array(*lits))``
+    is bit-exact while deleting a dim-step interpreted fold PER ROW
+    (HOFs over literal arrays are not constant-folded by Catalyst —
+    lambda-bearing expressions are never foldable)."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        fx = float(x)
+        acc += fx * fx
+    return math.sqrt(acc)
+
+
 def cosine_topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -50,18 +67,31 @@ def cosine_topk_bruteforce(
     one shuffle keyed by query_id for the global top-k window — the shuffle
     carries only (query_id, neighbor_id, score), k·|queries| rows after
     AQE's partial top-k via WindowGroupLimit pushdown.
+
+    Norms are materialized ONCE PER INPUT ROW in the projections below
+    the pair join (the semantic_dedup lesson: dot + two norms per pair
+    is 3× the HOF fold work of dot alone — a Project under a join never
+    collapses above it, so ``__qn``/``__cn`` are computed |queries| +
+    |corpus| times, not |pairs| times). The cosine stays the oracle's
+    exact formula dot / (norm_q · norm_c) on the SAME doubles — a norm's
+    value does not depend on which row evaluates it — so results are
+    bit-identical to the per-pair spelling.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("__qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("__cn"),
     )
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
         (_dot(F.col("q_vec"), F.col("c_vec"))
-         / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))).alias("cosine"),
+         / (F.col("__qn") * F.col("__cn"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -134,13 +164,20 @@ def cosine_topk_lsh(
     qb = hyperplane_lsh_buckets(
         queries, dim, planes, id_col, vec_col, seed, integer_planes
     ).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket"
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("__qn"),
+        "bucket",
     )
     cb = hyperplane_lsh_buckets(
         corpus, dim, planes, id_col, vec_col, seed, integer_planes
     ).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "bucket"
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("__cn"),
+        "bucket",
     )
+    # Norms once per input row below the join (see cosine_topk_bruteforce)
     scored = cb.join(F.broadcast(qb), "bucket").filter(
         F.col("query_id") != F.col("neighbor_id")
     ).select(
@@ -148,7 +185,7 @@ def cosine_topk_lsh(
         "neighbor_id",
         F.round(
             _dot(F.col("q_vec"), F.col("c_vec"))
-            / (_norm(F.col("q_vec")) * _norm(F.col("c_vec"))),
+            / (F.col("__qn") * F.col("__cn")),
             6,
         ).alias("cosine"),
     )
@@ -223,15 +260,24 @@ def ivf_topk(
     candidates, bounded by nprobe/k·|corpus| · |queries| ≪ all-pairs).
     """
     c = ivf_assign(corpus, centroids, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "ivf_cell"
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("__cn"),
+        "ivf_cell",
     )
     # Per-query ranked centroid list: array of (−cos, cell) structs sorted
     # ascending ⇒ cos descending with ties broken by lowest cell (matches
     # ivf_assign's argmax tie rule), then the first nprobe exploded.
+    # The query-vector norm folds once per query row (``__qn``), the
+    # centroid norms once on the driver (``_py_norm`` — bit-exact
+    # literal), so the k-centroid rank list costs k dot folds per query
+    # instead of 3k.
     entries = []
     for ci, cvec in enumerate(centroids):
         plane = F.array(*[F.lit(x) for x in cvec])
-        s = _dot(F.col(vec_col), plane) / (_norm(F.col(vec_col)) * _norm(plane))
+        s = _dot(F.col("q_vec"), plane) / (
+            F.col("__qn") * F.lit(_py_norm(cvec))
+        )
         entries.append(
             F.struct((-s).alias("neg_cos"), F.lit(ci).cast("long").alias("cell"))
         )
@@ -240,9 +286,14 @@ def ivf_topk(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
-            F.explode(probes).alias("p"),
+            _norm(F.col(vec_col)).alias("__qn"),
         )
-        .select("query_id", "q_vec", F.col("p.cell").alias("ivf_cell"))
+        .select(
+            "query_id", "q_vec", "__qn", F.explode(probes).alias("p")
+        )
+        .select(
+            "query_id", "q_vec", "__qn", F.col("p.cell").alias("ivf_cell")
+        )
     )
     scored = (
         c.join(F.broadcast(q), "ivf_cell")
@@ -252,7 +303,7 @@ def ivf_topk(
             "neighbor_id",
             (
                 _dot(F.col("q_vec"), F.col("c_vec"))
-                / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))
+                / (F.col("__qn") * F.col("__cn"))
             ).alias("cosine"),
         )
     )
@@ -321,13 +372,19 @@ def ivf_assign(
     dim = len(centroids[0])
     if len(centroids) * dim > _IVF_LITERAL_BUDGET:
         return _ivf_assign_join(df, centroids, id_col, vec_col)
+    # Row norm folds once per row (Project below the argmax projection),
+    # centroid norms once on the driver: the k-way argmax costs k dot
+    # folds per row instead of 3k (values bit-identical — see _py_norm).
+    pre = df.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("__vn")
+    )
     score_cols = []
     neg_inf = F.lit(float("-inf"))
     for cvec in centroids:
         plane = F.array(*[F.lit(x) for x in cvec])
         s = F.try_divide(
             _dot(F.col(vec_col), plane),
-            _norm(F.col(vec_col)) * _norm(plane),
+            F.col("__vn") * F.lit(_py_norm(cvec)),
         )
         score_cols.append(F.coalesce(F.nanvl(s, neg_inf), neg_inf))
     scores = F.array(*score_cols)
@@ -337,7 +394,7 @@ def ivf_assign(
         .otherwise(F.array_position(scores, mx) - 1)
         .cast("long")
     )
-    return df.select(F.col(id_col), F.col(vec_col), best.alias("ivf_cell"))
+    return pre.select(F.col(id_col), F.col(vec_col), best.alias("ivf_cell"))
 
 
 def _ivf_assign_join(
@@ -366,19 +423,26 @@ def _ivf_assign_join(
     budget. Callers with non-unique ids must aggregate to a row-unique
     key first (every registry caller uses the table PK)."""
     spark = df.sparkSession
+    # Centroid norms ride as DATA beside the centroid vectors (computed
+    # once on the driver via the bit-exact _py_norm replay); the row
+    # norm folds once per input row below the expand. The n·k expanded
+    # rows then pay one dot fold each instead of dot + two norms.
     cdf = spark.createDataFrame(
-        [(ci, [float(x) for x in cvec]) for ci, cvec in enumerate(centroids)],
-        "__ci int, __cv array<double>",
+        [
+            (ci, [float(x) for x in cvec], _py_norm(cvec))
+            for ci, cvec in enumerate(centroids)
+        ],
+        "__ci int, __cv array<double>, __cn double",
     )
     s = F.nanvl(
         F.try_divide(
             _dot(F.col(vec_col), F.col("__cv")),
-            _norm(F.col(vec_col)) * _norm(F.col("__cv")),
+            F.col("__vn") * F.col("__cn"),
         ),
         F.lit(float("-inf")),
     )
     scored = (
-        df.select(id_col, vec_col)
+        df.select(id_col, vec_col, _norm(F.col(vec_col)).alias("__vn"))
         .crossJoin(F.broadcast(cdf))
         .select(
             id_col,
@@ -423,14 +487,28 @@ def quantize_embeddings_int8(
     Pure Column higher-order functions — JVM-side, zero shuffle, linear
     map pass; all arithmetic in double so the DuckDB oracle replays it
     bit-for-bit. All-zero vectors get scale 0 and an all-zero q_vec.
+
+    The scale must NOT be referenced inside the clamp lambda's body: a
+    lambda-captured expression is re-evaluated PER ELEMENT, so the
+    scale's array_max(transform(abs)) pass becomes a hidden O(dim²)
+    quadratic (measured: the quantize pass alone was 4.4 s on 200k
+    64-dim rows, ~70% of the whole int8 top-k query — and a separate
+    projection does not survive CollapseProject, which re-inlines any
+    single-use alias into the lambda). zip_with with an
+    array_repeat(scale, dim) ARGUMENT pins the O(dim) shape: arguments
+    evaluate once per row wherever the optimizer inlines them.
     """
     v = F.col(vec_col)
     amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
     scale = F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(0.0))
-    q = F.transform(
+    q = F.zip_with(
         v,
-        lambda x: F.least(
-            F.lit(127), F.greatest(F.lit(-127), F.round(x.cast("double") * scale).cast("int"))
+        F.array_repeat(F.col(scale_col), F.size(v)),
+        lambda x, s: F.least(
+            F.lit(127),
+            F.greatest(
+                F.lit(-127), F.round(x.cast("double") * s).cast("int")
+            ),
         ),
     )
     return df.withColumn(scale_col, scale).withColumn(out_col, q)
@@ -458,9 +536,17 @@ def cosine_topk_int8(
     """
     cq = quantize_embeddings_int8(queries, vec_col=vec_col)
     cc = quantize_embeddings_int8(corpus, vec_col=vec_col)
-    q = cq.select(F.col(id_col).alias("query_id"), F.col("q_vec").alias("qq"))
+    # Quantize AND norm once per input row below the pair join (see
+    # cosine_topk_bruteforce — bit-identical, 1 fold per pair not 3)
+    q = cq.select(
+        F.col(id_col).alias("query_id"),
+        F.col("q_vec").alias("qq"),
+        _norm(F.col("q_vec")).alias("__qn"),
+    )
     c = cc.select(
-        F.col(id_col).alias("neighbor_id"), F.col("q_vec").alias("cq")
+        F.col(id_col).alias("neighbor_id"),
+        F.col("q_vec").alias("cq"),
+        _norm(F.col("q_vec")).alias("__cn"),
     )
     scored = c.join(
         F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
@@ -468,7 +554,7 @@ def cosine_topk_int8(
         "query_id",
         "neighbor_id",
         (_dot(F.col("qq"), F.col("cq"))
-         / (_norm(F.col("qq")) * _norm(F.col("cq")))).alias("cosine_i8"),
+         / (F.col("__qn") * F.col("__cn"))).alias("cosine_i8"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_i8"), F.asc("neighbor_id")
@@ -505,19 +591,27 @@ def cosine_topk_twostage(
         id_col=id_col, vec_col=vec_col, round_to=None,
     ).select("query_id", "neighbor_id")
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("__qn"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
+    # Neighbor norm folds AFTER the candidate semi-join (stage 2 reads
+    # only candidate_k·|queries| rows — norming the whole corpus below
+    # the join would undo stage 1's pruning) and BEFORE the query join,
+    # so a neighbor surfacing in several queries' candidate lists still
+    # folds once. Values bit-identical to the per-pair spelling.
     scored = (
         c.join(F.broadcast(cands), "neighbor_id")
+        .withColumn("__cn", _norm(F.col("c_vec")))
         .join(F.broadcast(q), "query_id")
         .select(
             "query_id",
             "neighbor_id",
             (_dot(F.col("q_vec"), F.col("c_vec"))
-             / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))
+             / (F.col("__qn") * F.col("__cn"))
              ).alias("cosine"),
         )
     )
@@ -582,12 +676,21 @@ def semantic_dedup(
     # shuffle materializes the unit vectors, so they are not recomputed
     # per pair. Element-wise division (not reciprocal-multiply) keeps the
     # arithmetic identical to the oracle's formula.
-    norm = _norm(F.col(vec_col))
+    # The norm must NOT be captured inside the divide lambda's body — a
+    # lambda-captured expression re-evaluates PER ELEMENT, turning the
+    # O(dim) normalize into a hidden O(dim²) fold-per-element (the same
+    # quadratic the int8 quantizer had with its inlined scale; a
+    # separate projection does not survive CollapseProject's single-use
+    # re-inlining). zip_with with an array_repeat(norm, dim) ARGUMENT
+    # pins once-per-row evaluation; element values are the identical
+    # x / norm doubles, so the oracle contract is untouched.
     unit = assigned.select(
         F.col(id_col),
         F.col("ivf_cell"),
-        F.transform(
-            F.col(vec_col), lambda x: x.cast("double") / norm
+        F.zip_with(
+            F.col(vec_col),
+            F.array_repeat(_norm(F.col(vec_col)), F.size(F.col(vec_col))),
+            lambda x, n: x.cast("double") / n,
         ).alias("__uv"),
     )
     if cell_cap is not None:
@@ -928,15 +1031,19 @@ def hard_negatives(
     map-side. Swap the scorer for the IVF/LSH candidate paths at corpus
     scale — the ranking contract is identical.
     """
+    # Norms once per input row below the pair join (see
+    # cosine_topk_bruteforce — bit-identical, 1 fold per pair not 3)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         F.col(label_col).alias("q_label"),
+        _norm(F.col(vec_col)).alias("__qn"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         F.col(label_col).alias("n_label"),
+        _norm(F.col(vec_col)).alias("__cn"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
@@ -947,7 +1054,7 @@ def hard_negatives(
             "n_label",
             (
                 _dot(F.col("q_vec"), F.col("c_vec"))
-                / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))
+                / (F.col("__qn") * F.col("__cn"))
             ).alias("cosine"),
         )
     )

@@ -781,21 +781,19 @@ def test_split_leakage_single_fp_shuffle_then_metadata(spark):
     assert single_partition_exchange_count(df) == 0
 
 
-def test_cooccurrence_basket_join_then_topk(spark):
+def test_cooccurrence_bounded_basket_no_self_join(spark):
     df = Q.REGISTRY["part_pair_cooccurrence"].fn(spark, SF_MED)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # hot-basket cap (row_number ≤ 16) BEFORE the order-keyed self-join
-    # bounds fan-out at Σ min(basket,16)²; WindowGroupLimit pushes the
-    # cap to a per-task partial limit ahead of the window exchange, so
-    # a pathological hot key never ships more than 16 rows per task
-    assert "WindowGroupLimit" in plan
-    assert plan.index("WindowGroupLimit") > plan.index("Join")
-    # ^ tree prints parents first: the cap being deeper (later in the
-    # string) than the join node means it feeds the join, not follows it
+    # r09 bounded-group shape (the q21 recipe): one order-keyed
+    # collect_list with the 16-smallest cap as sort_array+slice, pairs
+    # exploded in-row — the fact table is scanned ONCE and there is NO
+    # self-join left in the plan (the old shape scanned lineitem twice
+    # and sorted both sides for the SMJ)
+    assert "Join" not in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
-    # window exchange (order key, reused by the self-join) + pair count
-    assert shuffle_count(df) <= 3
+    # basket groupBy + pair-count groupBy, both map-side combined
+    assert shuffle_count(df) == 2
 
 
 def test_label_centroids_bounded_sum_shuffle(spark):
