@@ -237,13 +237,37 @@ def quality_score_hashed_linear(
         F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"), F.lit(d)
     ).cast("int")
     ws = F.transform(toks, lambda t: F.element_at(wlit, idx(t) + 1))
-    n = F.size(ws)
-    logit = F.lit(float(bias)) + F.aggregate(
-        ws, F.lit(0.0), lambda acc, v: acc + v
-    ) / F.when(n > 0, n).otherwise(F.lit(1))
+    # ONE walk computing (sum, count) in a struct accumulator, and the
+    # n_tokens/logit/is_quality outputs all read the SAME __st column
+    # from the projection below: lambda-bearing HOFs are excluded from
+    # codegen common-subexpression elimination, so the previous
+    # spelling (size(ws) + aggregate(ws) + size(ws) inside logit, with
+    # logit itself inlined twice) re-ran the split+md5+lookup pipeline
+    # up to FIVE times per row. __st is referenced four times by the
+    # consuming projection, so CollapseProject's single-use re-inlining
+    # can never push the pipeline back into the outputs. Fold order and
+    # arithmetic are unchanged — s accumulates acc+v over the same
+    # element sequence, n counts the same elements size() counted — so
+    # every output is bit-identical.
+    st = F.aggregate(
+        ws,
+        F.struct(
+            F.lit(0.0).alias("s"), F.lit(0).cast("long").alias("n")
+        ),
+        lambda acc, v: F.struct(
+            (acc["s"] + v).alias("s"), (acc["n"] + 1).alias("n")
+        ),
+    )
+    scored = df.select(
+        F.col(id_col), *[F.col(c) for c in keep_cols], st.alias("__st")
+    )
+    n = F.col("__st.n")
+    logit = F.lit(float(bias)) + F.col("__st.s") / F.when(
+        n > 0, n
+    ).otherwise(F.lit(1))
     # keep_cols ride along so a downstream filter/join doesn't need to
     # re-join the source table (one scan, not a self-join)
-    return df.select(
+    return scored.select(
         F.col(id_col),
         *[F.col(c) for c in keep_cols],
         n.cast("long").alias("n_tokens"),
@@ -266,8 +290,23 @@ def clean_text_exprs(text: Column) -> Column:
     zero-width characters, fold unicode spaces, straighten smart quotes
     and long dashes, collapse whitespace runs, trim. Pure JVM regex —
     zero shuffles, codegen'd."""
-    t = F.regexp_replace(text, _CTRL_RE, "")
-    t = F.regexp_replace(t, _USPACE_RE, " ")
+    # Both char classes are FINITE literal sets, so the drop and the
+    # space-fold are translate passes (single table lookup per char),
+    # not regex rewrites of every byte; only the variable-length \s+
+    # collapse genuinely needs the matcher.
+    ctrl_chars = (
+        "".join(chr(c) for c in range(0x00, 0x09))
+        + "\x0b\x0c"
+        + "".join(chr(c) for c in range(0x0E, 0x20))
+        + "\x7f\u200b\u200c\u200d\ufeff"
+    )
+    uspace_chars = (
+        "\u00a0\u1680"
+        + "".join(chr(c) for c in range(0x2000, 0x200B))
+        + "\u202f\u205f\u3000"
+    )
+    t = F.translate(text, ctrl_chars, "")
+    t = F.translate(t, uspace_chars, " " * len(uspace_chars))
     t = F.translate(t, "‘’‚“”„–—",
                     "'''\"\"\"--")
     t = F.regexp_replace(t, r"\s+", " ")
@@ -333,9 +372,14 @@ def boilerplate_line_filter(
     """
     lines = F.split(F.col(text_col), "\n")
 
+    _letters = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+
     def _keep(line: Column) -> Column:
         t = F.trim(line)
-        alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+        # alpha count as a translate-DELETE length delta — the regex
+        # spelling rewrote every line byte through the matcher; counts
+        # are identical (#letters = len - len(line minus A-Za-z))
+        alpha = F.length(t) - F.length(F.translate(t, _letters, ""))
         return (F.length(t) >= min_line_chars) & (
             alpha * 2 >= F.length(t)
         )

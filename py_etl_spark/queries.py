@@ -4062,10 +4062,14 @@ _STOPWORD_RE = r"\b(the|and|of|to|in|a|is)\b"
 def quality_filter_gopher(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     n_words = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
-    word_chars = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
-    sym_chars = F.length(
-        F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", "")
+    # char-class counts as translate-DELETE length deltas (the r09
+    # regex-rewrite lesson); Java \s is exactly [ \t\n\x0B\f\r]
+    _ws = " \t\n\x0b\f\r"
+    _alnum = (
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
     )
+    word_chars = F.length(F.translate(F.col("text"), _ws, ""))
+    sym_chars = F.length(F.translate(F.col("text"), _alnum + _ws, ""))
     n_chars_nz = F.greatest(F.length("text"), F.lit(1))
     has_stopword = F.lower(F.col("text")).rlike(_STOPWORD_RE)
     mean_word_len = word_chars / n_words
@@ -6622,13 +6626,20 @@ def exact_median_price(spark, sf_dir):
 def quality_rank_ensemble(spark, sf_dir):
     from py_etl_spark.operators.ranking import with_global_position
 
+    # Char-class counts as length deltas of a translate-DELETE — the
+    # r09 textstats/winnowing lesson: regexp_replace('[^X]','') is a
+    # hidden full rewrite of every corpus byte through the regex
+    # engine, while translate is a single table-lookup pass. Counts
+    # are identical: #spaces = len - len(text minus spaces), #letters
+    # = len - len(text minus A-Za-z).
+    _letters = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.col("n_chars").cast("long").alias("len_score"),
-        F.length(F.regexp_replace("text", "[^ ]", ""))
+        (F.length("text") - F.length(F.translate("text", " ", "")))
         .cast("long")
         .alias("ws_score"),
-        F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+        (F.length("text") - F.length(F.translate("text", _letters, "")))
         .cast("long")
         .alias("alpha_score"),
     )
