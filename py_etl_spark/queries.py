@@ -8291,6 +8291,17 @@ def rolling_7d_distinct_users_hll(spark, sf_dir):
 #           unchanged r05 entries (analyze_stats_orders,
 #           bloom_build_users, events_daily_resample,
 #           orc_roundtrip_documents), which front in r10.
+#           r09 second pass: the 11 queries whose code changed in the
+#           HOF-evaluation audit (per-pair norm folds, lambda-capture
+#           quadratics, count-only BM25, translate counts, grouped
+#           PageRank adjacency) swap in for 11 more unchanged r05
+#           entries (agg_incremental_monthly_revenue,
+#           bloom_semi_join_prune, bpe_token_count_fixed,
+#           cm_sketch_events, corpus_sample_mixture,
+#           corpus_sample_stratified, dedup_incremental_batch,
+#           events_rolling_7d, funnel_signup_click_purchase,
+#           hll_distinct_event_ids, interval_overlap_signup_purchase),
+#           which front in r10 with the r09-deferred four.
 #           (quality_compression_ratio / audio_window_features_synthetic
 #           excluded: declared rows-only, a window slot buys them
 #           nothing.)
@@ -8308,30 +8319,31 @@ _FRONT = [
     # changed in r09 (ADVICE r08 fixes)
     "q21_last_shipper",
     "embedding_moments_matrix",
-    # the full r05-green cohort (35)
-    "agg_incremental_monthly_revenue",
+    # r05-green cohort survivors + r09 second-pass changed queries
+    # (the 11 displaced unchanged-r05 entries front in r10)
+    "ann_cosine_topk",  # r09 second pass: per-pair norm folds
     "dedup_simhash",  # r09 _norm_tokens contract
     "ann_cosine_topk_int8",
     "ann_cosine_topk_twostage",
     "dedup_minhash_portable_small",  # r09 _norm_tokens contract
-    "bloom_semi_join_prune",
-    "bpe_token_count_fixed",
-    "cm_sketch_events",
+    "ann_cosine_lsh",  # r09 second pass: per-pair norm folds
+    "ann_hard_negatives",  # r09 second pass: per-pair norm folds
+    "knn_label_agreement",  # r09 second pass: per-pair norm folds
     "doc_winnow_fingerprints",  # r09 one-exchange winnow shape
     "corpus_curation_pipeline",
     "q18_large_volume_customers",  # r09 agg-below-join rewrite
-    "corpus_sample_mixture",
-    "corpus_sample_stratified",
+    "retrieval_rrf_fusion",  # r09 second pass: quantize O(dim²) fix
+    "semantic_dedup_fixed",  # r09 second pass: normalize lambda capture
     "dedup_duplicate_spans",
-    "dedup_incremental_batch",
+    "bm25_search_topk",  # r09 second pass: count-only tokenization
     "dedup_segments_corpus",
     "embedding_label_centroids",
     "embedding_quantize_int8",
     "ngram_jaccard_allpairs_small",  # r09 _norm_tokens contract
-    "events_rolling_7d",
-    "funnel_signup_click_purchase",
-    "hll_distinct_event_ids",
-    "interval_overlap_signup_purchase",
+    "quality_rank_ensemble",  # r09 second pass: translate counts
+    "quality_filter_gopher",  # r09 second pass: translate counts
+    "quality_boilerplate_lines",  # r09 second pass: translate counts
+    "pagerank_part_supplier",  # r09 second pass: grouped adjacency
     "key_skew_profile_lineitem",
     "kmv_distinct_rollup",
     "kmv_distinct_users",
@@ -8369,7 +8381,6 @@ _TAIL = [
     "corpus_assemble_examples",
     "dq_check_star_fks",
     "dq_check_orders",
-    "ann_cosine_topk",
     "q6_forecast_revenue",
     "q14_promo_revenue_share",
     "json_props_extract",
@@ -8383,24 +8394,19 @@ _TAIL = [
     "st_hopping_window_agg",
     "trending_event_types_hourly",
     "events_anomaly_days",
-    "quality_boilerplate_lines",
     "st_session_window_agg",
     "hll_rollup_doc_ids",
     "hll_grouping_sets_docs",
     "event_transition_matrix",
     "last_n_events_per_user",
     "partition_gap_report",
-    "quality_rank_ensemble",
     "embedding_outlier_scores",
-    "ann_hard_negatives",
-    "knn_label_agreement",
     "scd2_point_in_time_features",
     "split_leakage_report",
     "asof_next_order_within_30d",
     "feature_bucketize_order_prices",
     "privacy_k_anonymity_report",
     "events_cusum_alarm",
-    "retrieval_rrf_fusion",
     "pareto_frontier_docs",
     "rolling_7d_distinct_users_hll",
     "stable_row_ids_docs",
