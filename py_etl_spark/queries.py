@@ -1743,8 +1743,10 @@ def lm_fluency_bits(spark, sf_dir):
     ORDER BY score_bm25 DESC, doc_id LIMIT 15
     """,
     note="BM25 top-k search (operators/search.bm25_topk): the sparse-"
-    "retrieval baseline beside ANN — per-term tf as array expressions "
-    "(no explode), corpus stats in ONE broadcast-scalar agg row, score "
+    "retrieval baseline beside ANN — dl/tf as regex-free count "
+    "decomposition (splits + translate-delete, r09; counts identical "
+    "to the TOKEN_RE extract), corpus stats in ONE broadcast-scalar "
+    "agg row, score "
     "summed in fixed association so no order-dependent float summation; "
     "map-side scorer + TakeOrderedAndProject top-k",
 )
