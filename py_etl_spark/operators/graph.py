@@ -40,6 +40,7 @@ def pagerank_fixed_point(
     src_col: str = "src",
     dst_col: str = "dst",
     checkpoint_every: int | None = 5,
+    hub_degree_cap: int | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list, ``iterations`` fixed steps,
     all arithmetic in integer micro-units, in the N-SCALED form (rank of
@@ -68,6 +69,15 @@ def pagerank_fixed_point(
     nested-join lineage makes Catalyst analysis/AQE replanning cost
     compound per iteration, so convergence-driven runs (iterations 10+)
     get a bounded plan instead.
+
+    ``hub_degree_cap``: OPT-IN skew guard (ADVICE r09) — sources whose
+    out-degree exceeds the cap are excluded from the grouped adjacency
+    and processed in AQE-splittable flat edge form instead of one
+    unsplittable collect_list array row; values are bit-identical
+    (unit-pinned). Default ``None`` because the guard costs a measured
+    2.1× on hub-free TPC-H-shaped graphs (see the inline comment);
+    enable it for scale-free graphs where one hub's array row would
+    OOM the aggregation buffer.
 
     **EAGER-EXECUTION SIDE EFFECT**: whenever a checkpoint fires
     (``iterations > checkpoint_every``), this function RUNS SPARK JOBS
@@ -100,26 +110,73 @@ def pagerank_fixed_point(
     # iteration hash-partitioned on node (the contrib groupBy + nodes
     # join), so the join reuses that partitioning too — per-iteration
     # data motion is exactly one |E|-row map-side-combined aggregation
-    # exchange (the exploded shares). Memory boundary: one adjacency
-    # array per source node — out-degree-bounded, the same bound the
-    # flat form's join-key skew already required; a scale-free hot hub
-    # needs the salting levers either way.
-    adjg = edges.groupBy(F.col(src_col).alias("node")).agg(
-        F.collect_list(F.col(dst_col)).alias("__dsts"),
-        F.count(F.lit(1)).alias("deg"),
-    )
+    # exchange (the exploded shares).
+    # Memory boundary (ADVICE r09): one adjacency array per source node
+    # is a single UNSPLITTABLE row — its aggregation buffer and its
+    # explode both land in one task, and AQE skew-join splitting can
+    # split streamed edge rows but never one array row. The OPT-IN
+    # ``hub_degree_cap`` lever splits sources at a degree threshold:
+    # out-degree ≤ cap keeps the grouped form (|V| probe/emit rows,
+    # share computed once per node); a scale-free hub stays in FLAT
+    # edge form — its per-edge rows stream through the join, AQE can
+    # split them, and the share floor(rank/deg) uses the hub's TOTAL
+    # degree, so the integer sequence is identical to the ungrouped
+    # computation (pinned by an exceptAll-both-ways unit test with
+    # cap=2 vs cap=None). The lever defaults OFF because it is NOT
+    # free: degrees must exist BEFORE grouping, which costs a second
+    # pass over the edges subtree (a degree aggregation + an edges⋈deg
+    # join), and in a lazy iterative plan that join subtree re-executes
+    # per iteration — measured 2.1× on the registry's part↔supplier
+    # workload at the 10× replica (old_min 9.1 s vs guarded 19.0 s,
+    # interleaved same-session min-of-2; the guarded plan carries 13
+    # SortMergeJoins vs 0). TPC-H-shaped degrees (≤ low hundreds) never
+    # need it; enable it (cap ~2^20 ≈ 8–16 MB of array buffer) for
+    # graphs with known scale-free hubs — web links, social follows —
+    # where one hub row would OOM the aggregation buffer or pin the
+    # whole explode in one task. Shuffle-hash hints keep the lever's
+    # edges⋈deg join sort-free.
+    if hub_degree_cap is not None:
+        deg_df = edges.groupBy(F.col(src_col).alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        edges_d = (
+            edges.select(
+                F.col(src_col).alias("node"), F.col(dst_col).alias("__dst")
+            )
+            .hint("shuffle_hash")
+            .join(deg_df.hint("shuffle_hash"), "node")
+        )
+        flat_src = edges_d.filter(F.col("deg") > hub_degree_cap)
+        adjg = (
+            edges_d.filter(F.col("deg") <= hub_degree_cap)
+            .groupBy("node", "deg")
+            .agg(F.collect_list(F.col("__dst")).alias("__dsts"))
+        )
+    else:
+        flat_src = None
+        adjg = edges.groupBy(F.col(src_col).alias("node")).agg(
+            F.collect_list(F.col(dst_col)).alias("__dsts"),
+            F.count(F.lit(1)).alias("deg"),
+        )
     ranks = nodes.withColumn("rank_micro", F.lit(init).cast("long"))
     for it in range(iterations):
-        contrib = (
-            ranks.join(adjg, "node")
-            .select(
-                F.floor(F.col("rank_micro") / F.col("deg"))
-                .cast("long")
-                .alias("__share"),
-                F.explode("__dsts").alias("node"),
+        contrib = ranks.join(adjg, "node").select(
+            F.floor(F.col("rank_micro") / F.col("deg"))
+            .cast("long")
+            .alias("__share"),
+            F.explode("__dsts").alias("node"),
+        )
+        if flat_src is not None:
+            contrib = contrib.unionByName(
+                ranks.join(flat_src, "node").select(
+                    F.floor(F.col("rank_micro") / F.col("deg"))
+                    .cast("long")
+                    .alias("__share"),
+                    F.col("__dst").alias("node"),
+                )
             )
-            .groupBy("node")
-            .agg(F.sum("__share").alias("in_micro"))
+        contrib = contrib.groupBy("node").agg(
+            F.sum("__share").alias("in_micro")
         )
         ranks = (
             nodes.join(contrib, "node", "left")

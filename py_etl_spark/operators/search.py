@@ -97,11 +97,17 @@ def bm25_topk(
     )
 
     def term_count(term: str) -> F.Column:
+        # Both run branches require isascii(): TOKEN_RE's letter/digit
+        # classes are ASCII-only, so a non-ASCII char that Python's
+        # Unicode-wide isalpha()/isdigit() accepts ('é', '²', '٣',
+        # fullwidth '１') is a PUNCT token to the tokenizer — routing it
+        # to a run split whose charset can never contain it would
+        # silently count 0 (ADVICE r09).
         if term.isascii() and term.isalpha():
             arr = letter_runs
-        elif term.isdigit():
+        elif term.isascii() and term.isdigit():
             arr = digit_runs
-        else:  # single non-alnum char token
+        else:  # single non-alnum-non-space char token (any script)
             return (
                 F.length(lower) - F.length(F.replace(lower, F.lit(term)))
             )

@@ -894,6 +894,40 @@ def test_pagerank_convergence_run_checkpoints_lineage(spark):
     assert len(ck_plan) < len(lazy_plan) / 2
 
 
+def test_pagerank_hub_degree_cap_flat_fallback_bit_exact(spark):
+    """ADVICE r09: sources above hub_degree_cap fall back to the FLAT
+    edge form (AQE-splittable rows instead of one unsplittable array
+    row). The split must be invisible in the values: cap=2 (hub 0 with
+    out-degree 6 takes the flat path, everyone else grouped) equals
+    cap=None (pure grouped) exceptAll-empty BOTH directions, and both
+    equal the python replay of the integer recurrence."""
+    from py_etl_spark.operators.graph import MICRO, pagerank_fixed_point
+
+    edges = (
+        [(0, i) for i in range(1, 7)]  # hub 0: out-degree 6 > cap
+        + [(i, (i % 3) + 1) for i in range(1, 7)]  # deg 1 each
+        + [(3, 0), (5, 0)]  # deg(3)=deg(5)=2, still <= cap
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    capped = pagerank_fixed_point(df, iterations=3, hub_degree_cap=2)
+    pure = pagerank_fixed_point(df, iterations=3, hub_degree_cap=None)
+    assert capped.exceptAll(pure).count() == 0
+    assert pure.exceptAll(capped).count() == 0
+
+    nodes = sorted({u for e in edges for u in e})
+    deg = {}
+    for s_, _ in edges:
+        deg[s_] = deg.get(s_, 0) + 1
+    d_micro, base = 850000, MICRO - 850000
+    r = {v: MICRO for v in nodes}
+    for _ in range(3):
+        inm = {v: 0 for v in nodes}
+        for s_, t_ in edges:
+            inm[t_] += r[s_] // deg[s_]
+        r = {v: base + d_micro * inm[v] // MICRO for v in nodes}
+    assert {x.node: x.rank_micro for x in capped.collect()} == r
+
+
 def test_sample_stratified_exact_counts_and_salt_independence(spark):
     from py_etl_spark.operators.corpus import sample_stratified_exact
 
@@ -1211,6 +1245,27 @@ def test_bm25_normalizes_and_validates_query_terms(spark):
         assert False, "expected ValueError for multi-token term"
     except ValueError as e:
         assert "single corpus token" in str(e)
+
+
+def test_bm25_non_ascii_digit_term_routed_to_punct_branch(spark):
+    """ADVICE r09: '²' passes Python's Unicode-wide isdigit() but is a
+    PUNCT token to the ASCII-only TOKEN_RE — routing it to the [0-9]
+    digit-runs split silently counted tf=0. It must count per-char like
+    any other punct token (and non-ASCII letters like 'é' likewise)."""
+    from py_etl_spark.operators.search import bm25_topk
+
+    df = spark.createDataFrame(
+        [(1, "x² plus y² is r²"), (2, "no squares here"), (3, "é é x²")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bm25_topk(df, ["²"], k=3).collect()}
+    assert out[1].n_match == 1 and out[1].score_bm25 > 0
+    assert out[2].n_match == 0 and out[2].score_bm25 == 0.0
+    assert out[3].n_match == 1
+    # tf ordering: doc 1 (tf=3) outranks doc 3 (tf=1)
+    assert out[1].score_bm25 > out[3].score_bm25
+    oute = {r.doc_id: r for r in bm25_topk(df, ["é"], k=3).collect()}
+    assert oute[3].n_match == 1 and oute[1].n_match == 0
 
 
 def test_bm25_topk_matches_python_reference_and_ranks_sensibly(spark):
