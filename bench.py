@@ -604,6 +604,45 @@ def _task_skew_since(spark, after_stage: int):
     return worst
 
 
+def _fresh_anchor(name: str, sf_dir: str, reps: int = 2,
+                  timeout: int = 1800):
+    """Fresh-session anchor for one query: a subprocess JVM runs ONLY
+    this query ``reps`` times (JIT warms on it alone — none of the
+    closing sweep's 230-query session state) and the in-JVM min is the
+    anchor. r09 closing-bench lesson (SCALING.md §10/§11): in-session
+    state inflates heavy queries irrecoverably (pagerank 58.5 s fresh
+    vs 96.7 s late-session) and corroboration can't catch it because
+    later reps inflate together; one-sample-per-JVM over-corrects by
+    ~5× JIT interpretation cost. Returns min/exec split + samples, or
+    an error record."""
+    import subprocess
+
+    tool = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools",
+        "fresh_anchor.py",
+    )
+    try:
+        p = subprocess.run(
+            [sys.executable, tool, "--child", name, sf_dir, str(reps)],
+            capture_output=True, text=True, timeout=timeout,
+        )
+    except subprocess.TimeoutExpired:
+        return {"error": f"timeout>{timeout}s"}
+    samples = [
+        json.loads(line[len("SAMPLE "):])
+        for line in p.stdout.splitlines()
+        if line.startswith("SAMPLE ")
+    ]
+    if not samples:
+        return {"error": f"child rc={p.returncode}"}
+    return {
+        "min_wall": min(s["wall"] for s in samples),
+        "min_exec": min(s["exec"] for s in samples),
+        "n": len(samples),
+        "samples": samples,
+    }
+
+
 def _run_block(
     qs, names, sf_dir: str, reps: int, spark, skew=None,
     stable_ratio: float = 1.3, extra_reps: int = 4, meta=None,
@@ -766,6 +805,16 @@ def main() -> None:
                 "n_smoke": len(detail["sf10"].get("smoke_queries", {})),
                 "superlinear_flags": detail["sf10"]["superlinear_flags"],
             }
+            if "fresh_anchors" in detail["sf10"]:
+                compact["sf10"]["fresh_anchors"] = {
+                    n: a.get("min_wall", a.get("error"))
+                    for n, a in detail["sf10"]["fresh_anchors"].items()
+                }
+                compact["sf10"]["flags_cleared_by_fresh_anchor"] = (
+                    detail["sf10"][
+                        "superlinear_flags_cleared_by_fresh_anchor"
+                    ]
+                )
         for k in ("semdedup_sqrtk_posture", "semdedup_fixedcell_posture"):
             if k in detail:
                 compact[k.replace("_posture", "_ratio_10x")] = detail[k][
@@ -931,6 +980,48 @@ def main() -> None:
                 "total": round(sum(t_mins.values()), 3),
             }
             flush()
+
+            # Fresh-session anchors (r10 protocol, VERDICT r09 item 3):
+            # the top-10 heaviest sf10 queries re-run in a FRESH
+            # subprocess JVM each (in-JVM min-of-2). These are the
+            # comparable round-over-round numbers for heavy queries —
+            # the single-session sweep above stays for coverage only.
+            # Any superlinear flag additionally gets an anchor; a flag
+            # whose fresh-anchor decade ratio clears the 11.5 threshold
+            # is recorded as cleared (the part_pair r09 lesson: the
+            # in-session arms inflate together, so the flag threshold
+            # fires on session state, not curvature).
+            if os.environ.get("SPARK_GRAFT_FRESH_ANCHORS", "1") != "0":
+                all10 = {**smoke_mins, **t_mins}
+                anchor_names = sorted(
+                    all10, key=lambda n: -all10[n]
+                )[:10]
+                anchor_names += [
+                    n for n in flags if n not in anchor_names
+                ]
+                anchors: dict = {}
+                for n in anchor_names:
+                    anchors[n] = _fresh_anchor(n, sf10_dir)
+                anchor_ratios = {
+                    n: round(
+                        anchors[n]["min_wall"]
+                        / max(s_mins.get(n, 0.05), 0.05),
+                        2,
+                    )
+                    for n in anchors
+                    if "min_wall" in anchors[n] and n in s_mins
+                }
+                detail["sf10"]["fresh_anchors"] = anchors
+                detail["sf10"]["fresh_anchor_ratio_vs_sf1"] = (
+                    anchor_ratios
+                )
+                detail["sf10"][
+                    "superlinear_flags_cleared_by_fresh_anchor"
+                ] = sorted(
+                    n for n in flags
+                    if n in anchor_ratios and anchor_ratios[n] <= 11.5
+                )
+                flush()
 
         # SemDeDup posture block, BOTH operating points at both scales,
         # Lloyd training cost included, outside the headline total so
