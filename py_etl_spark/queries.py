@@ -8276,99 +8276,88 @@ def rolling_7d_distinct_users_hll(spark, sf_dir):
 # The external driver checks registry entries in dict order and caps its
 # list at 50. Emit the registry in an explicit priority order so the cap
 # lands on queries whose correctness is independently evidenced elsewhere:
-#   _FRONT (r09 rotation, exactly 50 — count pinned by
-#           test_queries_contract): the 4 corpus ops deferred from the
-#           r08 window (newest green row still r04 — the stalest
-#           evidence in the union: corpus_augment_word_dropout,
-#           corpus_interleave_sources, corpus_sample_weighted,
-#           corpus_truncate_head_tail); the 2 queries whose code changed
-#           in r09 (q21_last_shipper's null-suppkey DISTINCT fix,
-#           embedding_moments_matrix's null/ragged-vector guard — both
-#           ADVICE r08); all 35 queries whose newest green row is r05;
-#           8 of the r06 cohort, picked where r09 touches their paths
-#           (the ivf/similarity and CC/fuzzy perf items); text_stats
-#           (r09 textstats kernel swap); and the 4 other queries on the
-#           r09 _norm_tokens contract migration (simhash, portable
-#           minhash, ngram jaccard, decontaminate) — swapped in for 4
-#           unchanged r05 entries (analyze_stats_orders,
+#   _FRONT (r10 rotation, exactly 50 — count pinned by
+#           test_queries_contract): ALL 17 queries whose newest
+#           window-green row is r05 — the VERDICT r09 item-2 list of 15
+#           displaced entries (the 4 r09-deferred: analyze_stats_orders,
 #           bloom_build_users, events_daily_resample,
-#           orc_roundtrip_documents), which front in r10.
-#           r09 second pass: the 11 queries whose code changed in the
-#           HOF-evaluation audit (per-pair norm folds, lambda-capture
-#           quadratics, count-only BM25, translate counts, grouped
-#           PageRank adjacency) swap in for 11 more unchanged r05
-#           entries (agg_incremental_monthly_revenue,
-#           bloom_semi_join_prune, bpe_token_count_fixed,
-#           cm_sketch_events, corpus_sample_mixture,
-#           corpus_sample_stratified, dedup_incremental_batch,
-#           events_rolling_7d, funnel_signup_click_purchase,
-#           hll_distinct_event_ids, interval_overlap_signup_purchase),
-#           which front in r10 with the r09-deferred four.
+#           orc_roundtrip_documents; and the 11 second-pass-displaced)
+#           plus corpus_mix_report and cohort_retention_weekly, which
+#           the same staleness query surfaces; the 2 queries whose code
+#           paths changed in r10 (bm25_search_topk — non-ASCII digit
+#           term routing fix in search.term_count; pagerank_part_supplier
+#           — the hub_degree_cap restructure in graph.py, default-off
+#           but the builder was touched); and 31 of the 33 r06-green
+#           cohort (everything except s1_full_scan_projection and
+#           token_count_bpe, both redundantly evidenced — s1 is
+#           plan/golden-covered, the BPE family fronts via
+#           bpe_token_count_fixed — they front in r11).
+#           After this window no registry query's newest window-green
+#           is older than r06, and the two r11 carryovers are the only
+#           r06-aged entries left.
 #           (quality_compression_ratio / audio_window_features_synthetic
 #           excluded: declared rows-only, a window slot buys them
 #           nothing.)
-#   middle: everything r06/r07-green that isn't prioritized.
-#   _TAIL: the r08 window's unchanged greens (freshest evidence,
+#   middle: everything r07+-green that isn't prioritized.
+#   _TAIL: the r08/r09 windows' unchanged greens (freshest evidence,
 #           cheapest to cede to the cap).
 # tools/check_correctness.py runs the FULL registry regardless (committed
 # as CORRECTNESS_FULL_r*.json).
 _FRONT = [
-    # deferred from r08 (r04-green)
-    "corpus_augment_word_dropout",
-    "corpus_interleave_sources",
-    "corpus_sample_weighted",
-    "corpus_truncate_head_tail",
-    # changed in r09 (ADVICE r08 fixes)
-    "q21_last_shipper",
-    "embedding_moments_matrix",
-    # r05-green cohort survivors + r09 second-pass changed queries
-    # (the 11 displaced unchanged-r05 entries front in r10)
-    "ann_cosine_topk",  # r09 second pass: per-pair norm folds
-    "dedup_simhash",  # r09 _norm_tokens contract
-    "ann_cosine_topk_int8",
-    "ann_cosine_topk_twostage",
-    "dedup_minhash_portable_small",  # r09 _norm_tokens contract
-    "ann_cosine_lsh",  # r09 second pass: per-pair norm folds
-    "ann_hard_negatives",  # r09 second pass: per-pair norm folds
-    "knn_label_agreement",  # r09 second pass: per-pair norm folds
-    "doc_winnow_fingerprints",  # r09 one-exchange winnow shape
-    "corpus_curation_pipeline",
-    "q18_large_volume_customers",  # r09 agg-below-join rewrite
-    "retrieval_rrf_fusion",  # r09 second pass: quantize O(dim²) fix
-    "semantic_dedup_fixed",  # r09 second pass: normalize lambda capture
-    "dedup_duplicate_spans",
-    "bm25_search_topk",  # r09 second pass: count-only tokenization
-    "dedup_segments_corpus",
-    "embedding_label_centroids",
-    "embedding_quantize_int8",
-    "ngram_jaccard_allpairs_small",  # r09 _norm_tokens contract
-    "quality_rank_ensemble",  # r09 second pass: translate counts
-    "quality_filter_gopher",  # r09 second pass: translate counts
-    "quality_boilerplate_lines",  # r09 second pass: translate counts
-    "pagerank_part_supplier",  # r09 second pass: grouped adjacency
-    "key_skew_profile_lineitem",
-    "kmv_distinct_rollup",
-    "kmv_distinct_users",
-    "corpus_decontaminate_vs_benchmark",  # r09 _norm_tokens contract
-    "part_pair_cooccurrence",
-    "quality_repetition_metrics",
-    "quality_score_hashed_linear",
-    "scd2_apply_incremental",
-    "scd2_history_from_events",
-    "text_normalize_unicode",
-    "user_event_sequences",
-    "zorder_key_orders",
-    # r06 cohort picks on r09-touched paths (9)
-    "ivf_assign_fixed",
-    "ann_ivf_topk_fixed",
-    "dedup_cc_clusters",
-    "dedup_keep_canonical",
-    "dedup_minhash_lsh",
-    "fuzzy_join_part_names",
-    "fuzzy_rerank_levenshtein",
-    "exact_median_price",
-    # changed in r09 (textstats punct/word-token kernel swap)
-    "text_stats",
+    # the 17 r05-stale entries (15 named in VERDICT r09 item 2 + 2 more
+    # the staleness query surfaces)
+    "analyze_stats_orders",
+    "bloom_build_users",
+    "events_daily_resample",
+    "orc_roundtrip_documents",
+    "agg_incremental_monthly_revenue",
+    "bloom_semi_join_prune",
+    "bpe_token_count_fixed",
+    "cm_sketch_events",
+    "corpus_sample_mixture",
+    "corpus_sample_stratified",
+    "dedup_incremental_batch",
+    "events_rolling_7d",
+    "funnel_signup_click_purchase",
+    "hll_distinct_event_ids",
+    "interval_overlap_signup_purchase",
+    "corpus_mix_report",
+    "cohort_retention_weekly",
+    # changed in r10
+    "bm25_search_topk",
+    "pagerank_part_supplier",
+    # r06-green cohort (31 of 33; 2 redundantly-evidenced defer to r11)
+    "a9_price_histogram",
+    "anonymize_email_domains",
+    "bpe_train_merges",
+    "corpus_chunk_tokens",
+    "corpus_split_deterministic",
+    "corpus_token_budget_quota",
+    "embedding_near_dup",
+    "jsonl_roundtrip_documents",
+    "pii_scrub_stats",
+    "profile_orders_table",
+    "q10_returned_revenue",
+    "q11_important_stock",
+    "q12_priority_lineclass",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_brand_revenue",
+    "q1_pricing_summary",
+    "q20_heavy_part_suppliers",
+    "q22_idle_customer_balance",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority_exists",
+    "q5_local_supplier_volume",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "range_join_followup_events",
+    "s2_keyset_range_scan",
+    "skew_salted_join_orders",
 ]
 _TAIL = [
     "token_pmi_pairs",
