@@ -719,7 +719,23 @@ def main() -> None:
     # UI on for this session only: the monitoring REST API is what feeds
     # the per-query task-skew column (taskSummary quantiles) without
     # re-running anything. The library session factory keeps it off.
-    spark = get_spark("bench", extra_conf={"spark.ui.enabled": "true"})
+    spark = get_spark("bench", extra_conf={
+        "spark.ui.enabled": "true",
+        # The closing sweep runs 230+ queries x reps in this one JVM and
+        # the UI store's default retention (1000 jobs/stages, 100k tasks)
+        # accumulates listener state for ALL of them — a plausible driver
+        # of the §10 late-session inflation. The skew capture only reads
+        # taskSummary for stages of the LAST rep of the current query
+        # (a heavy sf10 query is ~50 stages x 48 tasks), so tight
+        # retention loses nothing. Periodic GC at 10min (default 30min)
+        # lets the ContextCleaner actually release broadcast/shuffle
+        # state mid-sweep instead of piling it to the end.
+        "spark.ui.retainedJobs": "100",
+        "spark.ui.retainedStages": "300",
+        "spark.ui.retainedTasks": "30000",
+        "spark.sql.ui.retainedExecutions": "100",
+        "spark.cleaner.periodicGC.interval": "10min",
+    })
 
     qs = dict(Q.queries())
     # bench-local entries (scale-posture variants, not registry queries)
