@@ -112,6 +112,25 @@ def fuzzy_join(
             "FULL gram sets; combining it with max_gram_freq would drop "
             "qualifying pairs — pick one"
         )
+    if broadcast_left_grams:
+        # The broadcast path's entire heavy chain — gram explode, the
+        # map-side hash join (which fans each right gram row out to
+        # every matching probe: 674M (gram, pair) rows at the 100×
+        # replica), and the pair-count PARTIAL aggregation — runs in
+        # ONE stage whose parallelism is the right table's scan-split
+        # count, and row-group skew in those splits serializes it (the
+        # shuffle-join path has no such problem: its gram exchange
+        # rebalances). Repartitioning the COMPACT doc rows by id before
+        # the explode (the winnowing recipe, fingerprint.py:82) costs a
+        # doc-row-sized exchange and buys even, full-width parallelism
+        # for the row-multiplying chain: measured at the 100× replica,
+        # pair-count stage 22.1 → 14.5 s interleaved min-of-2 (−35%).
+        # Explicit numPartitions so AQE's coalescing (advisory 64 MB on
+        # the compact exchange) can't fold the map width back down.
+        right = right.repartition(
+            right.sparkSession.sparkContext.defaultParallelism,
+            F.col(right_id),
+        )
     lg = left.select(
         F.col(left_id).alias("id_a"),
         F.explode(char_ngrams(F.col(left_on), n)).alias("gram"),
