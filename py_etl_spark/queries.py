@@ -8293,7 +8293,7 @@ def rolling_7d_distinct_users_hll(spark, sf_dir):
 #           plan/golden-covered, the BPE family fronts via
 #           bpe_token_count_fixed — they front in r11).
 #           After this window no registry query's newest window-green
-#           is older than r06, and the two r11 carryovers are the only
+#           is older than r06, and the four r11 carryovers are the only
 #           r06-aged entries left.
 #           (quality_compression_ratio / audio_window_features_synthetic
 #           excluded: declared rows-only, a window slot buys them
@@ -8326,7 +8326,9 @@ _FRONT = [
     # changed in r10
     "bm25_search_topk",
     "pagerank_part_supplier",
-    # r06-green cohort (31 of 33; 2 redundantly-evidenced defer to r11)
+    "fuzzy_join_part_names",
+    "fuzzy_rerank_levenshtein",
+    # r06-green cohort (29 of 33; 4 redundantly-evidenced defer to r11)
     "a9_price_histogram",
     "anonymize_email_domains",
     "bpe_train_merges",
@@ -8356,8 +8358,6 @@ _FRONT = [
     "q8_market_share",
     "q9_product_profit",
     "range_join_followup_events",
-    "s2_keyset_range_scan",
-    "skew_salted_join_orders",
 ]
 _TAIL = [
     "token_pmi_pairs",
