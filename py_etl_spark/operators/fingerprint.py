@@ -79,7 +79,16 @@ def winnow_fingerprints(
     base = (
         df.select(F.col(id_col), norm.alias("__norm"))
         .filter(F.length("__norm") >= k)
-        .repartition(F.col(id_col))
+        # explicit width (r10, the fuzzy.py lesson): without a
+        # numPartitions, AQE may coalesce this compact doc exchange by
+        # its ~64 MB advisory size — but its WIDTH is what parallelizes
+        # the 290×-row-multiplying gram chain above it. Pin it to the
+        # cluster's core count (measured at sf10: 27.4 → 25.4 s, within
+        # session noise; adopted for width determinism).
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism,
+            F.col(id_col),
+        )
     )
     grams = base.select(
         id_col,
