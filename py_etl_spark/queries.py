@@ -8293,7 +8293,7 @@ def rolling_7d_distinct_users_hll(spark, sf_dir):
 #           plan/golden-covered, the BPE family fronts via
 #           bpe_token_count_fixed — they front in r11).
 #           After this window no registry query's newest window-green
-#           is older than r06, and the four r11 carryovers are the only
+#           is older than r06, and the five r11 carryovers are the only
 #           r06-aged entries left.
 #           (quality_compression_ratio / audio_window_features_synthetic
 #           excluded: declared rows-only, a window slot buys them
@@ -8328,7 +8328,8 @@ _FRONT = [
     "pagerank_part_supplier",
     "fuzzy_join_part_names",
     "fuzzy_rerank_levenshtein",
-    # r06-green cohort (29 of 33; 4 redundantly-evidenced defer to r11)
+    "doc_winnow_fingerprints",
+    # r06-green cohort (28 of 33; 5 redundantly-evidenced defer to r11)
     "a9_price_histogram",
     "anonymize_email_domains",
     "bpe_train_merges",
@@ -8336,7 +8337,6 @@ _FRONT = [
     "corpus_split_deterministic",
     "corpus_token_budget_quota",
     "embedding_near_dup",
-    "jsonl_roundtrip_documents",
     "pii_scrub_stats",
     "profile_orders_table",
     "q10_returned_revenue",
