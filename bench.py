@@ -634,12 +634,143 @@ def _fresh_anchor(name: str, sf_dir: str, reps: int = 2,
         if line.startswith("SAMPLE ")
     ]
     if not samples:
-        return {"error": f"child rc={p.returncode}"}
+        # keep the crash diagnosable (ADVICE r10): a child that OOMs or
+        # can't read a table leaves its stderr tail in the record, like
+        # tools/fresh_anchor.run_child does on its own path
+        return {
+            "error": f"child rc={p.returncode}",
+            "stderr_tail": p.stderr[-2000:],
+        }
     return {
         "min_wall": min(s["wall"] for s in samples),
         "min_exec": min(s["exec"] for s in samples),
         "n": len(samples),
         "samples": samples,
+    }
+
+
+def _loadavg() -> dict:
+    """1/5/15-minute load averages. In a container these are HOST-wide
+    (shared kernel), which is exactly why they matter here: the r10
+    closing sweep was polluted by external host load (loadavg 12-20
+    with zero container processes) that nothing in the record guarded
+    against (VERDICT r10 item 4)."""
+    with open("/proc/loadavg") as fh:
+        parts = fh.read().split()
+    return {
+        "load1": float(parts[0]),
+        "load5": float(parts[1]),
+        "load15": float(parts[2]),
+    }
+
+
+def _cpu_busy_steal() -> tuple[int, int]:
+    """(busy, steal) jiffies from the aggregate /proc/stat cpu line.
+    busy = everything except idle+iowait."""
+    with open("/proc/stat") as fh:
+        f = fh.readline().split()
+    vals = [int(x) for x in f[1:]]
+    # user nice system idle iowait irq softirq steal guest guest_nice
+    idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+    steal = vals[7] if len(vals) > 7 else 0
+    return sum(vals) - idle, steal
+
+
+def _self_tree_jiffies() -> int:
+    """CPU jiffies consumed by THIS process tree: self + every live
+    descendant (the py4j JVM, anchor subprocesses) via a /proc walk,
+    plus reaped-children time (cutime/cstime — where completed anchor
+    JVMs land). A process is either alive in /proc or folded into its
+    reaper's cutime, so the sum never double-counts."""
+    procs: dict[int, tuple[int, int]] = {}  # pid -> (ppid, jiffies)
+    for pid_s in os.listdir("/proc"):
+        if not pid_s.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid_s}/stat") as fh:
+                st = fh.read()
+        except OSError:
+            continue
+        # comm can contain spaces/parens; fields start after the last ')'
+        f = st[st.rindex(")") + 2:].split()
+        # post-comm indices (0-based): 1=ppid 11=utime 12=stime
+        # 13=cutime 14=cstime
+        procs[int(pid_s)] = (
+            int(f[1]),
+            int(f[11]) + int(f[12]) + int(f[13]) + int(f[14]),
+        )
+    me = os.getpid()
+    mine = {me}
+    changed = True
+    while changed:
+        changed = False
+        for pid, (ppid, _) in procs.items():
+            if pid not in mine and ppid in mine:
+                mine.add(pid)
+                changed = True
+    return sum(procs[p][1] for p in mine if p in procs)
+
+
+class _LoadMeter:
+    """External-CPU meter for one bench block.
+
+    loadavg alone can't adjudicate pollution DURING a run — it is a
+    1-minute EWMA that our own 32-thread blocks saturate. The precise
+    signal is a /proc/stat delta: external busy cores over the block =
+    (total busy jiffies - this process tree's jiffies) / elapsed. On a
+    quiet box that's ~0 regardless of what the bench itself is doing;
+    the r10 burst (external loadavg 12-20) would read as ~12-20
+    external cores and stamp the block.
+    """
+
+    def __init__(self) -> None:
+        self.hz = os.sysconf("SC_CLK_TCK")
+        self.t0 = time.time()
+        self.busy0, self.steal0 = _cpu_busy_steal()
+        self.self0 = _self_tree_jiffies()
+        self.load_before = _loadavg()
+
+    def stop(self, threshold: float) -> dict:
+        elapsed = max(time.time() - self.t0, 1e-9)
+        busy1, steal1 = _cpu_busy_steal()
+        self1 = _self_tree_jiffies()
+        ext = max(0.0, (busy1 - self.busy0) - (self1 - self.self0)) / (
+            self.hz * elapsed
+        )
+        rec = {
+            "elapsed_sec": round(elapsed, 1),
+            "external_busy_cores": round(ext, 2),
+            "steal_cores": round(
+                (steal1 - self.steal0) / (self.hz * elapsed), 2
+            ),
+            "loadavg_before": self.load_before,
+            "loadavg_after": _loadavg(),
+            "load_polluted": bool(ext > threshold),
+        }
+        return rec
+
+
+def _gate_on_quiet(max_load: float, wait_s: int) -> dict:
+    """Hold the bench start until host load1 drops under ``max_load``
+    (poll every 30 s up to ``wait_s``); record the gate either way. At
+    bench START loadavg is a clean external signal — this process has
+    not burned CPU yet."""
+    t0 = time.time()
+    waited = 0.0
+    load = _loadavg()
+    while load["load1"] > max_load and (time.time() - t0) < wait_s:
+        print(
+            f"load gate: load1={load['load1']} > {max_load}, waiting...",
+            file=sys.stderr, flush=True,
+        )
+        time.sleep(30)
+        load = _loadavg()
+        waited = round(time.time() - t0, 1)
+    return {
+        "max_load1": max_load,
+        "waited_sec": waited,
+        "loadavg_at_start": load,
+        "passed": load["load1"] <= max_load,
     }
 
 
@@ -743,10 +874,21 @@ def main() -> None:
     qs["semantic_dedup_fixedcell"] = _semantic_dedup_fixedcell
     # warm the JVM/codegen paths once with a trivial action
     spark.range(1).count()
+    # load guard (VERDICT r10 item 2): hold the start until the host is
+    # quiet, then stamp every block with its measured EXTERNAL cpu so a
+    # burst mid-run pollutes a labeled block, not silently the trend line
+    ext_thresh = float(os.environ.get("SPARK_GRAFT_EXT_CORES_MAX", "2.0"))
+    load_guard = _gate_on_quiet(
+        float(os.environ.get("SPARK_GRAFT_LOAD_MAX", "8")),
+        int(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "900")),
+    )
+    block_load: dict = {}
+    meter = _LoadMeter()
     rep_meta: dict = {}
     mins, medians = _run_block(
         qs, HEADLINE, sf_dir, reps, spark, meta=rep_meta
     )
+    block_load["sf0.1"] = meter.stop(ext_thresh)
     total = round(sum(mins.values()), 3)
 
     def worst5(d: dict[str, float]) -> dict[str, float]:
@@ -771,6 +913,12 @@ def main() -> None:
         # best rep. An uncorroborated min is NOT comparable across
         # rounds (the r08 ivf_assign_fixed lesson).
         "rep_meta": rep_meta,
+        "load_guard": load_guard,
+        # per-block /proc/stat external-cpu deltas + loadavg samples;
+        # load_polluted flips if ANY block saw external load above the
+        # threshold (SPARK_GRAFT_EXT_CORES_MAX, default 2 cores)
+        "block_load": block_load,
+        "external_cores_threshold": ext_thresh,
     }
 
     detail_file = os.environ.get(
@@ -790,6 +938,10 @@ def main() -> None:
         is exactly these JSON lines; the driver's tail parse picks up
         the last (most complete) one.
         """
+        detail["load_polluted"] = bool(
+            not load_guard["passed"]
+            or any(b.get("load_polluted") for b in block_load.values())
+        )
         with open(detail_file, "w") as fh:
             json.dump(detail, fh, indent=2, sort_keys=True)
         compact = {
@@ -800,6 +952,7 @@ def main() -> None:
             "reps": reps,
             "n_queries": len(mins),
             "mean_sec_per_query": detail["mean_sec_per_query"],
+            "load_polluted": detail["load_polluted"],
             # driver contract keeps a "queries" dict; truncated to the
             # 5 most expensive so the line stays tail-capture-safe —
             # the full dict lives in detail_file
@@ -860,9 +1013,11 @@ def main() -> None:
         build_sec = round(time.time() - t0, 3)
         sf1_reps = max(2, reps - 1)
         sf1_meta: dict = {}
+        meter = _LoadMeter()
         s_mins, s_medians = _run_block(
             qs, HEADLINE, sf1_dir, sf1_reps, spark, meta=sf1_meta
         )
+        block_load["sf1"] = meter.stop(ext_thresh)
         # per-query first-decade ratio: sf1 min / sf0.1 min. Floor the
         # denominator at 50 ms — below that the "ratio" measures job
         # launch overhead, not the plan
@@ -912,6 +1067,7 @@ def main() -> None:
             )
             sf10_skew: dict = {}
             sf10_meta: dict = {}
+            meter = _LoadMeter()
             t_mins, _ = _run_block(
                 qs, SF10_SUBSET, sf10_dir, sf10_reps, spark,
                 skew=sf10_skew, extra_reps=2, meta=sf10_meta,
@@ -995,6 +1151,7 @@ def main() -> None:
                 "superlinear_flags": flags,
                 "total": round(sum(t_mins.values()), 3),
             }
+            block_load["sf10"] = meter.stop(ext_thresh)
             flush()
 
             # Fresh-session anchors (r10 protocol, VERDICT r09 item 3):
@@ -1002,12 +1159,21 @@ def main() -> None:
             # subprocess JVM each (in-JVM min-of-2). These are the
             # comparable round-over-round numbers for heavy queries —
             # the single-session sweep above stays for coverage only.
-            # Any superlinear flag additionally gets an anchor; a flag
-            # whose fresh-anchor decade ratio clears the 11.5 threshold
-            # is recorded as cleared (the part_pair r09 lesson: the
-            # in-session arms inflate together, so the flag threshold
-            # fires on session state, not curvature).
+            # Any superlinear flag additionally gets an anchor.
+            #
+            # r11 (VERDICT r10 item 1): BOTH arms of the decade ratio
+            # are fresh-JVM now. r10 divided a fresh sf10 min by the
+            # IN-SWEEP page-cache-hot sf1 min — the exact mixed-protocol
+            # trap SCALING §11's standing rule names — which kept
+            # adjudicated-linear queries flagged at 15.5×/13.4× when the
+            # same-protocol ratios are 7.4×/~4×. The two arms of one
+            # query run back-to-back (sf10 then sf1) so box-load drift
+            # hits both; a flag whose SAME-PROTOCOL decade ratio clears
+            # the 11.5 threshold is recorded as cleared (the part_pair
+            # r09 lesson: in-session arms inflate together, so the flag
+            # threshold fires on session state, not curvature).
             if os.environ.get("SPARK_GRAFT_FRESH_ANCHORS", "1") != "0":
+                meter = _LoadMeter()
                 all10 = {**smoke_mins, **t_mins}
                 anchor_names = sorted(
                     all10, key=lambda n: -all10[n]
@@ -1016,20 +1182,30 @@ def main() -> None:
                     n for n in flags if n not in anchor_names
                 ]
                 anchors: dict = {}
+                anchors1: dict = {}
                 for n in anchor_names:
                     anchors[n] = _fresh_anchor(n, sf10_dir)
+                    anchors1[n] = _fresh_anchor(n, sf1_dir)
                 anchor_ratios = {
                     n: round(
                         anchors[n]["min_wall"]
-                        / max(s_mins.get(n, 0.05), 0.05),
+                        / max(anchors1[n].get("min_wall", 0.05), 0.05),
                         2,
                     )
                     for n in anchors
-                    if "min_wall" in anchors[n] and n in s_mins
+                    if "min_wall" in anchors[n]
+                    and "min_wall" in anchors1[n]
                 }
                 detail["sf10"]["fresh_anchors"] = anchors
+                detail["sf10"]["fresh_anchors_sf1"] = anchors1
                 detail["sf10"]["fresh_anchor_ratio_vs_sf1"] = (
                     anchor_ratios
+                )
+                detail["sf10"]["fresh_anchor_ratio_note"] = (
+                    "same-protocol: fresh-JVM in-JVM-min in BOTH "
+                    "positions (sf10 anchor / sf1 anchor), arms "
+                    "back-to-back per query; r10's ratio mixed a fresh "
+                    "numerator over an in-sweep denominator"
                 )
                 detail["sf10"][
                     "superlinear_flags_cleared_by_fresh_anchor"
@@ -1037,6 +1213,7 @@ def main() -> None:
                     n for n in flags
                     if n in anchor_ratios and anchor_ratios[n] <= 11.5
                 )
+                block_load["fresh_anchors"] = meter.stop(ext_thresh)
                 flush()
 
         # SemDeDup posture block, BOTH operating points at both scales,
@@ -1072,6 +1249,7 @@ def main() -> None:
         # + join-based SCD1 apply) over the sf1 replica's full event log
         # and record events/s — the single-node-throughput comparison
         # the rebuild is graded on, as a measured number.
+        meter = _LoadMeter()
         n_events = spark.read.parquet(
             os.path.join(sf1_dir, "events.parquet")
         ).count()
@@ -1122,6 +1300,7 @@ def main() -> None:
                         n10 / max(x10, 1e-9)
                     ),
                 }
+        block_load["cdc"] = meter.stop(ext_thresh)
         flush()
 
     spark.stop()

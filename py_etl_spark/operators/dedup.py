@@ -21,9 +21,40 @@ from pyspark.sql import functions as F
 
 from py_etl_spark.operators.textstats import fingerprint_md5
 
-# Mersenne prime 2^61-1: the classic universal-hash modulus; fits in a long
-# without overflow for (a*x+b) with x < 2^32.
-_MERSENNE = (1 << 61) - 1
+# Permutation modulus for the MinHash affine family: a prime JUST ABOVE
+# the 32-bit base-hash domain, not the classic Mersenne 2^61-1.
+#
+# r11 fix (found by the hash-family structure unit): with p = 2^61-1 and
+# h < 2^32, (a*h + b) mod p NEVER WRAPS for a*h + b < p — i.e. for every
+# h below ~2^31 under a < 2^30 — so on that half of the domain every
+# "permutation" is the SAME monotone map and all k signature slots are
+# decided by the one globally-minimum base hash. Measured on a seeded
+# J=0.77 near-dup corpus: signature agreement was all-or-nothing (32/32
+# when the min-hash shingle was shared, 6/32 when not; expectation under
+# independent permutations is ~J*k = 24.6), and 2 of 6 seeded pairs had
+# ZERO matching LSH bands — silent recall loss that only worsens with
+# corpus scale. With p = 2^32 + 15 (prime) and a in [1, 2^31), a*h
+# wraps ~a/2 times across the domain, decorrelating the permutations;
+# measured agreement lands within a few slots of J*k for both hash
+# families. Overflow-safe: (2^31-1)*(2^32-1) + (p-1) < 2^63, on Spark
+# ANSI longs and DuckDB BIGINTs alike (the oracle replays the same
+# arithmetic — queries._affine_coeffs/_minhash_lsh_oracle_sql share
+# these constants via affine_coeffs/PERM_PRIME).
+PERM_PRIME = (1 << 32) + 15
+
+
+def affine_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """The (a, b) coefficients of the MinHash permutation family —
+    the single source of truth shared by minhash_signatures and the
+    DuckDB oracle builders. a in [1, 2^31) (overflow bound, see
+    PERM_PRIME), b in [0, PERM_PRIME)."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, 1 << 31), rng.randrange(0, PERM_PRIME))
+        for _ in range(num_hashes)
+    ]
 
 
 def exact_duplicates(
@@ -150,12 +181,7 @@ def minhash_signatures(
 
     Entirely map-side: shingle → base hash → k affine permutations → min.
     """
-    import random
-
-    rng = random.Random(seed)
-    # a,b < 2^30 so (a*h + b) with h < 2^32 stays below 2^63 (no long
-    # overflow under ANSI mode); still a fine affine family mod 2^61-1.
-    coeffs = [(rng.randrange(1, 1 << 30), rng.randrange(0, 1 << 30)) for _ in range(num_hashes)]
+    coeffs = affine_coeffs(num_hashes, seed)
 
     # explode → hash → groupBy(min × k): a small (doc_id, k·long) shuffle
     # with map-side combine; far cheaper to codegen than k nested
@@ -166,7 +192,7 @@ def minhash_signatures(
         id_col, _base_hash(F.col("shingle"), hash_family).alias("h")
     )
     aggs = [
-        F.min((F.col("h") * a + b) % _MERSENNE).alias(f"mh_{i}")
+        F.min((F.col("h") * a + b) % PERM_PRIME).alias(f"mh_{i}")
         for i, (a, b) in enumerate(coeffs)
     ]
     per_doc = exploded.groupBy(id_col).agg(*aggs)

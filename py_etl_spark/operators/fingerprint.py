@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from py_etl_spark.plans.width import exchange_width
+
 
 def _gram_hash(gram_col, family: str):
     if family == "md5":
@@ -83,12 +85,10 @@ def winnow_fingerprints(
         # numPartitions, AQE may coalesce this compact doc exchange by
         # its ~64 MB advisory size — but its WIDTH is what parallelizes
         # the 290×-row-multiplying gram chain above it. Pin it to the
-        # cluster's core count (measured at sf10: 27.4 → 25.4 s, within
-        # session noise; adopted for width determinism).
-        .repartition(
-            df.sparkSession.sparkContext.defaultParallelism,
-            F.col(id_col),
-        )
+        # cluster's full width (measured at sf10: 27.4 → 25.4 s, within
+        # session noise; adopted for width determinism; derivation and
+        # dynamic-allocation caveat: plans/width.py).
+        .repartition(exchange_width(df.sparkSession), F.col(id_col))
     )
     grams = base.select(
         id_col,

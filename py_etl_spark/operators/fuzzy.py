@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from py_etl_spark.plans.width import exchange_width
+
 
 def char_ngrams(col: Column, n: int = 3) -> Column:
     """Distinct boundary-padded lowercase char n-grams as array<string>.
@@ -126,10 +128,10 @@ def fuzzy_join(
         # for the row-multiplying chain: measured at the 100× replica,
         # pair-count stage 22.1 → 14.5 s interleaved min-of-2 (−35%).
         # Explicit numPartitions so AQE's coalescing (advisory 64 MB on
-        # the compact exchange) can't fold the map width back down.
+        # the compact exchange) can't fold the map width back down
+        # (derivation + dynamic-allocation caveat: plans/width.py).
         right = right.repartition(
-            right.sparkSession.sparkContext.defaultParallelism,
-            F.col(right_id),
+            exchange_width(right.sparkSession), F.col(right_id)
         )
     lg = left.select(
         F.col(left_id).alias("id_a"),

@@ -36,6 +36,42 @@ from pyspark.sql import functions as F
 from py_etl_spark.operators.corpus import TOKEN_RE
 
 
+def _term_count(
+    term: str, lower: F.Column, letter_runs: F.Column, digit_runs: F.Column
+) -> F.Column:
+    """tf expression for one already-tokenized query term over the
+    decomposed document columns (see bm25_topk's decomposition note).
+
+    Both run branches require isascii(): TOKEN_RE's letter/digit classes
+    are ASCII-only, so a non-ASCII char that Python's Unicode-wide
+    isalpha()/isdigit() accepts ('é', '²', '٣', fullwidth '１') is a
+    PUNCT token to the tokenizer — routing it to a run split whose
+    charset can never contain it would silently count 0 (ADVICE r09).
+    """
+    if term.isascii() and term.isalpha():
+        arr = letter_runs
+    elif term.isascii() and term.isdigit():
+        arr = digit_runs
+    else:  # single non-alnum-non-space char token (any script)
+        # contract guard (VERDICT r10 item 3): only SINGLE-char punct
+        # tokens are valid here — TOKEN_RE can never emit a multi-char
+        # non-ASCII token, and the char-count spelling below would
+        # score such a term as len(term) × substring-occurrences
+        # instead of 0. bm25_topk's normalization already rejects
+        # these, but the scorer must not silently mis-count if it is
+        # ever reached another way.
+        if len(term) != 1:
+            raise ValueError(
+                f"invalid query term {term!r}: multi-char terms must "
+                "be letter-runs or digit-runs (ASCII); punct tokens "
+                "are single chars"
+            )
+        return (
+            F.length(lower) - F.length(F.replace(lower, F.lit(term)))
+        )
+    return F.size(arr) - F.size(F.array_remove(arr, term))
+
+
 def bm25_topk(
     docs: DataFrame,
     terms: list[str],
@@ -97,21 +133,7 @@ def bm25_topk(
     )
 
     def term_count(term: str) -> F.Column:
-        # Both run branches require isascii(): TOKEN_RE's letter/digit
-        # classes are ASCII-only, so a non-ASCII char that Python's
-        # Unicode-wide isalpha()/isdigit() accepts ('é', '²', '٣',
-        # fullwidth '１') is a PUNCT token to the tokenizer — routing it
-        # to a run split whose charset can never contain it would
-        # silently count 0 (ADVICE r09).
-        if term.isascii() and term.isalpha():
-            arr = letter_runs
-        elif term.isascii() and term.isdigit():
-            arr = digit_runs
-        else:  # single non-alnum-non-space char token (any script)
-            return (
-                F.length(lower) - F.length(F.replace(lower, F.lit(term)))
-            )
-        return F.size(arr) - F.size(F.array_remove(arr, term))
+        return _term_count(term, lower, letter_runs, digit_runs)
 
     base = docs.select(
         F.col(id_col),

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from py_etl_spark.plans.width import exchange_width
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -745,10 +747,9 @@ def semantic_dedup(
         # with few cells every pair lands on a handful of tasks. The
         # b-side is bounded (k·cell_cap rows), so a round-robin
         # repartition is a cheap bounded shuffle that restores full
-        # parallelism for the broadcast join.
-        b = b.repartition(
-            df.sparkSession.sparkContext.defaultParallelism
-        )
+        # parallelism for the broadcast join (width derivation +
+        # dynamic-allocation caveat: plans/width.py).
+        b = b.repartition(exchange_width(df.sparkSession))
     dropped = (
         pair_a.join(
             b,

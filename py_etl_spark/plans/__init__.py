@@ -1,5 +1,6 @@
 """Physical-plan inspection helpers."""
 
+from py_etl_spark.plans.width import exchange_width  # noqa: F401
 from py_etl_spark.plans.explain import (  # noqa: F401
     broadcast_join_count,
     executed_plan,

@@ -2538,19 +2538,16 @@ def _shingle_hash_ctes(where: str = "") -> str:
 
 
 def _affine_coeffs(num_hashes: int, seed: int = 42):
-    import random
-
-    rng = random.Random(seed)
-    return [
-        (rng.randrange(1, 1 << 30), rng.randrange(0, 1 << 30))
-        for _ in range(num_hashes)
-    ]
+    # single source of truth with the Spark operator (r11: the modulus
+    # moved to a prime just above the 32-bit hash domain — the 2^61-1
+    # family was monotone over half the domain, see dedup.PERM_PRIME)
+    return dedup.affine_coeffs(num_hashes, seed)
 
 
 def _minhash_lsh_oracle_sql() -> str:
     """Full cross-engine oracle for banded MinHash-LSH candidate pairs with
     the portable md5-affine hash family (32 hashes, 8 bands × 4 rows)."""
-    p = (1 << 61) - 1
+    p = dedup.PERM_PRIME
     mins = ",\n             ".join(
         f"min(({a} * h + {b}) % {p}) AS mh_{i}"
         for i, (a, b) in enumerate(_affine_coeffs(32))
@@ -2590,7 +2587,7 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 def _minhash_oracle_sql() -> str:
-    p = (1 << 61) - 1
+    p = dedup.PERM_PRIME
     mins = ",\n           ".join(
         f"min(({a} * h + {b}) % {p}) AS mh_{i}"
         for i, (a, b) in enumerate(_affine_coeffs(8))
@@ -2609,11 +2606,8 @@ def _minhash_oracle_sql() -> str:
          "bounded subset — the full SQL oracle for the xxhash64 scale path",
 )
 def dedup_minhash_portable_small(spark, sf_dir):
-    import random
-
-    rng = random.Random(42)
-    coeffs = [(rng.randrange(1, 1 << 30), rng.randrange(0, 1 << 30)) for _ in range(8)]
-    p = (1 << 61) - 1
+    coeffs = dedup.affine_coeffs(8)
+    p = dedup.PERM_PRIME
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
     hashed = dedup.exploded_shingles(docs).select(
         "doc_id",
@@ -8276,88 +8270,98 @@ def rolling_7d_distinct_users_hll(spark, sf_dir):
 # The external driver checks registry entries in dict order and caps its
 # list at 50. Emit the registry in an explicit priority order so the cap
 # lands on queries whose correctness is independently evidenced elsewhere:
-#   _FRONT (r10 rotation, exactly 50 — count pinned by
-#           test_queries_contract): ALL 17 queries whose newest
-#           window-green row is r05 — the VERDICT r09 item-2 list of 15
-#           displaced entries (the 4 r09-deferred: analyze_stats_orders,
-#           bloom_build_users, events_daily_resample,
-#           orc_roundtrip_documents; and the 11 second-pass-displaced)
-#           plus corpus_mix_report and cohort_retention_weekly, which
-#           the same staleness query surfaces; the 2 queries whose code
-#           paths changed in r10 (bm25_search_topk — non-ASCII digit
-#           term routing fix in search.term_count; pagerank_part_supplier
-#           — the hub_degree_cap restructure in graph.py, default-off
-#           but the builder was touched); and 31 of the 33 r06-green
-#           cohort (everything except s1_full_scan_projection and
-#           token_count_bpe, both redundantly evidenced — s1 is
-#           plan/golden-covered, the BPE family fronts via
-#           bpe_token_count_fixed — they front in r11).
+#   _FRONT (r11 rotation, exactly 50 — count pinned by
+#           test_queries_contract): the 7 stalest-window entries
+#           (VERDICT r10 "Next round" item 3) — the 5 whose newest
+#           window-green is r06 (jsonl_roundtrip_documents, deferred
+#           from r10; s1_full_scan_projection; s2_keyset_range_scan;
+#           skew_salted_join_orders; token_count_bpe) and the 2
+#           declared rows-only entries never re-windowed since
+#           r04/r05 (quality_compression_ratio,
+#           audio_window_features_synthetic — rows-only by declaration,
+#           fronted this once so their evidence is not decade-old);
+#           the 10 queries whose code paths change in r11
+#           (dedup_minhash_lsh + dedup_minhash_portable_small +
+#           dedup_cc_clusters + dedup_keep_canonical — the MinHash
+#           permutation-modulus fix (dedup.PERM_PRIME), VALUES change,
+#           oracles co-migrated; bm25_search_topk + retrieval_rrf_fusion
+#           — the term_count single-char punct guard;
+#           doc_winnow_fingerprints — the xxhash64-lever units touch its
+#           operator; fuzzy_join_part_names + fuzzy_rerank_levenshtein +
+#           semantic_dedup_fixed — the exchange_width() helper replaces
+#           the inline defaultParallelism width at their repartition
+#           sites);
+#           and 33 of the 38 r07-green cohort — everything except
+#           f_string_suite, f_date_number_suite,
+#           j1_snapshot_reconcile_outer, j3_two_key_fallback_join and
+#           p10_validity_routing, all five redundantly evidenced
+#           (byte-exact golden pipeline coverage in
+#           tests/test_golden_pipeline.py on top of their r07 driver
+#           rows); those five front in r12.
 #           After this window no registry query's newest window-green
-#           is older than r06, and the five r11 carryovers are the only
-#           r06-aged entries left.
-#           (quality_compression_ratio / audio_window_features_synthetic
-#           excluded: declared rows-only, a window slot buys them
-#           nothing.)
-#   middle: everything r07+-green that isn't prioritized.
+#           is older than r07, and the five deferred golden-redundant
+#           entries are the only r07-aged entries left.
+#   middle: everything r08+-green that isn't prioritized.
 #   _TAIL: the r08/r09 windows' unchanged greens (freshest evidence,
 #           cheapest to cede to the cap).
 # tools/check_correctness.py runs the FULL registry regardless (committed
 # as CORRECTNESS_FULL_r*.json).
 _FRONT = [
-    # the 17 r05-stale entries (15 named in VERDICT r09 item 2 + 2 more
-    # the staleness query surfaces)
-    "analyze_stats_orders",
-    "bloom_build_users",
-    "events_daily_resample",
-    "orc_roundtrip_documents",
-    "agg_incremental_monthly_revenue",
-    "bloom_semi_join_prune",
-    "bpe_token_count_fixed",
-    "cm_sketch_events",
-    "corpus_sample_mixture",
-    "corpus_sample_stratified",
-    "dedup_incremental_batch",
-    "events_rolling_7d",
-    "funnel_signup_click_purchase",
-    "hll_distinct_event_ids",
-    "interval_overlap_signup_purchase",
-    "corpus_mix_report",
-    "cohort_retention_weekly",
-    # changed in r10
+    # the 7 stalest (5 r06-green + the 2 rows-only last windowed r04/r05)
+    "jsonl_roundtrip_documents",
+    "s1_full_scan_projection",
+    "s2_keyset_range_scan",
+    "skew_salted_join_orders",
+    "token_count_bpe",
+    "quality_compression_ratio",
+    "audio_window_features_synthetic",
+    # changed in r11
+    "dedup_minhash_lsh",
+    "dedup_minhash_portable_small",
+    "dedup_cc_clusters",
+    "dedup_keep_canonical",
     "bm25_search_topk",
-    "pagerank_part_supplier",
+    "retrieval_rrf_fusion",
+    "doc_winnow_fingerprints",
     "fuzzy_join_part_names",
     "fuzzy_rerank_levenshtein",
-    "doc_winnow_fingerprints",
-    # r06-green cohort (28 of 33; 5 redundantly-evidenced defer to r11)
-    "a9_price_histogram",
-    "anonymize_email_domains",
-    "bpe_train_merges",
-    "corpus_chunk_tokens",
-    "corpus_split_deterministic",
-    "corpus_token_budget_quota",
-    "embedding_near_dup",
-    "pii_scrub_stats",
-    "profile_orders_table",
-    "q10_returned_revenue",
-    "q11_important_stock",
-    "q12_priority_lineclass",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_brand_revenue",
-    "q1_pricing_summary",
-    "q20_heavy_part_suppliers",
-    "q22_idle_customer_balance",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority_exists",
-    "q5_local_supplier_volume",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "range_join_followup_events",
+    "semantic_dedup_fixed",
+    # r07-green cohort (33 of 38; f_string_suite, f_date_number_suite,
+    # j1_snapshot_reconcile_outer, j3_two_key_fallback_join and
+    # p10_validity_routing defer to r12 — golden-redundant)
+    "a1_count_by_group",
+    "a2_watermark_running_max",
+    "a3_last_writer_wins",
+    "a4_duplicate_key_detection",
+    "a5_partition_boundaries",
+    "a7_pending_work_exists",
+    "cdc_merge_scd1",
+    "cdc_tombstone_lifecycle",
+    "cm_estimate_heavy_users",
+    "dedup_exact_groups",
+    "dq_drift_doc_lengths",
+    "e1_set_difference",
+    "e2_set_intersection",
+    "f_hash_fingerprint",
+    "hist_quantile_prices",
+    "j2_event_entity_lookup",
+    "j4_sorted_merge_tree_compare",
+    "j7_anti_join_guard",
+    "kmv_join_size_estimate",
+    "lang_id_heuristic",
+    "o2_case_insensitive_sort",
+    "p12_first_n_per_group",
+    "p3_rename_convert_projection",
+    "p4_status_filter",
+    "p5_watermark_filter",
+    "p6_keyset_semi_join",
+    "s10_tree_ancestors",
+    "s3_point_lookup",
+    "s4_sorted_limit",
+    "s5_csv_roundtrip",
+    "s7_scope_scan",
+    "st_tumbling_window_agg",
+    "w2_retry_escalation",
 ]
 _TAIL = [
     "token_pmi_pairs",
