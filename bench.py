@@ -876,8 +876,13 @@ def main() -> None:
     spark.range(1).count()
     # load guard (VERDICT r10 item 2): hold the start until the host is
     # quiet, then stamp every block with its measured EXTERNAL cpu so a
-    # burst mid-run pollutes a labeled block, not silently the trend line
-    ext_thresh = float(os.environ.get("SPARK_GRAFT_EXT_CORES_MAX", "2.0"))
+    # burst mid-run pollutes a labeled block, not silently the trend
+    # line. Threshold 3.0: the meter's noise floor is ~1-1.5 cores
+    # during anchor-heavy blocks (short-lived JVM subtrees lose some
+    # worker jiffies to init even with the fresh_anchor reap fix, and
+    # ambient tenant load fluctuates), while the bursts the guard exists
+    # for measured 12-20 external cores in r10 — unmistakable at 3.0.
+    ext_thresh = float(os.environ.get("SPARK_GRAFT_EXT_CORES_MAX", "3.0"))
     load_guard = _gate_on_quiet(
         float(os.environ.get("SPARK_GRAFT_LOAD_MAX", "8")),
         int(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "900")),

@@ -59,6 +59,30 @@ def child(query: str, sf_dir: str, reps: int) -> None:
             ),
             flush=True,
         )
+    # Reap the JVM before exiting (r11): without an explicit wait() the
+    # gateway JVM outlives this python briefly, is reparented to init,
+    # and its CPU time (~35 cpu-s per anchor) never lands in ANY
+    # ancestor's cutime — bench's external-load meter then misreads our
+    # own anchors as ~3 "external" cores each (measured). Closing the
+    # JVM's stdin triggers its die-on-EOF monitor; wait() folds its
+    # jiffies into this process's cutime, which subprocess.run's wait
+    # then folds into the caller's.
+    try:
+        gw = spark.sparkContext._gateway
+        spark.stop()
+        proc = getattr(gw, "proc", None)
+        if proc is not None:
+            try:
+                proc.stdin.close()
+            except Exception:
+                proc.terminate()
+            try:
+                proc.wait(timeout=30)
+            except Exception:
+                proc.kill()
+                proc.wait(timeout=10)
+    except Exception:
+        pass  # accounting aid only — never fail the anchor over it
 
 
 def run_child(
