@@ -921,7 +921,7 @@ def main() -> None:
         "load_guard": load_guard,
         # per-block /proc/stat external-cpu deltas + loadavg samples;
         # load_polluted flips if ANY block saw external load above the
-        # threshold (SPARK_GRAFT_EXT_CORES_MAX, default 2 cores)
+        # threshold (SPARK_GRAFT_EXT_CORES_MAX, default 3 cores)
         "block_load": block_load,
         "external_cores_threshold": ext_thresh,
     }
