@@ -267,11 +267,18 @@ def quality_score_hashed_linear(
     ).otherwise(F.lit(1))
     # keep_cols ride along so a downstream filter/join doesn't need to
     # re-join the source table (one scan, not a self-join)
+    #
+    # `+ 0.0` normalizes IEEE negative zero: a tiny negative logit
+    # (|logit| < 5e-7) rounds to -0.0 under sign-preserving float
+    # rounding (DuckDB) but to +0.0 under BigDecimal HALF_UP (Spark) —
+    # the one bit-pattern split the r11 sf0.1 sweep caught. x + 0.0 is
+    # the identity for every double except -0.0 → +0.0, so both engines
+    # emit the same bits for every score.
     return scored.select(
         F.col(id_col),
         *[F.col(c) for c in keep_cols],
         n.cast("long").alias("n_tokens"),
-        F.round(logit, 6).alias("logit"),
+        (F.round(logit, 6) + F.lit(0.0)).alias("logit"),
         (logit >= 0).alias("is_quality"),
     )
 

@@ -1203,9 +1203,12 @@ def _quality_linear_oracle() -> str:
     )
     SELECT doc_id,
            CAST(len(ws) AS BIGINT) AS n_tokens,
+           -- + 0.0 folds IEEE -0.0 (DuckDB's sign-preserving round of a
+           -- tiny negative logit) to +0.0, matching Spark's BigDecimal
+           -- round which never emits -0.0
            round({_QUALITY_BIAS!r} +
                  list_reduce(list_prepend(0.0, ws), (a, b) -> a + b)
-                   / greatest(len(ws), 1), 6)  AS logit,
+                   / greatest(len(ws), 1), 6) + 0.0  AS logit,
            ({_QUALITY_BIAS!r} +
             list_reduce(list_prepend(0.0, ws), (a, b) -> a + b)
               / greatest(len(ws), 1)) >= 0     AS is_quality
@@ -1229,9 +1232,10 @@ def _curation_pipeline_oracle() -> str:
     ), gated AS (
       SELECT doc_id, source, text,
              CAST(len(ws) AS BIGINT) AS n_tokens,
+             -- + 0.0: fold -0.0 to +0.0 (see _quality_linear_oracle)
              round({_QUALITY_BIAS!r} +
                    list_reduce(list_prepend(0.0, ws), (a, b) -> a + b)
-                     / greatest(len(ws), 1), 6) AS logit
+                     / greatest(len(ws), 1), 6) + 0.0 AS logit
       FROM scored
       WHERE ({_QUALITY_BIAS!r} +
              list_reduce(list_prepend(0.0, ws), (a, b) -> a + b)
@@ -3405,7 +3409,15 @@ def anonymize_email_domains(spark, sf_dir):
                                 ORDER BY unit_cost, l_suppkey) AS rn
       FROM uc
     )
-    SELECT p_partkey, p_type, s_name, round(unit_cost, 4) AS best_unit_cost
+    -- floor(x*1e4 + 0.5)/1e4 instead of round(x, 4): *, +, floor, / are
+    -- IEEE-correctly-rounded in every engine, so the result is
+    -- bit-reproducible — round() is not (Spark rounds the exact decimal
+    -- expansion via BigDecimal HALF_UP, DuckDB rounds in float space;
+    -- the r11 sf0.1 sweep caught a boundary unit_cost flipping between
+    -- 147.7012 and 147.7013). unit_cost > 0 always, so half-up == half
+    -- away from zero.
+    SELECT p_partkey, p_type, s_name,
+           floor(unit_cost * 10000.0 + 0.5) / 10000.0 AS best_unit_cost
     FROM r
     JOIN part     ON p_partkey = l_partkey
     JOIN supplier ON s_suppkey = l_suppkey
@@ -3428,7 +3440,9 @@ def q2_min_cost_supplier(spark, sf_dir):
         .join(F.broadcast(sup), best.l_suppkey == sup.s_suppkey)
         .select(
             "p_partkey", "p_type", "s_name",
-            F.round("unit_cost", 4).alias("best_unit_cost"),
+            # bit-reproducible float-space round-half-up (see oracle note)
+            (F.floor(F.col("unit_cost") * 10000.0 + F.lit(0.5)) / 10000.0)
+            .alias("best_unit_cost"),
         )
     )
 
@@ -4667,12 +4681,21 @@ def a9_price_histogram(spark, sf_dir):
 @query(
     "q9_product_profit",
     """
-    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    -- profit is defined in exact integer cents: the per-row amount is a
+    -- chain of IEEE-exact double ops (bit-identical in every engine),
+    -- rounded to cents per row with the bit-reproducible
+    -- floor(x*100 + 0.5), then summed as integers — an order-free exact
+    -- sum. round(sum(double), 2) was order-DEPENDENT: the r11 sf0.1
+    -- sweep caught one (nation, year) group landing on a half-cent
+    -- boundary, flipping .61/.62 with the reduction order.
+    SELECT nation, o_year,
+           CAST(sum(amount_c) AS DOUBLE) / 100.0 AS sum_profit
     FROM (
       SELECT n_name AS nation,
              CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
-             l_extendedprice * (1 - l_discount)
-               - 0.1 * p_retailprice * l_quantity AS amount
+             CAST(floor((l_extendedprice * (1 - l_discount)
+                         - 0.1 * p_retailprice * l_quantity) * 100.0
+                        + 0.5) AS BIGINT) AS amount_c
       FROM part
       JOIN lineitem ON p_partkey = l_partkey
       JOIN supplier ON s_suppkey = l_suppkey
@@ -4685,7 +4708,8 @@ def a9_price_histogram(spark, sf_dir):
     note="TPC-H Q9 shape (p_retailprice stands in for ps_supplycost — no "
          "partsupp table in this dataset): name-substring part filter, "
          "5-way join, per-nation-year profit. part/supplier/nation "
-         "broadcast; only lineitem⋈orders shuffles, then one small agg.",
+         "broadcast; only lineitem⋈orders shuffles, then one small agg. "
+         "Profit aggregated in exact integer cents (order-free).",
 )
 def q9_product_profit(spark, sf_dir):
     part = _t(spark, sf_dir, "part").filter(
@@ -4710,10 +4734,16 @@ def q9_product_profit(spark, sf_dir):
         .select(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
-            amount.alias("amount"),
+            # exact integer cents per row (bit-reproducible float round,
+            # see oracle note); decimal(38,0) sum so the exact
+            # aggregation can't overflow at any scale
+            F.floor(amount * 100.0 + F.lit(0.5))
+            .cast("decimal(38,0)").alias("amount_c"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .agg(
+            (F.sum("amount_c").cast("double") / 100.0).alias("sum_profit")
+        )
     )
 
 
@@ -8280,7 +8310,7 @@ def rolling_7d_distinct_users_hll(spark, sf_dir):
 #           r04/r05 (quality_compression_ratio,
 #           audio_window_features_synthetic — rows-only by declaration,
 #           fronted this once so their evidence is not decade-old);
-#           the 10 queries whose code paths change in r11
+#           the 14 queries whose code paths change in r11
 #           (dedup_minhash_lsh + dedup_minhash_portable_small +
 #           dedup_cc_clusters + dedup_keep_canonical — the MinHash
 #           permutation-modulus fix (dedup.PERM_PRIME), VALUES change,
@@ -8290,16 +8320,22 @@ def rolling_7d_distinct_users_hll(spark, sf_dir):
 #           operator; fuzzy_join_part_names + fuzzy_rerank_levenshtein +
 #           semantic_dedup_fixed — the exchange_width() helper replaces
 #           the inline defaultParallelism width at their repartition
-#           sites);
-#           and 33 of the 38 r07-green cohort — everything except
+#           sites; quality_score_hashed_linear +
+#           corpus_curation_pipeline — the -0.0 logit normalization;
+#           q2_min_cost_supplier — bit-reproducible float-space round;
+#           q9_product_profit — exact integer-cents profit sum; the last
+#           four are the r11 sf0.1-sweep divergence fixes, VALUES change
+#           at boundary rows, oracles co-migrated);
+#           and 29 of the 38 r07-green cohort — everything except
 #           f_string_suite, f_date_number_suite,
-#           j1_snapshot_reconcile_outer, j3_two_key_fallback_join and
-#           p10_validity_routing, all five redundantly evidenced
-#           (byte-exact golden pipeline coverage in
-#           tests/test_golden_pipeline.py on top of their r07 driver
-#           rows); those five front in r12.
+#           j1_snapshot_reconcile_outer, j3_two_key_fallback_join,
+#           p10_validity_routing, s5_csv_roundtrip, s7_scope_scan,
+#           s10_tree_ancestors and p3_rename_convert_projection, all
+#           nine redundantly evidenced (byte-exact golden pipeline
+#           coverage in tests/test_golden_pipeline.py on top of their
+#           r07 driver rows); those nine front in r12.
 #           After this window no registry query's newest window-green
-#           is older than r07, and the five deferred golden-redundant
+#           is older than r07, and the nine deferred golden-redundant
 #           entries are the only r07-aged entries left.
 #   middle: everything r08+-green that isn't prioritized.
 #   _TAIL: the r08/r09 windows' unchanged greens (freshest evidence,
@@ -8326,9 +8362,16 @@ _FRONT = [
     "fuzzy_join_part_names",
     "fuzzy_rerank_levenshtein",
     "semantic_dedup_fixed",
-    # r07-green cohort (33 of 38; f_string_suite, f_date_number_suite,
-    # j1_snapshot_reconcile_outer, j3_two_key_fallback_join and
-    # p10_validity_routing defer to r12 — golden-redundant)
+    # r11 sf0.1-sweep divergence fixes (values change at boundary rows)
+    "quality_score_hashed_linear",
+    "corpus_curation_pipeline",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    # r07-green cohort (29 of 38; f_string_suite, f_date_number_suite,
+    # j1_snapshot_reconcile_outer, j3_two_key_fallback_join,
+    # p10_validity_routing, s5_csv_roundtrip, s7_scope_scan,
+    # s10_tree_ancestors and p3_rename_convert_projection defer to r12
+    # — golden-redundant)
     "a1_count_by_group",
     "a2_watermark_running_max",
     "a3_last_writer_wins",
@@ -8351,15 +8394,11 @@ _FRONT = [
     "lang_id_heuristic",
     "o2_case_insensitive_sort",
     "p12_first_n_per_group",
-    "p3_rename_convert_projection",
     "p4_status_filter",
     "p5_watermark_filter",
     "p6_keyset_semi_join",
-    "s10_tree_ancestors",
     "s3_point_lookup",
     "s4_sorted_limit",
-    "s5_csv_roundtrip",
-    "s7_scope_scan",
     "st_tumbling_window_agg",
     "w2_retry_escalation",
 ]

@@ -1512,6 +1512,27 @@ def test_quality_score_hashed_linear_matches_numpy_reference(spark):
     assert out[3].n_tokens == 0  # empty doc: bias-only logit, no crash
 
 
+def test_quality_score_never_emits_negative_zero(spark):
+    """Cross-engine -0.0 contract (r11 sf0.1 sweep finding): a tiny
+    negative logit rounds to -0.0 under sign-preserving float rounding
+    (DuckDB) but +0.0 under Spark's BigDecimal round — the scorer
+    normalizes with `+ 0.0` so every engine emits the same bits. Pin the
+    Spark side: an all-negative-epsilon weight vector must score exactly
+    +0.0, not -0.0 (guards against a future float-space round rewrite
+    dropping the normalization)."""
+    import math
+
+    df = spark.createDataFrame([(1, "any token")], "doc_id long, text string")
+    out = textstats.quality_score_hashed_linear(
+        df, weights=[-1e-9] * 64, bias=0.0
+    ).collect()[0]
+    assert out.logit == 0.0
+    assert math.copysign(1.0, out.logit) > 0  # +0.0, never -0.0
+    # is_quality reads the UNROUNDED logit: -1e-9 < 0 → not quality,
+    # even though the displayed (rounded, normalized) logit is 0.0
+    assert out.is_quality is False
+
+
 def test_funnel_strict_ordering_and_ties(spark):
     from datetime import datetime
 
