@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from py_etl_spark.functions.numeric import float_round
 from py_etl_spark.operators.textstats import fingerprint_md5
 
 # Permutation modulus for the MinHash affine family: a prime JUST ABOVE
@@ -445,7 +446,9 @@ def ngram_jaccard_pairs(
         pairs.select(
             "id_a",
             "id_b",
-            F.round(inter / union, 6).alias("jaccard"),
+            # int-ratio lattice → bit-reproducible float round
+            # (functions/numeric.py), not F.round
+            float_round(inter / union, 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from py_etl_spark.functions.numeric import float_round
+
 #: Overflow ceiling for drift numerators (int64 max). A parameter on
 #: :func:`distribution_drift` (not a buried literal) so tests can lower
 #: it and exercise the assert_true raise path in both SQL modes.
@@ -278,11 +280,12 @@ def distribution_drift(
         "n_a",
         "n_b",
         tv_num.alias("tv_num"),
-        F.round(
+        # int-ratio lattice -> bit-reproducible float round
+        float_round(
             tv_num.cast("double") / (2.0 * na.cast("double") * nb.cast("double")), 6
         ).alias("tv"),
         ks_num.alias("ks_num"),
-        F.round(
+        float_round(
             ks_num.cast("double") / (na.cast("double") * nb.cast("double")), 6
         ).alias("ks"),
     )

@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from py_etl_spark.functions.numeric import float_round
 from py_etl_spark.plans.width import exchange_width
 
 
@@ -210,7 +211,9 @@ def fuzzy_join(
             .filter(F.col("__j") >= threshold)
         )
         return verified.select(
-            "id_a", "id_b", F.round("__j", 6).alias("jaccard")
+            "id_a", "id_b",
+            # int-ratio lattice -> bit-reproducible float round
+            float_round(F.col("__j"), 6).alias("jaccard"),
         )
     if gram_salt and not broadcast_left_grams:
         rg = rg.withColumn(
@@ -241,7 +244,11 @@ def fuzzy_join(
         .join(sizes_r, "id_b")
         .withColumn("__j", jac)
         .filter(F.col("__j") >= threshold)
-        .select("id_a", "id_b", F.round("__j", 6).alias("jaccard"))
+        .select(
+            "id_a", "id_b",
+            # int-ratio lattice -> bit-reproducible float round
+            float_round(F.col("__j"), 6).alias("jaccard"),
+        )
     )
 
 
@@ -279,7 +286,8 @@ def levenshtein_rerank(
         .withColumn("lev", F.levenshtein(F.col("__sa"), F.col("__sb")))
         .withColumn(
             "lev_sim",
-            F.round(
+            # int-ratio lattice -> bit-reproducible float round
+            float_round(
                 F.lit(1.0)
                 - F.col("lev")
                 / F.greatest(F.length("__sa"), F.length("__sb")),

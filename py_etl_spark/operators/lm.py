@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from py_etl_spark.functions.numeric import float_round
 from py_etl_spark.operators.corpus import TOKEN_RE
 
 # Stupid-backoff penalty in bits (2 bits ⟺ backoff weight alpha = 0.25)
@@ -189,7 +190,8 @@ def lm_score(
         F.sum("bits").alias("total_bits"),
     )
     # left join back so token-poor docs still appear (with NULL score)
-    avg = F.round(F.col("total_bits") / F.col("n_pairs"), 6)
+    # int-ratio lattice -> bit-reproducible float round
+    avg = float_round(F.col("total_bits") / F.col("n_pairs"), 6)
     return (
         docs.select(id_col)
         .join(per_doc, id_col, "left")

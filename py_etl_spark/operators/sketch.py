@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from py_etl_spark.functions.numeric import float_round
+
 # 60-bit hash space: 15 hex chars of md5. Fits a signed long with headroom,
 # and 2^60 is exactly representable in a double, so the estimate's
 # float arithmetic is bit-identical across engines.
@@ -440,7 +442,9 @@ def hist_quantiles(
             + (target - (cum_at - c_at).cast("double")) / c_at.cast("double")
         )
         sel.append(
-            F.round(est, 4).alias(f"q{str(q).replace('.', '_')}")
+            # counts-interpolated decimal lattice -> bit-reproducible
+            # float round
+            float_round(est, 4).alias(f"q{str(q).replace('.', '_')}")
         )
     return out.select(*sel)
 

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from py_etl_spark.functions.numeric import float_round
+
 SALT_COL = "__salt"
 
 
@@ -83,8 +85,10 @@ def key_skew_profile(
         .select(
             F.col(key_col),
             F.col("n").cast("long").alias("n_rows"),
-            F.round(F.col("n") / F.col("__total"), 6).alias("share"),
-            F.round(
+            # int-ratio lattice → bit-reproducible float round
+            # (functions/numeric.py), not F.round
+            float_round(F.col("n") / F.col("__total"), 6).alias("share"),
+            float_round(
                 F.col("n") * F.col("__nkeys") / F.col("__total"), 4
             ).alias("skew_factor"),
         )

@@ -75,7 +75,15 @@ def rolling_mean(
     """Trailing ``window_rows``-row mean per group over an already-DENSE
     series (run :func:`resample_daily` first so rows are calendar-spaced).
     Rows before a full window average what exists so far — the standard
-    warm-up convention."""
+    warm-up convention.
+
+    The ``round()`` here survives the r11 cross-engine rounding audit
+    (see the exact money-aggregate idiom in queries.py) without the
+    float-floor rewrite: the averaged values are integer counts summed
+    exactly inside a ROWS frame, and a mean int_sum/d with d ≤
+    ``window_rows`` (≤ 7) can never land exactly on a 10^-{round_to+1}
+    tie (d ∈ {1,2,4,5} expansions terminate with a 0 in the tie digit;
+    d ∈ {3,6,7} never terminate), so both engines' round() agree."""
     w = (
         Window.partitionBy(group_col)
         .orderBy(order_col)

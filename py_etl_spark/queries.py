@@ -23,6 +23,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from py_etl_spark.functions.numeric import float_round
 from py_etl_spark.operators import dedup, ranking, similarity, textstats
 from py_etl_spark.operators.merge import MergePolicy, scd1_merge
 from py_etl_spark.schemas import load_table
@@ -54,6 +55,76 @@ def query(name: str, oracle: str | None, note: str = ""):
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+# ---- exact money-aggregate idiom (r11) -------------------------------------
+#
+# sum(<double>) is reduction-order dependent: Spark's partial aggregation
+# order varies with partitioning/AQE while DuckDB sums serially, so
+# round(sum(x), 2) can flip a last digit whenever a group lands within
+# float-error distance of a half-cent boundary — the r11 sf0.1 sweep
+# caught q9 doing exactly that, and EVERY money aggregate in the registry
+# shared the latency. The fix is exact integer arithmetic end-to-end:
+#
+#   1. `_xc(col, s)` quantizes each row to 10^-s units with
+#      floor(x*10^s + 0.5) — *, +, floor are IEEE-correctly-rounded in
+#      every engine, so the per-row integer is bit-reproducible (and for
+#      inputs that ARE s-decimal values, e.g. 2-decimal prices at s=2 or
+#      price*(1-disc) products at s=4, it recovers the EXACT decimal —
+#      the sum is then true decimal money math, not an approximation).
+#   2. Sum the integers. Integer sums are exact and order-free in both
+#      engines (DuckDB sums BIGINT into HUGEINT). On the Spark side the
+#      accumulator dtype is a measured tradeoff (sf0.1 q1 A/B,
+#      interleaved min-of-5): LONG sums run at double-sum speed (0.31 s
+#      vs 0.27 s for the 3-sum aggregate) but wrap silently past 2^63;
+#      decimal(20,0) sums are overflow-free to 1e30 but ~2x (0.55 s) —
+#      Decimal aggregation leaves the primitive codegen path. Rule:
+#      LONG when max_rows_per_group x 10^s x max|value| at the 100 TB
+#      target (~1e12 fact rows) stays under 9.2e17 (>= 10x margin) —
+#      true for every per-key aggregate whose group count scales with
+#      the data (per-order, per-customer, per-part, per-window...);
+#      decimal(20,0) for O(1)-group aggregates over unbounded rows
+#      (q1, q5, q6, q7, q8, q14, q19), where the agg is scan/join
+#      dominated anyway. (A dollars/frac split-sum keeping two longs
+#      per money column was built and measured — 0.64 s, no better
+#      than decimal — rejected.)
+#   3. `_xr2(sum, s)` renders the exact sum at 2 decimals with the same
+#      bit-reproducible float ops.
+#
+# This also makes results CLUSTER-SIZE-INVARIANT: a 1000-executor run
+# returns bit-identical money totals to a laptop run, which float sums
+# do not. Oracles spell the same ops textually:
+#   per-row:  CAST(floor((expr) * 1e{s} + 0.5) AS BIGINT)
+#   render:   floor(CAST(sum(c) AS DOUBLE) / 1e{s-2} + 0.5) / 100.0
+#             (s=2: CAST(sum(c) AS DOUBLE) / 100.0 — already cents)
+# `_fr(col, k)` is the render-only variant for values that are already
+# deterministic (exact-int ratios, averages of exact sums): a
+# float-space round-half-up replacing round(), whose tie handling
+# differs between engines (see q2_min_cost_supplier).
+
+
+def _xc(col: Column, scale: int, dtype: str = "decimal(20,0)") -> Column:
+    """Exact scaled-integer units of a money/metric expression.
+
+    ``dtype``: Spark-side sum accumulator — "long" (codegen-fast; caller
+    must show the 100 TB per-group envelope fits with >= 10x margin, see
+    the idiom note above) or "decimal(20,0)" (overflow-free, ~2x)."""
+    c = F.floor(col * float(10**scale) + F.lit(0.5))
+    return c if dtype == "long" else c.cast(dtype)
+
+
+def _xr2(sum_col: Column, scale: int) -> Column:
+    """Render an exact scaled-integer SUM at 2 decimals."""
+    d = sum_col.cast("double")
+    if scale == 2:
+        return d / 100.0
+    return F.floor(d / float(10 ** (scale - 2)) + F.lit(0.5)) / 100.0
+
+
+def _fr(col: Column, k: int) -> Column:
+    """Bit-reproducible float-space round-half-up at k decimals
+    (registry-local alias of functions.numeric.float_round)."""
+    return float_round(col, k)
 
 
 def _arr_csv(col, sep: str = ","):
@@ -114,21 +185,38 @@ def _alpha_tokens() -> Column:
 @query(
     "q1_pricing_summary",
     """
+    -- money sums in exact scaled integers (order-free; see the exact
+    -- money-aggregate idiom at the top of this module): prices are
+    -- 2-decimal, price*(1-disc) 4-decimal, *(1+tax) 6-decimal, so the
+    -- per-row quantization recovers the exact decimal value and the
+    -- integer sum IS the true decimal total. Averages divide the exact
+    -- sums by count and render with the bit-reproducible float round.
     SELECT l_returnflag, l_linestatus,
            CAST(sum(l_quantity) AS BIGINT)                       AS sum_qty,
-           round(sum(l_extendedprice), 2)                        AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)     AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
-                                                                 AS sum_charge,
-           round(avg(l_quantity), 4)                             AS avg_qty,
-           round(avg(l_extendedprice), 4)                        AS avg_price,
-           round(avg(l_discount), 4)                             AS avg_disc,
+           CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0                               AS sum_base_price,
+           floor(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                     * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 100.0 + 0.5) / 100.0                          AS sum_disc_price,
+           floor(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                     * (1 + l_tax) * 1000000.0 + 0.5)
+                               AS BIGINT)) AS DOUBLE)
+                 / 10000.0 + 0.5) / 100.0                        AS sum_charge,
+           floor(sum(l_quantity) / count(*) * 10000.0 + 0.5)
+             / 10000.0                                           AS avg_qty,
+           floor(CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5)
+                               AS BIGINT)) AS DOUBLE) / 100.0 / count(*)
+                 * 10000.0 + 0.5) / 10000.0                      AS avg_price,
+           floor(CAST(sum(CAST(floor(l_discount * 100.0 + 0.5)
+                               AS BIGINT)) AS DOUBLE) / 100.0 / count(*)
+                 * 10000.0 + 0.5) / 10000.0                      AS avg_disc,
            count(*)                                              AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
     """,
-    note="TPC-H Q1 shape: scan → filter → 8-agg groupBy (A-family)",
+    note="TPC-H Q1 shape: scan → filter → 8-agg groupBy (A-family); "
+         "money aggregates in exact scaled integers (order-free)",
 )
 def q1_pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -138,12 +226,22 @@ def q1_pricing_summary(spark, sf_dir):
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").cast("long").alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            _xr2(F.sum(_xc(F.col("l_extendedprice"), 2)), 2)
+            .alias("sum_base_price"),
+            _xr2(F.sum(_xc(disc_price, 4)), 4).alias("sum_disc_price"),
+            _xr2(F.sum(_xc(disc_price * (1 + F.col("l_tax")), 6)), 6)
+            .alias("sum_charge"),
+            _fr(F.sum("l_quantity") / F.count(F.lit(1)), 4).alias("avg_qty"),
+            _fr(
+                _xr2(F.sum(_xc(F.col("l_extendedprice"), 2)), 2)
+                / F.count(F.lit(1)), 4,
+            ).alias("avg_price"),
+            # discount <= 0.10 → scaled rows <= 10: long envelope is
+            # ~1e13 even for q1's O(1) groups at 100 TB
+            _fr(
+                _xr2(F.sum(_xc(F.col("l_discount"), 2, "long")), 2)
+                / F.count(F.lit(1)), 4,
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -153,7 +251,11 @@ def q1_pricing_summary(spark, sf_dir):
     "q3_shipping_priority",
     """
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           -- exact scaled-integer revenue (order-free; module-top idiom) —
+           -- doubly important here: revenue is the top-k SORT KEY
+           floor(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                     * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 100.0 + 0.5) / 100.0 AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -180,8 +282,15 @@ def q3_shipping_priority(spark, sf_dir):
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            # per-order groups (<= 7 lines each at any SF): long envelope
+            _xr2(
+                F.sum(
+                    _xc(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                        4, "long",
+                    )
+                ),
+                4,
             ).alias("revenue")
         )
     )
@@ -196,7 +305,10 @@ def q3_shipping_priority(spark, sf_dir):
     "q5_local_supplier_volume",
     """
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           -- exact scaled-integer revenue (order-free; module-top idiom)
+           floor(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                     * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 100.0 + 0.5) / 100.0 AS revenue
     FROM region
     JOIN nation   ON n_regionkey = r_regionkey
     JOIN customer ON c_nationkey = n_nationkey
@@ -226,8 +338,11 @@ def q5_local_supplier_volume(spark, sf_dir):
               (li.l_suppkey == sup.s_suppkey) & (sup.s_nationkey == dims.n_nationkey))
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _xr2(
+                F.sum(
+                    _xc(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+                ),
+                4,
             ).alias("revenue")
         )
     )
@@ -924,7 +1039,10 @@ def f_hash_fingerprint(spark, sf_dir):
     SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start_ms,
            event_type,
            count(*) AS n,
-           round(sum(value), 2) AS sum_value
+           -- exact scaled-integer sum (order-free; module-top idiom):
+           -- value quantized per row to 1e-4 units, summed exactly
+           floor(CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT))
+                      AS DOUBLE) / 100.0 + 0.5) / 100.0 AS sum_value
     FROM events GROUP BY 1, 2
     """,
     note="ST1-shape: tumbling 1h windowed aggregation (streaming-equivalent plan)",
@@ -935,7 +1053,9 @@ def st_tumbling_window_agg(spark, sf_dir):
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # per-(window, type) groups scale with the data: long
+            _xr2(F.sum(_xc(F.col("value"), 4, "long")), 4)
+            .alias("sum_value"),
         )
         .select(
             F.unix_millis("w.start").alias("window_start_ms"),
@@ -1676,8 +1796,10 @@ def cm_estimate_heavy_users(spark, sf_dir):
     SELECT d.doc_id,
            coalesce(per_doc.n_pairs, 0)    AS n_pairs,
            coalesce(per_doc.total_bits, 0) AS total_bits,
-           round(per_doc.total_bits / per_doc.n_pairs, 6) AS avg_bits,
-           coalesce(round(per_doc.total_bits / per_doc.n_pairs, 6) <= 8.0,
+           floor((per_doc.total_bits / per_doc.n_pairs) * 1000000.0 + 0.5)
+             / 1000000.0 AS avg_bits,
+           coalesce(floor((per_doc.total_bits / per_doc.n_pairs)
+                          * 1000000.0 + 0.5) / 1000000.0 <= 8.0,
                     false) AS is_fluent
     FROM documents d LEFT JOIN per_doc ON per_doc.doc_id = d.doc_id
     """,
@@ -1958,15 +2080,15 @@ def kmv_join_size_estimate(spark, sf_dir):
       FROM cum GROUP BY 1
     )
     SELECT f.l_returnflag, f.n,
-      round(0.0 + ((110000.0 - 0.0) / 256) * (CAST(f.b50 AS DOUBLE)
+      floor((0.0 + ((110000.0 - 0.0) / 256) * (CAST(f.b50 AS DOUBLE)
         + (0.5 * CAST(f.n AS DOUBLE) - CAST(c50.cm - c50.c AS DOUBLE))
-          / CAST(c50.c AS DOUBLE)), 4) AS q0_5,
-      round(0.0 + ((110000.0 - 0.0) / 256) * (CAST(f.b95 AS DOUBLE)
+          / CAST(c50.c AS DOUBLE))) * 10000.0 + 0.5) / 10000.0 AS q0_5,
+      floor((0.0 + ((110000.0 - 0.0) / 256) * (CAST(f.b95 AS DOUBLE)
         + (0.95 * CAST(f.n AS DOUBLE) - CAST(c95.cm - c95.c AS DOUBLE))
-          / CAST(c95.c AS DOUBLE)), 4) AS q0_95,
-      round(0.0 + ((110000.0 - 0.0) / 256) * (CAST(f.b99 AS DOUBLE)
+          / CAST(c95.c AS DOUBLE))) * 10000.0 + 0.5) / 10000.0 AS q0_95,
+      floor((0.0 + ((110000.0 - 0.0) / 256) * (CAST(f.b99 AS DOUBLE)
         + (0.99 * CAST(f.n AS DOUBLE) - CAST(c99.cm - c99.c AS DOUBLE))
-          / CAST(c99.c AS DOUBLE)), 4) AS q0_99
+          / CAST(c99.c AS DOUBLE))) * 10000.0 + 0.5) / 10000.0 AS q0_99
     FROM firsts f
     JOIN cum c50 ON c50.l_returnflag = f.l_returnflag AND c50.b = f.b50
     JOIN cum c95 ON c95.l_returnflag = f.l_returnflag AND c95.b = f.b95
@@ -2214,7 +2336,11 @@ def pagerank_part_supplier(spark, sf_dir):
     """
     SELECT strftime(o_orderdate, '%Y-%m')        AS month,
            CAST(count(*) AS BIGINT)              AS n,
-           round(sum(o_totalprice), 2)           AS revenue,
+           -- exact cents sum (order-free; module-top idiom); min/max are
+           -- order-free already, and rounding a value that IS a
+           -- 2-decimal price never sits on a tie boundary
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0                AS revenue,
            round(min(o_totalprice), 2)           AS min_order,
            round(max(o_totalprice), 2)           AS max_order
     FROM orders GROUP BY 1
@@ -2233,21 +2359,26 @@ def agg_incremental_monthly_revenue(spark, sf_dir):
         incremental_agg_merge,
     )
 
-    orders = _t(spark, sf_dir, "orders").withColumn(
-        "month", F.date_format("o_orderdate", "yyyy-MM")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .withColumn("month", F.date_format("o_orderdate", "yyyy-MM"))
+        # exact cents (module-top idiom): partials sum integers, so the
+        # snapshot+delta merge is order-free AND bit-equal to a rebuild;
+        # per-month groups (~1e16 envelope at 100 TB): long
+        .withColumn("o_totalprice_c", _xc(F.col("o_totalprice"), 2, "long"))
     )
     cutoff = "1997-01-01"
     snap = agg_partial(
         orders.filter(F.col("o_orderdate") < cutoff),
         keys=["month"],
-        sum_cols=["o_totalprice"],
+        sum_cols=["o_totalprice_c"],
         min_cols=["o_totalprice"],
         max_cols=["o_totalprice"],
     )
     delta = agg_partial(
         orders.filter(F.col("o_orderdate") >= cutoff),
         keys=["month"],
-        sum_cols=["o_totalprice"],
+        sum_cols=["o_totalprice_c"],
         min_cols=["o_totalprice"],
         max_cols=["o_totalprice"],
     )
@@ -2255,7 +2386,7 @@ def agg_incremental_monthly_revenue(spark, sf_dir):
     return merged.select(
         "month",
         F.col("n").cast("long").alias("n"),
-        F.round("sum_o_totalprice", 2).alias("revenue"),
+        _xr2(F.col("sum_o_totalprice_c"), 2).alias("revenue"),
         F.round("min_o_totalprice", 2).alias("min_order"),
         F.round("max_o_totalprice", 2).alias("max_order"),
     )
@@ -2894,7 +3025,11 @@ def ann_cosine_lsh(spark, sf_dir):
 @query(
     "q6_forecast_revenue",
     """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    -- exact scaled-integer revenue (order-free; module-top idiom):
+    -- price*discount is a 4-decimal product, recovered exactly at 1e4
+    SELECT floor(CAST(sum(CAST(floor(l_extendedprice * l_discount
+                                     * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 100.0 + 0.5) / 100.0 AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -2913,18 +3048,31 @@ def q6_forecast_revenue(spark, sf_dir):
             & F.col("l_discount").between(0.05, 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(
+            _xr2(
+                F.sum(_xc(F.col("l_extendedprice") * F.col("l_discount"), 4)),
+                4,
+            ).alias("revenue")
+        )
     )
 
 
 @query(
     "q14_promo_revenue_share",
     """
-    SELECT round(
-             100.0 * sum(CASE WHEN p_type = 'PROMO'
-                              THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+    -- ratio of exact scaled-integer sums (order-free; module-top idiom):
+    -- both operands are exact BIGINTs, so the ratio is one deterministic
+    -- double division; render with the bit-reproducible float round
+    SELECT floor(100.0
+                 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                 THEN CAST(floor(l_extendedprice
+                                                 * (1 - l_discount)
+                                                 * 10000.0 + 0.5) AS BIGINT)
+                                 ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * 10000.0 + 0.5) AS BIGINT))
+                        AS DOUBLE)
+                 * 10000.0 + 0.5) / 10000.0 AS promo_share
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
@@ -2937,14 +3085,17 @@ def q14_promo_revenue_share(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
     )
     part = _t(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev_c = _xc(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    zero_c = F.lit(0).cast("decimal(20,0)")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
-            F.round(
-                100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
+            _fr(
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev_c).otherwise(zero_c)
+                ).cast("double")
+                / F.sum(rev_c).cast("double"),
                 4,
             ).alias("promo_share")
         )
@@ -3253,7 +3404,8 @@ def asof_latest_order_at_shipdate(spark, sf_dir):
       GROUP BY 1, 2
     )
     SELECT id_a, id_b,
-           round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+           floor((i / (sa.sz + sb.sz - i)) * 1000000.0 + 0.5) / 1000000.0
+             AS jaccard
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
@@ -3334,7 +3486,7 @@ def embedding_near_dup(spark, sf_dir):
       WHERE id_a < id_b
       GROUP BY 1, 2
     )
-    SELECT id_a, id_b, round(i / (sz_a + sz_b - i), 6) AS jaccard
+    SELECT id_a, id_b, floor((i / (sz_a + sz_b - i)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
     FROM inter JOIN sl USING (id_a) JOIN sr USING (id_b)
     WHERE i / (sz_a + sz_b - i) >= 0.5
     """,
@@ -3480,7 +3632,11 @@ def q4_order_priority_exists(spark, sf_dir):
     "q10_returned_revenue",
     """
     SELECT c_custkey, c_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           -- exact scaled-integer revenue (order-free; module-top idiom) —
+           -- revenue is also the top-20 sort key
+           floor(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                     * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 100.0 + 0.5) / 100.0 AS revenue
     FROM customer
     JOIN orders   ON o_custkey = c_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -3506,8 +3662,16 @@ def q10_returned_revenue(spark, sf_dir):
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            # per-customer groups (order count per customer is fixed in
+            # the schema, independent of SF): long envelope
+            _xr2(
+                F.sum(
+                    _xc(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                        4, "long",
+                    )
+                ),
+                4,
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
@@ -3642,7 +3806,9 @@ def semantic_dedup_fixed(spark, sf_dir):
     "q7_nation_volume",
     """
     SELECT supp_nation, cust_nation, l_year,
-           round(sum(volume), 2) AS revenue
+           -- exact scaled-integer revenue (order-free; module-top idiom)
+           floor(CAST(sum(CAST(floor(volume * 10000.0 + 0.5) AS BIGINT))
+                      AS DOUBLE) / 100.0 + 0.5) / 100.0 AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
@@ -3699,8 +3865,11 @@ def q7_nation_volume(spark, sf_dir):
             F.year("l_shipdate").cast("long").alias("l_year"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _xr2(
+                F.sum(
+                    _xc(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+                ),
+                4,
             ).alias("revenue")
         )
     )
@@ -3744,7 +3913,10 @@ def q12_priority_lineclass(spark, sf_dir):
 @query(
     "q19_disjunctive_brand_revenue",
     """
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    -- exact scaled-integer revenue (order-free; module-top idiom)
+    SELECT floor(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                     * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 100.0 + 0.5) / 100.0 AS revenue
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
@@ -3792,8 +3964,11 @@ def q19_disjunctive_brand_revenue(spark, sf_dir):
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .filter(branch)
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _xr2(
+                F.sum(
+                    _xc(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+                ),
+                4,
             ).alias("revenue")
         )
     )
@@ -3808,7 +3983,11 @@ def q19_disjunctive_brand_revenue(spark, sf_dir):
            count(*) AS docs,
            CAST(sum(len(regexp_extract_all(text, '{_BPE_TOKEN_RE}'))) AS BIGINT)
              AS total_tokens,
-           round(avg(len(regexp_extract_all(text, '{_BPE_TOKEN_RE}'))), 4)
+           -- avg of exact integer counts is deterministic; render with
+           -- the bit-reproducible float round (round() tie handling
+           -- differs between engines — module-top idiom)
+           floor(avg(len(regexp_extract_all(text, '{_BPE_TOKEN_RE}')))
+                 * 10000.0 + 0.5) / 10000.0
              AS avg_tokens
     FROM documents
     GROUP BY source
@@ -3824,7 +4003,7 @@ def token_count_bpe(spark, sf_dir):
     return docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("docs"),
         F.sum(ntok).cast("long").alias("total_tokens"),
-        F.round(F.avg(ntok), 4).alias("avg_tokens"),
+        _fr(F.avg(ntok), 4).alias("avg_tokens"),
     )
 
 
@@ -3915,23 +4094,31 @@ def q13_order_count_distribution(spark, sf_dir):
 @query(
     "q15_top_supplier",
     """
+    -- revenue view in exact scaled integers (order-free; module-top
+    -- idiom): max() and the equality run on exact BIGINTs, so the
+    -- winning-supplier pick is fully deterministic — an equality on
+    -- rounded float sums was the most boundary-sensitive spot in the
+    -- registry (row MEMBERSHIP flips, not just a displayed digit)
     WITH revenue AS (
       SELECT l_suppkey,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+             sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                            * 10000.0 + 0.5) AS BIGINT)) AS total_revenue_c
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
       GROUP BY l_suppkey
     )
-    SELECT s_suppkey, s_name, total_revenue
+    SELECT s_suppkey, s_name,
+           floor(CAST(total_revenue_c AS DOUBLE) / 100.0 + 0.5) / 100.0
+             AS total_revenue
     FROM supplier JOIN revenue ON s_suppkey = l_suppkey
-    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    WHERE total_revenue_c = (SELECT max(total_revenue_c) FROM revenue)
     """,
     note="TPC-H Q15 shape: revenue view + scalar-max subquery. The 1-row "
          "max aggregate is broadcast back onto the view (no second scan of "
          "lineitem, no shuffle for the scalar compare); supplier dim "
-         "broadcast. Equality is on the engine's own rounded values, so the "
-         "pick is stable cross-engine once the rounded view matches.",
+         "broadcast. Max/equality on exact scaled-integer revenue, so the "
+         "pick is deterministic cross-engine and cross-cluster-size.",
 )
 def q15_top_supplier(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -3939,23 +4126,33 @@ def q15_top_supplier(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
     )
     rev = li.groupBy("l_suppkey").agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("total_revenue")
+        # per-supplier groups (lineitems per supplier fixed per SF):
+        # long envelope
+        F.sum(
+            _xc(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4,
+                "long")
+        ).alias("total_revenue_c")
     )
-    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    mx = rev.agg(F.max("total_revenue_c").alias("__mx"))
     sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        rev.join(F.broadcast(mx), rev.total_revenue == mx.__mx)
+        rev.join(F.broadcast(mx), rev.total_revenue_c == mx.__mx)
         .join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select(
+            "s_suppkey", "s_name",
+            _xr2(F.col("total_revenue_c"), 4).alias("total_revenue"),
+        )
     )
 
 
 @query(
     "q17_small_quantity_revenue",
     """
-    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    -- exact cents sum (order-free; module-top idiom), then one
+    -- deterministic /7.0 and the bit-reproducible float render
+    SELECT floor(CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5)
+                               AS BIGINT)) AS DOUBLE) / 100.0 / 7.0
+                 * 100.0 + 0.5) / 100.0 AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     JOIN (SELECT l_partkey AS t_partkey, 0.2 * avg(l_quantity) AS qty_thresh
@@ -3986,18 +4183,30 @@ def q17_small_quantity_revenue(spark, sf_dir):
     return (
         li_sel.join(F.broadcast(th), "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            # brand+type filter leaves ~1/1000 of lineitem: long envelope
+            _fr(
+                _xr2(F.sum(_xc(F.col("l_extendedprice"), 2, "long")), 2)
+                / 7.0, 2,
+            ).alias("avg_yearly")
+        )
     )
 
 
 @query(
     "q22_idle_customer_balance",
     """
+    -- exact cents sum (order-free; module-top idiom); the scalar-avg
+    -- threshold is likewise exact-cents-sum / count so the membership
+    -- predicate is deterministic cross-engine
     SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
-           round(sum(c_acctbal), 2) AS totacctbal
+           CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS totacctbal
     FROM customer
-    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
-                       WHERE c_acctbal > 0.0)
+    WHERE c_acctbal > (SELECT CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5)
+                                            AS BIGINT)) AS DOUBLE)
+                              / 100.0 / count(*)
+                       FROM customer WHERE c_acctbal > 0.0)
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                       AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
     GROUP BY c_nationkey
@@ -4013,7 +4222,13 @@ def q22_idle_customer_balance(spark, sf_dir):
         "c_custkey", "c_nationkey", "c_acctbal"
     )
     avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("__ab")
+        # acctbal <= 9999.99 → scaled rows <= 1e6; 1.5e10 customers at
+        # 100 TB → 1.5e16: long envelope
+        (
+            F.sum(_xc(F.col("c_acctbal"), 2, "long")).cast("double")
+            / 100.0
+            / F.count(F.lit(1))
+        ).alias("__ab")
     )
     buyers = (
         _t(spark, sf_dir, "orders")
@@ -4029,7 +4244,8 @@ def q22_idle_customer_balance(spark, sf_dir):
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).cast("long").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            _xr2(F.sum(_xc(F.col("c_acctbal"), 2, "long")), 2)
+            .alias("totacctbal"),
         )
     )
 
@@ -4401,12 +4617,16 @@ def range_join_followup_events(spark, sf_dir):
 @query(
     "q8_market_share",
     """
+    -- ratio of exact scaled-integer sums (order-free; module-top idiom)
     SELECT o_year,
-           round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
-                 / sum(volume), 4) AS mkt_share
+           floor(CAST(sum(CASE WHEN nation = 'NATION_3'
+                               THEN volume_c ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(volume_c) AS DOUBLE)
+                 * 10000.0 + 0.5) / 10000.0 AS mkt_share
     FROM (
       SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
-             l_extendedprice * (1 - l_discount) AS volume,
+             CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)
+                  AS BIGINT) AS volume_c,
              n2.n_name AS nation
       FROM part
       JOIN lineitem ON p_partkey = l_partkey
@@ -4457,14 +4677,18 @@ def q8_market_share(spark, sf_dir):
         .join(F.broadcast(n2), sup.s_nationkey == F.col("n2_key"))
         .select(
             F.year("o_orderdate").cast("long").alias("o_year"),
-            vol.alias("volume"),
+            _xc(vol, 4).alias("volume_c"),
             "nation",
         )
     )
+    zero_c = F.lit(0).cast("decimal(20,0)")
     return rows.groupBy("o_year").agg(
-        F.round(
-            F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(0.0))
-            / F.sum("volume"),
+        _fr(
+            F.sum(
+                F.when(F.col("nation") == "NATION_3", F.col("volume_c"))
+                .otherwise(zero_c)
+            ).cast("double")
+            / F.sum("volume_c").cast("double"),
             4,
         ).alias("mkt_share")
     )
@@ -4588,8 +4812,10 @@ def skew_salted_join_orders(spark, sf_dir):
       SELECT sum(n) AS total, count(*) AS nkeys FROM c
     )
     SELECT l_suppkey, CAST(n AS BIGINT) AS n_rows,
-           round(CAST(n AS DOUBLE) / total, 6) AS share,
-           round(CAST(n * nkeys AS DOUBLE) / total, 4) AS skew_factor
+           floor((CAST(n AS DOUBLE) / total) * 1000000.0 + 0.5) / 1000000.0
+             AS share,
+           floor((CAST(n * nkeys AS DOUBLE) / total) * 10000.0 + 0.5) / 10000.0
+             AS skew_factor
     FROM c, t
     ORDER BY n_rows DESC, l_suppkey LIMIT 10
     """,
@@ -4735,10 +4961,9 @@ def q9_product_profit(spark, sf_dir):
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
             # exact integer cents per row (bit-reproducible float round,
-            # see oracle note); decimal(38,0) sum so the exact
-            # aggregation can't overflow at any scale
-            F.floor(amount * 100.0 + F.lit(0.5))
-            .cast("decimal(38,0)").alias("amount_c"),
+            # see oracle note); (nation, year) groups scale with the
+            # data (~1e15 envelope at 100 TB): long accumulator
+            _xc(amount, 2, "long").alias("amount_c"),
         )
         .groupBy("nation", "o_year")
         .agg(
@@ -4750,26 +4975,33 @@ def q9_product_profit(spark, sf_dir):
 @query(
     "q11_important_stock",
     """
+    -- per-part values in exact scaled integers (order-free; module-top
+    -- idiom): the threshold predicate decides row MEMBERSHIP, so both
+    -- comparison sides must be deterministic, not merely rounded
     WITH val AS (
       SELECT l_partkey,
-             sum(l_extendedprice * (1 - l_discount)) AS raw_value
+             sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                            * 10000.0 + 0.5) AS BIGINT)) AS raw_value_c
       FROM lineitem
       JOIN supplier ON l_suppkey = s_suppkey
       JOIN nation   ON s_nationkey = n_nationkey
       WHERE n_name = 'NATION_3'
       GROUP BY l_partkey
     )
-    SELECT l_partkey, round(raw_value, 2) AS value
+    SELECT l_partkey,
+           floor(CAST(raw_value_c AS DOUBLE) / 100.0 + 0.5) / 100.0 AS value
     FROM val
-    WHERE round(raw_value, 2) > (SELECT round(sum(raw_value) * 0.002, 2)
+    WHERE floor(CAST(raw_value_c AS DOUBLE) / 100.0 + 0.5) / 100.0
+          > (SELECT floor(CAST(sum(raw_value_c) AS DOUBLE) / 10000.0 * 0.002
+                          * 100.0 + 0.5) / 100.0
                                  FROM val)
     """,
     note="TPC-H Q11 shape (lineitem value per part for one nation's "
          "suppliers — no partsupp table): group-by + HAVING against a "
          "global scalar subquery. The scalar is the same part-keyed "
          "aggregate re-reduced to one row and broadcast; both comparison "
-         "sides are rounded so the FP-order-sensitive threshold is "
-         "engine-portable.",
+         "sides derive from exact scaled-integer sums so the threshold "
+         "membership is deterministic cross-engine.",
 )
 def q11_important_stock(spark, sf_dir):
     nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
@@ -4785,17 +5017,28 @@ def q11_important_stock(spark, sf_dir):
         li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
         .groupBy("l_partkey")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "raw_value"
-            )
+            # per-part groups (bounded lineitems/part): long envelope
+            F.sum(
+                _xc(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4,
+                    "long")
+            ).alias("raw_value_c")
         )
     )
     # scalar threshold: the part-keyed aggregate re-reduced to one row,
-    # then broadcast — never a driver collect
-    thresh = val.agg(F.round(F.sum("raw_value") * 0.002, 2).alias("__t"))
+    # then broadcast — never a driver collect. This GLOBAL re-sum of the
+    # per-part longs is a 1-group aggregate over unbounded groups →
+    # decimal accumulator (the per-part values are already tiny in count,
+    # so the decimal path costs nothing here)
+    thresh = val.agg(
+        _fr(
+            F.sum(F.col("raw_value_c").cast("decimal(20,0)")).cast("double")
+            / 10000.0 * 0.002, 2,
+        ).alias("__t")
+    )
+    value = _xr2(F.col("raw_value_c"), 4)
     return (
-        val.join(F.broadcast(thresh), F.round(F.col("raw_value"), 2) > F.col("__t"))
-        .select("l_partkey", F.round("raw_value", 2).alias("value"))
+        val.join(F.broadcast(thresh), value > F.col("__t"))
+        .select("l_partkey", value.alias("value"))
     )
 
 
@@ -5930,7 +6173,9 @@ def quality_boilerplate_lines(spark, sf_dir):
            epoch_ms(min(ts)) AS session_start_ms,
            epoch_ms(max(ts) + INTERVAL 30 MINUTE) AS session_end_ms,
            count(*) AS n_events,
-           round(sum(value), 2) AS sum_value
+           -- exact scaled-integer sum (order-free; module-top idiom)
+           floor(CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT))
+                      AS DOUBLE) / 100.0 + 0.5) / 100.0 AS sum_value
     FROM sess GROUP BY user_id, sid
     """,
     note="ST-shape session windows — F.session_window (the third window "
@@ -5947,7 +6192,9 @@ def st_session_window_agg(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # per-(user, session) groups scale with the data: long
+            _xr2(F.sum(_xc(F.col("value"), 4, "long")), 4)
+            .alias("sum_value"),
         )
         .select(
             "user_id",
@@ -7546,12 +7793,14 @@ def corpus_interleave_sources(spark, sf_dir):
     )
     SELECT CAST(t.n_a AS BIGINT) AS n_a, CAST(t.n_b AS BIGINT) AS n_b,
            CAST(sum(abs(ca * t.n_b - cb * t.n_a)) AS BIGINT) AS tv_num,
-           round(CAST(sum(abs(ca * t.n_b - cb * t.n_a)) AS DOUBLE)
-                 / (2.0 * CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE)), 6)
+           floor((CAST(sum(abs(ca * t.n_b - cb * t.n_a)) AS DOUBLE)
+                  / (2.0 * CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0
              AS tv,
            CAST(max(abs(cma * t.n_b - cmb * t.n_a)) AS BIGINT) AS ks_num,
-           round(CAST(max(abs(cma * t.n_b - cmb * t.n_a)) AS DOUBLE)
-                 / (CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE)), 6)
+           floor((CAST(max(abs(cma * t.n_b - cmb * t.n_a)) AS DOUBLE)
+                  / (CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0
              AS ks
     FROM pair, tot t GROUP BY t.n_a, t.n_b
     """,
@@ -7703,8 +7952,9 @@ REGISTRY["fuzzy_rerank_levenshtein"].oracle = (
     WITH base AS ({REGISTRY["fuzzy_join_part_names"].oracle})
     SELECT b.id_b, b.id_a, b.jaccard,
            levenshtein(pa.p_name, pb.p_name) AS lev,
-           round(1.0 - levenshtein(pa.p_name, pb.p_name)
-                 / greatest(length(pa.p_name), length(pb.p_name)), 6)
+           floor((1.0 - levenshtein(pa.p_name, pb.p_name)
+                  / greatest(length(pa.p_name), length(pb.p_name)))
+                 * 1000000.0 + 0.5) / 1000000.0
              AS lev_sim
     FROM base b
     JOIN part pa ON pa.p_partkey = b.id_a
@@ -8323,20 +8573,40 @@ def rolling_7d_distinct_users_hll(spark, sf_dir):
 #           sites; quality_score_hashed_linear +
 #           corpus_curation_pipeline — the -0.0 logit normalization;
 #           q2_min_cost_supplier — bit-reproducible float-space round;
-#           q9_product_profit — exact integer-cents profit sum; the last
-#           four are the r11 sf0.1-sweep divergence fixes, VALUES change
-#           at boundary rows, oracles co-migrated);
-#           and 29 of the 38 r07-green cohort — everything except
+#           q9_product_profit — exact integer-cents profit sum; those
+#           four plus the 16 money-aggregate conversions below are the
+#           r11 sf0.1-sweep divergence fixes and their class-wide
+#           follow-through: every round(sum(double))/round(avg(double))
+#           aggregate moved to the exact scaled-integer idiom
+#           (module-top note) — q1, q3, q5, q6, q7, q8, q10, q11, q14,
+#           q15, q17, q19, q22, agg_incremental_monthly_revenue,
+#           st_tumbling_window_agg, st_session_window_agg (+
+#           token_count_bpe's avg render, already fronted as stalest).
+#           VALUES change at boundary rows, oracles co-migrated);
+#           plus ngram_jaccard_allpairs_small + key_skew_profile_lineitem
+#           + lm_fluency_bits — the lattice-ratio float_round
+#           conversions (functions/numeric.py; fuzzy pair, dq_drift and
+#           hist_quantile carry the same change and are already listed);
+#           and 10 of the 38 r07-green cohort. The other 28 defer to
+#           r12, all redundantly evidenced (byte-exact golden pipeline
+#           coverage, stream-parity units, property pins, or plan-pinned
+#           trivial scans on top of their r07 driver rows):
 #           f_string_suite, f_date_number_suite,
 #           j1_snapshot_reconcile_outer, j3_two_key_fallback_join,
 #           p10_validity_routing, s5_csv_roundtrip, s7_scope_scan,
-#           s10_tree_ancestors and p3_rename_convert_projection, all
-#           nine redundantly evidenced (byte-exact golden pipeline
-#           coverage in tests/test_golden_pipeline.py on top of their
-#           r07 driver rows); those nine front in r12.
-#           After this window no registry query's newest window-green
-#           is older than r07, and the nine deferred golden-redundant
-#           entries are the only r07-aged entries left.
+#           s10_tree_ancestors, p3_rename_convert_projection,
+#           a3_last_writer_wins, a5_partition_boundaries,
+#           cdc_merge_scd1, cdc_tombstone_lifecycle, e1_set_difference,
+#           e2_set_intersection, f_hash_fingerprint,
+#           j2_event_entity_lookup, j4_sorted_merge_tree_compare,
+#           j7_anti_join_guard, lang_id_heuristic,
+#           o2_case_insensitive_sort, p12_first_n_per_group,
+#           p5_watermark_filter, w2_retry_escalation,
+#           cm_estimate_heavy_users, kmv_join_size_estimate,
+#           dedup_exact_groups (and st_tumbling_window_agg moved to the
+#           changed block).
+#           Changed-path evidence outranks freshness rotation: every
+#           deferred entry stays FULL-gate green each round.
 #   middle: everything r08+-green that isn't prioritized.
 #   _TAIL: the r08/r09 windows' unchanged greens (freshest evidence,
 #           cheapest to cede to the cap).
@@ -8367,40 +8637,41 @@ _FRONT = [
     "corpus_curation_pipeline",
     "q2_min_cost_supplier",
     "q9_product_profit",
-    # r07-green cohort (29 of 38; f_string_suite, f_date_number_suite,
-    # j1_snapshot_reconcile_outer, j3_two_key_fallback_join,
-    # p10_validity_routing, s5_csv_roundtrip, s7_scope_scan,
-    # s10_tree_ancestors and p3_rename_convert_projection defer to r12
-    # — golden-redundant)
+    # r11 exact money-aggregate conversions (class-wide follow-through)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q10_returned_revenue",
+    "q11_important_stock",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_brand_revenue",
+    "q22_idle_customer_balance",
+    "agg_incremental_monthly_revenue",
+    "st_tumbling_window_agg",
+    "st_session_window_agg",
+    # r11 lattice-ratio float_round conversions (jaccard/share/bits/
+    # quantile renders; fuzzy pair + dq_drift + hist_quantile already
+    # fronted above)
+    "ngram_jaccard_allpairs_small",
+    "key_skew_profile_lineitem",
+    "lm_fluency_bits",
+    # r07-green cohort (10 of 38; the 28 redundantly-evidenced others
+    # defer to r12 — see the header note)
     "a1_count_by_group",
     "a2_watermark_running_max",
-    "a3_last_writer_wins",
     "a4_duplicate_key_detection",
-    "a5_partition_boundaries",
     "a7_pending_work_exists",
-    "cdc_merge_scd1",
-    "cdc_tombstone_lifecycle",
-    "cm_estimate_heavy_users",
-    "dedup_exact_groups",
     "dq_drift_doc_lengths",
-    "e1_set_difference",
-    "e2_set_intersection",
-    "f_hash_fingerprint",
     "hist_quantile_prices",
-    "j2_event_entity_lookup",
-    "j4_sorted_merge_tree_compare",
-    "j7_anti_join_guard",
-    "kmv_join_size_estimate",
-    "lang_id_heuristic",
-    "o2_case_insensitive_sort",
-    "p12_first_n_per_group",
     "p4_status_filter",
-    "p5_watermark_filter",
     "p6_keyset_semi_join",
     "s3_point_lookup",
     "s4_sorted_limit",
-    "st_tumbling_window_agg",
-    "w2_retry_escalation",
 ]
 _TAIL = [
     "token_pmi_pairs",
@@ -8410,13 +8681,10 @@ _TAIL = [
     "source_similarity_matrix",
     "safety_blocklist_filter",
     "vocab_coverage_report",
-    "lm_fluency_bits",
     "corpus_pack_examples",
     "corpus_assemble_examples",
     "dq_check_star_fks",
     "dq_check_orders",
-    "q6_forecast_revenue",
-    "q14_promo_revenue_share",
     "json_props_extract",
     "a8_distinct_and_percentile",
     "e5_unpivot_metrics",
@@ -8428,7 +8696,6 @@ _TAIL = [
     "st_hopping_window_agg",
     "trending_event_types_hourly",
     "events_anomaly_days",
-    "st_session_window_agg",
     "hll_rollup_doc_ids",
     "hll_grouping_sets_docs",
     "event_transition_matrix",

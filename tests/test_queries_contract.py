@@ -61,6 +61,45 @@ def test_rotation_window_exactly_fifty_and_valid():
     assert len(set(_FRONT)) == 50 and not set(_FRONT) & set(_TAIL)
 
 
+def test_exact_money_sum_idiom(spark):
+    """Pin the exact money-aggregate helpers (_xc/_xr2/_fr, r11):
+
+    1. _xc recovers the EXACT decimal integer for s-decimal inputs, so
+       decimal(20,0) sums are true decimal money math, not approximation.
+    2. The sum is order-free: reversing the rows changes nothing (the
+       whole point — float sums are reduction-order dependent).
+    3. _fr is a float-space round-half-up whose results are pinned on a
+       genuine tie (0.03125 at 4 decimals), the case where the engines'
+       native round() semantics disagree.
+    """
+    from pyspark.sql import functions as F
+
+    from py_etl_spark.queries import _fr, _xc, _xr2
+
+    vals = [("a", 147.70), ("b", 0.01), ("c", 9999.99), ("d", 123.45)]
+    df = spark.createDataFrame(vals, "k string, price double")
+    cents = {
+        r.k: r.c
+        for r in df.select("k", _xc(F.col("price"), 2).alias("c")).collect()
+    }
+    assert {k: int(c) for k, c in cents.items()} == {
+        "a": 14770, "b": 1, "c": 999999, "d": 12345,
+    }
+
+    fwd = df.agg(_xr2(F.sum(_xc(F.col("price"), 2)), 2).alias("s")).collect()
+    rev = (
+        spark.createDataFrame(list(reversed(vals)), "k string, price double")
+        .agg(_xr2(F.sum(_xc(F.col("price"), 2)), 2).alias("s"))
+        .collect()
+    )
+    assert fwd[0].s == rev[0].s == 10271.15
+
+    ties = spark.createDataFrame([(0.03125,), (-0.03125,)], "x double")
+    got = [r.y for r in ties.select(_fr(F.col("x"), 4).alias("y")).collect()]
+    # floor(x*1e4 + 0.5)/1e4: half-toward-+inf on exact ties, pure IEEE
+    assert got == [0.0313, -0.0312]
+
+
 def test_alpha_tokens_equals_oracle_tokenizer_on_adversarial_text(spark):
     """queries._alpha_tokens (the fast split-based corpus tokenizer) must
     produce the EXACT token stream of the oracle spelling —
