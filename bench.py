@@ -750,6 +750,52 @@ class _LoadMeter:
         return rec
 
 
+def _burn(_i: int) -> float:
+    t0 = time.time()
+    x = 0
+    for i in range(8_000_000):
+        x += i * i
+    return time.time() - t0
+
+
+def _machine_probe(n_procs: int = 0) -> dict:
+    """Absolute machine-speed calibration — the meter the r11 closing
+    attempt proved necessary. That record's UNTOUCHED-path sf10 anchors
+    inflated 46-272% (q21 7.08 → 12.9 s in-bench, 16-18 s solo, SAME
+    code checkout A/B'd both ways) while /proc/stat external cores
+    (≤1.5), steal (≤1.2) and loadavg all stayed under threshold: a
+    hypervisor-level neighbor degrades PARALLEL throughput in a way the
+    guest's counters cannot attribute. Fix is calibration, not
+    attribution: record (a) the single-core wall of a fixed arithmetic
+    loop and (b) the all-cores wall of the same loop in n_procs
+    concurrent processes. On a quiet box parallel_wall ≈ single_wall;
+    contention shows as parallel_ratio > ~1.3 and/or single_wall far
+    off its committed trend — comparable ACROSS records, so a slow
+    phase is visible next to the committed baseline even when it is
+    invisible in-row."""
+    import subprocess
+
+    n = n_procs or (os.cpu_count() or 8)
+    single = min(_burn(0) for _ in range(3))
+    loop = "x=0\nfor i in range(8_000_000): x+=i*i\n"
+    t0 = time.time()
+    procs = [
+        subprocess.Popen([sys.executable, "-c", loop])
+        for _ in range(n)
+    ]
+    for p in procs:
+        p.wait()
+    wall = time.time() - t0
+    return {
+        "n_procs": n,
+        "single_wall_sec": round(single, 3),
+        # includes ~40 ms/proc interpreter startup — constant across
+        # records, so the cross-record comparison still holds
+        "parallel_wall_sec": round(wall, 3),
+        "parallel_ratio": round(wall / max(single, 1e-9), 2),
+    }
+
+
 def _gate_on_quiet(max_load: float, wait_s: int) -> dict:
     """Hold the bench start until host load1 drops under ``max_load``
     (poll every 30 s up to ``wait_s``); record the gate either way. At
@@ -842,6 +888,9 @@ def _run_block(
     return mins, medians
 
 
+_T_BENCH_START = time.time()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
@@ -887,6 +936,7 @@ def main() -> None:
         float(os.environ.get("SPARK_GRAFT_LOAD_MAX", "8")),
         int(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "900")),
     )
+    load_guard["machine_probe_start"] = _machine_probe()
     block_load: dict = {}
     meter = _LoadMeter()
     rep_meta: dict = {}
@@ -918,6 +968,8 @@ def main() -> None:
         # best rep. An uncorroborated min is NOT comparable across
         # rounds (the r08 ivf_assign_fixed lesson).
         "rep_meta": rep_meta,
+        # machine_probe_start/end: absolute speed calibration (see
+        # _machine_probe) — compare across records, not within one
         "load_guard": load_guard,
         # per-block /proc/stat external-cpu deltas + loadavg samples;
         # load_polluted flips if ANY block saw external load above the
@@ -946,6 +998,13 @@ def main() -> None:
         detail["load_polluted"] = bool(
             not load_guard["passed"]
             or any(b.get("load_polluted") for b in block_load.values())
+        )
+        # one absolute-speed probe per completed block (~2 s): the
+        # cross-record comparison that catches hypervisor-level
+        # slow phases the in-row counters can't (see _machine_probe)
+        detail.setdefault("machine_probes", []).append(
+            {"t_rel_sec": round(time.time() - _T_BENCH_START, 1),
+             **_machine_probe()}
         )
         with open(detail_file, "w") as fh:
             json.dump(detail, fh, indent=2, sort_keys=True)
