@@ -8,8 +8,13 @@ constraint mix allows:
   single scan — adding a tenth check costs zero extra I/O;
 - ``unique`` adds one count-shuffle on its key columns (map-side
   partial agg; the violation count is metadata after that);
-- ``fk`` adds one broadcast LEFT ANTI join against the (small) dimension
-  — the referential check never shuffles the fact table.
+- broadcast ``fk`` checks fold into THAT SAME single scan: each is a
+  broadcast LEFT join against the distinct dim keys plus a conditional
+  sum over the match marker — K broadcast FKs cost zero extra passes
+  over the fact table and never shuffle it;
+- fact-sized ``fk`` checks (``broadcast=False``) pre-aggregate the fact
+  to per-key counts and anti-join key-vs-key (the shuffle carries
+  distinct-key partials, not fact rows).
 
 Everything lands in one report row per constraint:
 ``(check_name, n_violations, passed)`` — metadata-sized, safe to
@@ -93,15 +98,46 @@ def check_constraints(df: DataFrame, constraints: list[Constraint]) -> DataFrame
     reports: list[DataFrame] = []
 
     row_checks = [(n, p) for (n, k, p) in constraints if k == "row"]
-    if row_checks:
+    # Broadcast FK checks fold into the same single scan as the
+    # row-level checks (r11, guide §1.2 "fewer passes"): each one is a
+    # broadcast LEFT join against the distinct dim keys plus a
+    # match-marker column, and its violation count becomes one more
+    # conditional sum in the one wide aggregation — K broadcast FKs
+    # cost ZERO extra scans of the fact table instead of K anti-join
+    # passes (dq_check_star_fks read lineitem three times for its three
+    # key columns; now once, projecting the three keys together).
+    # Row multiplicity is preserved because the build side is distinct;
+    # the left join keeps every fact row exactly once.
+    bcast_fks = [
+        (n, p)
+        for (n, k, p) in constraints
+        if k == "fk" and p[3]  # broadcast=True only
+    ]
+    if row_checks or bcast_fks:
+        base = df
+        fk_sums = []
+        for i, (name, (col, dim, dim_col, _b)) in enumerate(bcast_fks):
+            marker = f"__fk_ok_{i}"
+            keys = (
+                dim.select(F.col(dim_col).alias(col))
+                .distinct()
+                .withColumn(marker, F.lit(True))
+            )
+            base = base.join(F.broadcast(keys), on=col, how="left")
+            fk_sums.append(
+                (
+                    name,
+                    F.col(col).isNotNull() & F.col(marker).isNull(),
+                )
+            )
         aggs = [
             # coalesce: an EMPTY table has zero violations, not NULL ones
             F.coalesce(F.sum(F.when(pred, 1).otherwise(0)), F.lit(0))
             .cast("long")
             .alias(name)
-            for name, pred in row_checks
+            for name, pred in row_checks + fk_sums
         ]
-        wide = df.agg(*aggs)
+        wide = base.agg(*aggs)
         # unpivot the single wide row into (constraint, n_violations)
         pairs = F.array(
             *[
@@ -109,7 +145,7 @@ def check_constraints(df: DataFrame, constraints: list[Constraint]) -> DataFrame
                     F.lit(name).alias("check_name"),
                     F.col(name).alias("n_violations"),
                 )
-                for name, _ in row_checks
+                for name, _ in row_checks + fk_sums
             ]
         )
         reports.append(
@@ -135,37 +171,27 @@ def check_constraints(df: DataFrame, constraints: list[Constraint]) -> DataFrame
             reports.append(dup.select(F.lit(name).alias("check_name"), "n_violations"))
         elif kind == "fk":
             col, dim, dim_col, bcast = payload
-            keys = dim.select(F.col(dim_col).alias(col))
             if bcast:
-                # distinct only pays on the broadcast path (smaller
-                # build side); an anti-join is set-semantic, so dim
-                # duplicates never multiply rows either way
-                orphans = (
-                    df.filter(F.col(col).isNotNull())
-                    .join(F.broadcast(keys.distinct()), on=col, how="left_anti")
-                    .agg(
-                        F.count(F.lit(1)).cast("long").alias("n_violations")
-                    )
+                continue  # folded into the single-scan aggregation above
+            keys = dim.select(F.col(dim_col).alias(col))
+            # fact-sized dim: pre-aggregate the fact to (key, rows)
+            # with map-side combine, anti-join keys-vs-keys, then
+            # sum the per-key row counts back — the shuffle carries
+            # distinct-key partials instead of every fact row
+            # (r08, sf10 min-of-2: 18.6 -> 5.6 s on
+            # lineitem->orders; the dim-side distinct was dropped
+            # as pure waste)
+            orphans = (
+                df.filter(F.col(col).isNotNull())
+                .groupBy(col)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .join(keys, on=col, how="left_anti")
+                .agg(
+                    F.coalesce(F.sum("__n"), F.lit(0))
+                    .cast("long")
+                    .alias("n_violations")
                 )
-            else:
-                # fact-sized dim: pre-aggregate the fact to (key, rows)
-                # with map-side combine, anti-join keys-vs-keys, then
-                # sum the per-key row counts back — the shuffle carries
-                # distinct-key partials instead of every fact row
-                # (r08, sf10 min-of-2: 18.6 -> 5.6 s on
-                # lineitem->orders; the dim-side distinct was dropped
-                # as pure waste)
-                orphans = (
-                    df.filter(F.col(col).isNotNull())
-                    .groupBy(col)
-                    .agg(F.count(F.lit(1)).alias("__n"))
-                    .join(keys, on=col, how="left_anti")
-                    .agg(
-                        F.coalesce(F.sum("__n"), F.lit(0))
-                        .cast("long")
-                        .alias("n_violations")
-                    )
-                )
+            )
             reports.append(
                 orphans.select(F.lit(name).alias("check_name"), "n_violations")
             )

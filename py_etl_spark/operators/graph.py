@@ -79,21 +79,17 @@ def pagerank_fixed_point(
     enable it for scale-free graphs where one hub's array row would
     OOM the aggregation buffer.
 
-    **EAGER-EXECUTION SIDE EFFECT**: whenever a checkpoint fires
-    (``iterations > checkpoint_every``), this function RUNS SPARK JOBS
-    AT PLAN-BUILD TIME (``localCheckpoint(eager=True)``) instead of
-    returning a lazy plan. Plan-audit / ``explain`` / dry-run consumers
-    MUST pass ``checkpoint_every=None`` (pure-lazy plan; that is what
-    tools/plan_audit.py sees via the 3-iteration registry query). On a
-    real cluster prefer ``checkpoint`` against a checkpoint dir for
-    executor-loss resilience; the truncation economics are identical.
+    **EAGER-EXECUTION SIDE EFFECT**: unless ``checkpoint_every=None``,
+    this function RUNS SPARK JOBS AT PLAN-BUILD TIME
+    (``localCheckpoint(eager=True)``) — always for the loop-invariant
+    adjacency/node materialization (r11), plus the in-loop lineage cut
+    every ``checkpoint_every`` iterations. Plan-audit / ``explain`` /
+    dry-run consumers MUST pass ``checkpoint_every=None`` (pure-lazy
+    plan). On a real cluster prefer ``checkpoint`` against a checkpoint
+    dir for executor-loss resilience; the truncation economics are
+    identical.
     """
     d_micro = int(round(damping * MICRO))
-    nodes = (
-        edges.select(F.col(src_col).alias("node"))
-        .unionByName(edges.select(F.col(dst_col).alias("node")))
-        .distinct()
-    )
     init = MICRO
     base = MICRO - d_micro
     # Loop-INVARIANT GROUPED adjacency: one array row per source node
@@ -157,6 +153,54 @@ def pagerank_fixed_point(
         adjg = edges.groupBy(F.col(src_col).alias("node")).agg(
             F.collect_list(F.col(dst_col)).alias("__dsts"),
             F.count(F.lit(1)).alias("deg"),
+        )
+    # Materialize the LOOP INVARIANTS once (the connected_components
+    # recipe, r11): without this, every iteration's lazy plan re-inlines
+    # the whole edges subtree — the registry's part↔supplier query plans
+    # the lineitem scan + pair-distinct 28 times for 3 iterations, with
+    # ZERO ReusedExchange nodes in the initial plan (AQE stage reuse
+    # recovers some of it at runtime, but each re-planned subtree still
+    # pays analysis, and any miss re-executes a fact-table distinct).
+    # One eager localCheckpoint of the grouped adjacency and the node
+    # set bounds the per-iteration plan to the loop body, and both
+    # invariants keep their hash-partitioning on ``node``
+    # (localCheckpoint preserves outputPartitioning), so the rank join
+    # and the contrib aggregation stay co-partitioned across iterations
+    # REGARDLESS of AQE's per-branch coalescing decisions — the lazy
+    # form could end the nodes/adjg branches at different AQE-coalesced
+    # widths and silently re-exchange one side every iteration.
+    # The caller's edge pipeline executes exactly ONCE (for adjg): the
+    # node set src∪dst is then derived FROM the checkpointed adjacency
+    # (sources = its keys, destinations = its exploded arrays — the same
+    # set by construction), so no second execution of the upstream and
+    # no |E|-row raw-edge cache (an eager edges.localCheckpoint was
+    # measured to heap-OOM the 16 g local driver at the 100× replica —
+    # 32 concurrent tasks each unrolling MEMORY_AND_DESER blocks of a
+    # fact-distinct output is NOT metadata-scale; the adjacency is).
+    # Gated on ``checkpoint_every`` exactly like the in-loop truncation:
+    # ``checkpoint_every=None`` keeps the fully lazy plan that
+    # explain/plan-audit consumers are documented to use; on a cluster,
+    # ``checkpoint`` against a checkpoint dir has the same economics
+    # plus executor-loss resilience.
+    if checkpoint_every is not None:
+        adjg = adjg.localCheckpoint(eager=True)
+        if flat_src is not None:
+            flat_src = flat_src.localCheckpoint(eager=True)
+        srcs = adjg.select("node")
+        dsts = adjg.select(F.explode("__dsts").alias("node"))
+        if flat_src is not None:
+            srcs = srcs.unionByName(flat_src.select("node"))
+            dsts = dsts.unionByName(
+                flat_src.select(F.col("__dst").alias("node"))
+            )
+        nodes = srcs.unionByName(dsts).distinct().localCheckpoint(
+            eager=True
+        )
+    else:
+        nodes = (
+            edges.select(F.col(src_col).alias("node"))
+            .unionByName(edges.select(F.col(dst_col).alias("node")))
+            .distinct()
         )
     ranks = nodes.withColumn("rank_micro", F.lit(init).cast("long"))
     for it in range(iterations):

@@ -52,6 +52,7 @@ def with_global_position(
     num_buckets: int = 32,
     sample_per_bucket: int = 200,
     seed: int = 42,
+    n: int | None = None,
 ) -> DataFrame:
     """Exact 1-based global rank by ``order_cols`` without a global window.
 
@@ -67,11 +68,18 @@ def with_global_position(
 
     Ties across bucket boundaries are fine as long as ``order_cols`` is a
     total order (include a unique tiebreaker column).
+
+    ``n``: the input's exact row count, when the caller already knows it
+    — skips this function's own ``count()`` action (one full pass of
+    ``df``'s lineage). The POSITIONS are invariant to everything
+    downstream of the count (it only sizes the sample fraction), so a
+    wrong-but-positive n cannot corrupt results, only bucket balance.
     """
     key = _key_struct(order_cols)
     tagged = df.withColumn("__key", key)
 
-    n = tagged.count()
+    if n is None:
+        n = tagged.count()
     if n == 0:
         return df.withColumn(position_col, F.lit(None).cast("long"))
 

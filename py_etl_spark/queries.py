@@ -3617,12 +3617,28 @@ def q4_order_priority_exists(spark, sf_dir):
         (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
     )
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    sat = orders.join(
-        li,
-        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
-        "left_semi",
+    # EXISTS(l_shipdate > o_orderdate) ⟺ max(l_shipdate) > o_orderdate
+    # per order key, so aggregate the fact BEFORE the join (r11, guide
+    # §2.3 "aggregate before you shuffle"): the exchange carries one
+    # map-side-combined (orderkey, max_ship) partial per key instead of
+    # every lineitem row, and the join side shrinks enough for AQE to
+    # broadcast it when the window is small. The scan filter
+    # l_shipdate > '1997-01-01' is exact: every qualifying order has
+    # o_orderdate ≥ that bound, so l_shipdate > o_orderdate implies it —
+    # and it pushes to the parquet scan (PushedFilters), where the old
+    # semi-join shape scanned and shuffled the full fact table.
+    li_max = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        .filter(
+            F.col("l_shipdate") > F.lit("1997-01-01 00:00:00").cast("timestamp")
+        )
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("__max_ship"))
     )
+    sat = orders.join(
+        li_max, orders.o_orderkey == li_max.l_orderkey, "inner"
+    ).filter(F.col("__max_ship") > F.col("o_orderdate"))
     return sat.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("long").alias("n_orders")
     )
@@ -6916,12 +6932,24 @@ def quality_rank_ensemble(spark, sf_dir):
         .cast("long")
         .alias("alpha_score"),
     )
+    # Materialize the NARROW scores once (doc_id + 3 longs, ~32 B/row —
+    # at 100 TB that is TB-scale text reduced to GB-scale metadata on
+    # executor-local storage). Without this each of the three ranking
+    # branches re-executes the full text scan + translate for every one
+    # of with_global_position's driver actions (count, boundary sample,
+    # bucket counts) AND in the final plan — ~9 text passes per run,
+    # measured 3.5 s at sf0.1 where one pass is ~0.3 s. The guide-§8
+    # rule: decide placement on a lightweight proxy, touch the heavy
+    # bytes once.
+    docs = docs.localCheckpoint(eager=True)
+    n = docs.count()  # shared by all three rankings (metadata-cheap)
 
     def ranks(col, name):
         return with_global_position(
             docs.select("doc_id", col),
             [(-F.col(col)).alias("neg"), F.col("doc_id")],
             position_col=name,
+            n=n,
         ).select("doc_id", name)
 
     out = (

@@ -116,12 +116,22 @@ def test_q2_argmin_window_is_partitioned(spark):
     assert broadcast_join_count(df) >= 2  # part + supplier dims
 
 
-def test_q4_exists_is_semi_join(spark):
+def test_q4_exists_aggregates_fact_below_join(spark):
     from py_etl_spark.plans import executed_plan
 
     df = Q.REGISTRY["q4_order_priority_exists"].fn(spark, SF_MED)
-    assert "LeftSemi" in executed_plan(df)
+    plan = executed_plan(df)
+    # r11 shape: EXISTS(l_shipdate > o_orderdate) is evaluated as
+    # max(l_shipdate) > o_orderdate per order key, so lineitem is
+    # aggregated (map-side combined) BEFORE the orders join instead of
+    # riding a fact-wide semi join; the derived l_shipdate lower bound
+    # must reach the parquet scan.
+    assert "LeftSemi" not in plan
+    assert "GreaterThan(l_shipdate" in plan  # PushedFilters at the scan
     assert single_partition_exchange_count(df) == 0
+    # the only fact-sized exchange is the per-orderkey max partial agg +
+    # the join/agg downstream of metadata-sized survivors
+    assert shuffle_count(df) <= 3
 
 
 def test_minhash_signature_single_shuffle_per_stage(spark):
