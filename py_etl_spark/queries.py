@@ -7255,11 +7255,19 @@ def knn_label_agreement(spark, sf_dir):
     labels = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
     )
-    q_labels = emb.select(
+    # Broadcast the side that FITS (guide §3.1, r11): topk is |probes|·k
+    # rows (250 here) while the label frames are corpus-sized — the old
+    # shape broadcast the CORPUS labels (and the unfiltered q-label
+    # frame), which is exactly the build side that stops fitting at
+    # scale. Now the probe-side label lookup filters to the probe set
+    # before broadcasting, and the neighbor-label join broadcasts the
+    # metadata-sized topk against the streamed corpus labels.
+    q_labels = emb.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
     )
     votes = (
-        topk.join(F.broadcast(labels), "neighbor_id")
+        F.broadcast(topk)
+        .join(labels, "neighbor_id")
         .join(F.broadcast(q_labels), "query_id")
         .groupBy("query_id", "q_label", "n_label")
         .agg(F.count(F.lit(1)).alias("n_votes"))

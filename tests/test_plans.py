@@ -827,11 +827,15 @@ def test_hard_negatives_same_plan_as_ann_baseline(spark):
 def test_knn_agreement_vote_windows_on_metadata(spark):
     df = Q.REGISTRY["knn_label_agreement"].fn(spark, SF_MED)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # ANN top-k plan + label joins broadcast; both vote windows run
-    # over k·|queries| metadata rows
+    # r11 shape: the broadcast sides are the METADATA frames (k·|probes|
+    # topk rows, |probes| q-labels) — never the corpus-sized label
+    # table, which now streams map-side through the neighbor join with
+    # zero exchange. The two extra exchanges vs the old pin (vote
+    # groupBy + winner window) carry ≤ k·|probes| rows; the only
+    # data-sized exchange remains the ANN top-k window.
     assert "CartesianProduct" not in plan
     assert broadcast_join_count(df) >= 2
-    assert shuffle_count(df) <= 2
+    assert shuffle_count(df) <= 4
 
 
 def test_word_dropout_mapside_zero_shuffle(spark):
