@@ -330,6 +330,14 @@ def q5_local_supplier_volume(spark, sf_dir):
     dims = (
         nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
+    # r11 examined, variant measured and REJECTED: pushing the EUROPE
+    # filter down via customer⋈dims → orders → lineitem (to avoid the
+    # joined fact re-shuffling by custkey at the scale where customer
+    # outgrows broadcast) measured 2.2× WORSE at sf1 (2.37→5.14 s
+    # interleaved fresh-JVM A/B) and −5% at sf10: the join-output size
+    # estimates defeat the static broadcast choices, where this simple
+    # chain lets AQE runtime-broadcast customer. Details in
+    # OPTIMIZATION_r11.md §q5.
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -3354,9 +3362,17 @@ def asof_latest_order_at_shipdate(spark, sf_dir):
         F.col("o_custkey").alias("c2"),
         F.col("o_orderdate").alias("d2"),
     )
+    # Broadcast the side that FITS (guide §3.1, r11): the probe is the
+    # bounded l_orderkey<100 line set (~700 rows at any SF); orders is
+    # the table that GROWS. The old shape broadcast full orders twice —
+    # a driver collect of the fact table, fatal at scale. Now the probe
+    # (then the probe⋈o1 intermediate, still probe-sized) is the build
+    # side and orders streams map-side with zero exchange.
     j = (
-        li.join(F.broadcast(o1), li.l_orderkey == F.col("k1"))
-        .join(F.broadcast(o2), (F.col("c2") == F.col("c1")) & (F.col("d2") <= F.col("l_shipdate")))
+        F.broadcast(li).join(o1, li.l_orderkey == F.col("k1"))
+    )
+    j = F.broadcast(j).join(
+        o2, (F.col("c2") == F.col("c1")) & (F.col("d2") <= F.col("l_shipdate"))
     )
     w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
         F.desc("d2"), F.desc("asof_orderkey")
@@ -7572,14 +7588,15 @@ def asof_next_order_within_30d(spark, sf_dir):
         F.col("o_custkey").alias("c2"),
         F.col("o_orderdate").alias("d2"),
     )
-    j = (
-        li.join(F.broadcast(o1), li.l_orderkey == F.col("k1"))
-        .join(
-            F.broadcast(o2),
-            (F.col("c2") == F.col("c1"))
-            & (F.col("d2") > F.col("l_shipdate"))
-            & (F.col("d2") <= F.col("l_shipdate") + F.expr("INTERVAL 30 DAY")),
-        )
+    # Probe-sized build sides, orders streams (guide §3.1, r11 — same
+    # fix as asof_latest_order_at_shipdate: the old shape broadcast
+    # full orders twice).
+    j = F.broadcast(li).join(o1, li.l_orderkey == F.col("k1"))
+    j = F.broadcast(j).join(
+        o2,
+        (F.col("c2") == F.col("c1"))
+        & (F.col("d2") > F.col("l_shipdate"))
+        & (F.col("d2") <= F.col("l_shipdate") + F.expr("INTERVAL 30 DAY")),
     )
     w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
         F.asc("d2"), F.asc("next_orderkey")
