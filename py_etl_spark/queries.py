@@ -799,12 +799,24 @@ def a2_watermark_running_max(spark, sf_dir):
     note="A3/W1: last-writer-wins per key via ordered window",
 )
 def a3_last_writer_wins(spark, sf_dir):
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    # max(struct) instead of a row_number window (r11, guide §2.3):
+    # lexicographic struct max IS the (desc ts, desc event_id) winner
+    # with its payload attached — the agg gets map-side partial combine
+    # and no per-partition sort of the full event stream. Equivalent
+    # because event_id makes (ts, event_id) unique per key.
     return (
         _t(spark, sf_dir, "events")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "event_type", F.round("value", 2).alias("value"))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct("ts", "event_id", "event_type", "value")
+            ).alias("__m")
+        )
+        .select(
+            "user_id",
+            F.col("__m.event_type").alias("event_type"),
+            F.round("__m.value", 2).alias("value"),
+        )
     )
 
 
@@ -1110,11 +1122,27 @@ def cdc_merge_scd1(spark, sf_dir):
         F.col("c_mktsegment").alias("segment"),
         F.round("c_acctbal", 2).alias("acctbal"),
     )
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    # Latest-event-per-key as max(struct(ts, event_id, payload)) instead
+    # of a row_number window (r11, guide §2.3): struct comparison is
+    # lexicographic, so the max struct IS the (desc ts, desc event_id)
+    # winner with its payload attached — same row the rn=1 filter
+    # picked, pinned by the oracle's row_number spelling. The agg gets
+    # map-side partial combine (the exchange carries per-task key
+    # partials, not every event) and a hash aggregate replaces the
+    # window's per-partition SORT of the full event stream.
     latest = (
         _t(spark, sf_dir, "events")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct("ts", "event_id", "event_type", "value")
+            ).alias("__m")
+        )
+        .select(
+            "user_id",
+            F.col("__m.event_type").alias("event_type"),
+            F.col("__m.value").alias("value"),
+        )
     )
     # Change rows carry only the columns they modify; name/segment ride along
     # from state via the merge's column-wise coalesce.
@@ -1163,11 +1191,21 @@ def cdc_tombstone_lifecycle(spark, sf_dir):
         F.lit("OK").alias("status"),
         F.lit(None).cast("string").alias("deleted"),
     )
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    # max(struct) latest-per-key — same rewrite as cdc_merge_scd1 above
+    # (guide §2.3: map-side partial combine, no full event sort)
     latest = (
         _t(spark, sf_dir, "events")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct("ts", "event_id", "event_type", "value")
+            ).alias("__m")
+        )
+        .select(
+            "user_id",
+            F.col("__m.event_type").alias("event_type"),
+            F.col("__m.value").alias("value"),
+        )
     )
     changes = latest.join(state, latest.user_id == state.uid, "inner").select(
         "uid",
@@ -1466,14 +1504,17 @@ def scd2_apply_incremental(spark, sf_dir):
         tracked=["event_type"],
         tie_breakers=["event_id"],
     )
-    w = Window.partitionBy("user_id").orderBy(
-        F.desc("ts"), F.desc("event_id")
-    )
+    # max(struct) latest-per-key — same rewrite as cdc_merge_scd1
+    # (guide §2.3: map-side partial combine, no full event sort)
     batch = (
         ev.filter(F.col("ts") >= cutoff)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("user_id", "ts", "event_type")
+        .groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id", "event_type")).alias("__m"))
+        .select(
+            "user_id",
+            F.col("__m.ts").alias("ts"),
+            F.col("__m.event_type").alias("event_type"),
+        )
     )
     hist = scd2_apply(
         base, batch, keys=["user_id"], ts_col="ts", tracked=["event_type"]
@@ -3599,8 +3640,20 @@ def q2_min_cost_supplier(spark, sf_dir):
         "l_partkey", "l_suppkey",
         (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"),
     )
-    w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
-    best = li.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # argmin-per-group as min(struct(unit_cost, l_suppkey)) instead of a
+    # row_number window (r11, guide §2.3): lexicographic struct min IS
+    # the (unit_cost asc, l_suppkey asc) winner, so the fact-wide window
+    # sort becomes a hash aggregate with map-side partial combine — the
+    # exchange carries one partial per (task, part), not every lineitem.
+    best = (
+        li.groupBy("l_partkey")
+        .agg(F.min(F.struct("unit_cost", "l_suppkey")).alias("__m"))
+        .select(
+            "l_partkey",
+            F.col("__m.unit_cost").alias("unit_cost"),
+            F.col("__m.l_suppkey").alias("l_suppkey"),
+        )
+    )
     part = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
     sup = _t(spark, sf_dir, "supplier")
     return (
@@ -8604,60 +8657,88 @@ def rolling_7d_distinct_users_hll(spark, sf_dir):
 # list at 50. Emit the registry in an explicit priority order so the cap
 # lands on queries whose correctness is independently evidenced elsewhere:
 #   _FRONT (r11 rotation, exactly 50 — count pinned by
-#           test_queries_contract): the 7 stalest-window entries
-#           (VERDICT r10 "Next round" item 3) — the 5 whose newest
-#           window-green is r06 (jsonl_roundtrip_documents, deferred
-#           from r10; s1_full_scan_projection; s2_keyset_range_scan;
+#           test_queries_contract), in list order:
+#           (a) the 7 stalest-window entries (VERDICT r10 "Next round"
+#           item 3) — the 5 whose newest window-green is r06
+#           (jsonl_roundtrip_documents, deferred from r10;
+#           s1_full_scan_projection; s2_keyset_range_scan;
 #           skew_salted_join_orders; token_count_bpe) and the 2
-#           declared rows-only entries never re-windowed since
-#           r04/r05 (quality_compression_ratio,
-#           audio_window_features_synthetic — rows-only by declaration,
-#           fronted this once so their evidence is not decade-old);
-#           the 14 queries whose code paths change in r11
-#           (dedup_minhash_lsh + dedup_minhash_portable_small +
+#           declared rows-only entries never re-windowed since r04/r05
+#           (quality_compression_ratio, audio_window_features_synthetic).
+#           (b) 8 whose VALUES or candidate sets changed in r11:
+#           dedup_minhash_lsh + dedup_minhash_portable_small +
 #           dedup_cc_clusters + dedup_keep_canonical — the MinHash
-#           permutation-modulus fix (dedup.PERM_PRIME), VALUES change,
-#           oracles co-migrated; bm25_search_topk + retrieval_rrf_fusion
-#           — the term_count single-char punct guard;
-#           doc_winnow_fingerprints — the xxhash64-lever units touch its
-#           operator; fuzzy_join_part_names + fuzzy_rerank_levenshtein +
-#           semantic_dedup_fixed — the exchange_width() helper replaces
-#           the inline defaultParallelism width at their repartition
-#           sites; quality_score_hashed_linear +
-#           corpus_curation_pipeline — the -0.0 logit normalization;
-#           q2_min_cost_supplier — bit-reproducible float-space round;
-#           q9_product_profit — exact integer-cents profit sum; those
-#           four plus the 16 money-aggregate conversions below are the
-#           r11 sf0.1-sweep divergence fixes and their class-wide
-#           follow-through: every round(sum(double))/round(avg(double))
-#           aggregate moved to the exact scaled-integer idiom
-#           (module-top note) — q1, q3, q5, q6, q7, q8, q10, q11, q14,
-#           q15, q17, q19, q22, agg_incremental_monthly_revenue,
-#           st_tumbling_window_agg, st_session_window_agg (+
-#           token_count_bpe's avg render, already fronted as stalest).
-#           VALUES change at boundary rows, oracles co-migrated);
-#           plus ngram_jaccard_allpairs_small + key_skew_profile_lineitem
-#           + lm_fluency_bits — the lattice-ratio float_round
-#           conversions (functions/numeric.py; fuzzy pair, dq_drift and
-#           hist_quantile carry the same change and are already listed);
-#           and 10 of the 38 r07-green cohort. The other 28 defer to
-#           r12, all redundantly evidenced (byte-exact golden pipeline
-#           coverage, stream-parity units, property pins, or plan-pinned
-#           trivial scans on top of their r07 driver rows):
+#           permutation-modulus fix (dedup.PERM_PRIME), oracles
+#           co-migrated; retrieval_rrf_fusion — term_count guard path;
+#           fuzzy_join_part_names + fuzzy_rerank_levenshtein +
+#           semantic_dedup_fixed — the exchange_width() helper at their
+#           repartition sites. (bm25_search_topk and
+#           doc_winnow_fingerprints, fronted for these same families
+#           mid-round, ceded their slots to the optimization block (f):
+#           the term_count guard only REJECTS invalid terms and the
+#           xxhash64 lever is unit-only — neither changes the plan or
+#           values of the windowed query; both were window-green in r10
+#           at their current shapes.)
+#           (c) 4 r11 sf0.1-sweep divergence fixes (VALUES change at
+#           boundary rows, oracles co-migrated): quality_score_hashed_
+#           linear + corpus_curation_pipeline — the -0.0 logit
+#           normalization; q2_min_cost_supplier — bit-reproducible
+#           float-space round; q9_product_profit — exact integer-cents
+#           profit sum.
+#           (d) the 16 money-aggregate conversions (class-wide
+#           follow-through of (c): every round(sum(double))/
+#           round(avg(double)) aggregate moved to the exact
+#           scaled-integer idiom, module-top note) — q1, q3, q5, q6,
+#           q7, q8, q10, q11, q14, q15, q17, q19, q22,
+#           agg_incremental_monthly_revenue, st_tumbling_window_agg,
+#           st_session_window_agg (+ token_count_bpe's avg render,
+#           already fronted as stalest).
+#           (e) 5 lattice-ratio float_round conversions
+#           (functions/numeric.py): ngram_jaccard_allpairs_small +
+#           key_skew_profile_lineitem + lm_fluency_bits, plus
+#           dq_drift_doc_lengths + hist_quantile_prices (listed after
+#           the money block; the fuzzy pair carries the same change and
+#           is already listed in (b)).
+#           (f) the 10 optimization-pass plan rewrites (values
+#           identical — each proven hash-green at sf0.01+sf0.1 when it
+#           landed; fronted so the driver window re-proves them at the
+#           closing HEAD): pagerank_part_supplier (loop-invariant
+#           checkpoint), quality_rank_ensemble (shared count +
+#           narrow-frame checkpoint), dq_check_star_fks +
+#           dq_check_orders (single-scan folded FK checks),
+#           q4_order_priority_exists (EXISTS→max-pre-agg + pushed
+#           bound), asof_latest_order_at_shipdate (probe-side
+#           broadcast), cdc_merge_scd1 + cdc_tombstone_lifecycle +
+#           a3_last_writer_wins + scd2_apply_incremental
+#           (latest-per-key row_number window → max(struct) hash
+#           aggregate). Two plan-changed queries cede window slots for
+#           the value-changed (e) pair and stay on repo-side evidence
+#           (sf0.01+sf0.1 hash-green runs + updated plan pins):
+#           knn_label_agreement (locally neutral broadcast-side swap,
+#           metadata-sized either way) and asof_next_order_within_30d
+#           (identical change to its fronted sibling).
+#           The rest of the r07-green cohort defers to r12, all
+#           redundantly evidenced (byte-exact golden pipeline coverage,
+#           stream-parity units, property pins, or plan-pinned trivial
+#           scans on top of their r07 driver rows): a1_count_by_group,
+#           a2_watermark_running_max, a4_duplicate_key_detection,
+#           a7_pending_work_exists, p4_status_filter,
+#           p6_keyset_semi_join, s3_point_lookup, s4_sorted_limit,
 #           f_string_suite, f_date_number_suite,
 #           j1_snapshot_reconcile_outer, j3_two_key_fallback_join,
 #           p10_validity_routing, s5_csv_roundtrip, s7_scope_scan,
 #           s10_tree_ancestors, p3_rename_convert_projection,
-#           a3_last_writer_wins, a5_partition_boundaries,
-#           cdc_merge_scd1, cdc_tombstone_lifecycle, e1_set_difference,
+#           a5_partition_boundaries, e1_set_difference,
 #           e2_set_intersection, f_hash_fingerprint,
 #           j2_event_entity_lookup, j4_sorted_merge_tree_compare,
 #           j7_anti_join_guard, lang_id_heuristic,
 #           o2_case_insensitive_sort, p12_first_n_per_group,
 #           p5_watermark_filter, w2_retry_escalation,
 #           cm_estimate_heavy_users, kmv_join_size_estimate,
-#           dedup_exact_groups (and st_tumbling_window_agg moved to the
-#           changed block).
+#           dedup_exact_groups (the cohort's a3_last_writer_wins,
+#           cdc_merge_scd1, cdc_tombstone_lifecycle,
+#           st_tumbling_window_agg, dq_drift_doc_lengths and
+#           hist_quantile_prices moved to changed blocks (d)/(e)/(f)).
 #           Changed-path evidence outranks freshness rotation: every
 #           deferred entry stays FULL-gate green each round.
 #   middle: everything r08+-green that isn't prioritized.
@@ -8674,14 +8755,12 @@ _FRONT = [
     "token_count_bpe",
     "quality_compression_ratio",
     "audio_window_features_synthetic",
-    # changed in r11
+    # changed in r11 (value- or plan-affecting code paths)
     "dedup_minhash_lsh",
     "dedup_minhash_portable_small",
     "dedup_cc_clusters",
     "dedup_keep_canonical",
-    "bm25_search_topk",
     "retrieval_rrf_fusion",
-    "doc_winnow_fingerprints",
     "fuzzy_join_part_names",
     "fuzzy_rerank_levenshtein",
     "semantic_dedup_fixed",
@@ -8713,18 +8792,23 @@ _FRONT = [
     "ngram_jaccard_allpairs_small",
     "key_skew_profile_lineitem",
     "lm_fluency_bits",
-    # r07-green cohort (10 of 38; the 28 redundantly-evidenced others
-    # defer to r12 — see the header note)
-    "a1_count_by_group",
-    "a2_watermark_running_max",
-    "a4_duplicate_key_detection",
-    "a7_pending_work_exists",
+    # r11 float_round conversions carried by queries outside the blocks
+    # above (values change at boundary rows — window evidence required)
     "dq_drift_doc_lengths",
     "hist_quantile_prices",
-    "p4_status_filter",
-    "p6_keyset_semi_join",
-    "s3_point_lookup",
-    "s4_sorted_limit",
+    # r11 optimization-pass plan changes (values identical, plans
+    # restructured — guide-driven rewrites, each oracle-verified at
+    # sf0.01+sf0.1 when it landed; the driver window re-proves them)
+    "pagerank_part_supplier",
+    "quality_rank_ensemble",
+    "dq_check_star_fks",
+    "dq_check_orders",
+    "q4_order_priority_exists",
+    "asof_latest_order_at_shipdate",
+    "cdc_merge_scd1",
+    "cdc_tombstone_lifecycle",
+    "a3_last_writer_wins",
+    "scd2_apply_incremental",
 ]
 _TAIL = [
     "token_pmi_pairs",
@@ -8736,8 +8820,6 @@ _TAIL = [
     "vocab_coverage_report",
     "corpus_pack_examples",
     "corpus_assemble_examples",
-    "dq_check_star_fks",
-    "dq_check_orders",
     "json_props_extract",
     "a8_distinct_and_percentile",
     "e5_unpivot_metrics",
@@ -8745,7 +8827,6 @@ _TAIL = [
     "g2_cube",
     "g3_pivot",
     "sessionize_events",
-    "asof_latest_order_at_shipdate",
     "st_hopping_window_agg",
     "trending_event_types_hourly",
     "events_anomaly_days",
@@ -8757,7 +8838,6 @@ _TAIL = [
     "embedding_outlier_scores",
     "scd2_point_in_time_features",
     "split_leakage_report",
-    "asof_next_order_within_30d",
     "feature_bucketize_order_prices",
     "privacy_k_anonymity_report",
     "events_cusum_alarm",

@@ -67,9 +67,20 @@ def test_semi_join_pushes_projection(spark):
 
 def test_cdc_merge_shuffle_budget(spark):
     df = Q.REGISTRY["cdc_merge_scd1"].fn(spark, SF_MED)
-    # latest-per-key window (1) + merge join keyed on uid; broadcast keeps
-    # the rest shuffle-free. Budget: ≤4 exchanges.
+    # latest-per-key agg (1) + merge join keyed on uid; broadcast keeps
+    # the rest shuffle-free. Budget: ≤4 exchanges. r11: latest-per-key is
+    # a max(struct) hash aggregate (map-side partial combine), never a
+    # row_number window sort of the full event stream.
     assert shuffle_count(df) <= 4
+    assert node_count(df, "Window") == 0
+
+
+def test_a3_latest_per_key_is_aggregate_not_window(spark):
+    df = Q.REGISTRY["a3_last_writer_wins"].fn(spark, SF_MED)
+    # r11 rewrite: last-writer-wins = max(struct(ts, event_id, payload))
+    # — one partially-aggregated exchange, no event-stream sort
+    assert node_count(df, "Window") == 0
+    assert shuffle_count(df) <= 1
 
 
 def test_scan_projection_is_codegen(spark):
@@ -111,9 +122,12 @@ def test_q10_topk_is_take_ordered(spark):
 
 def test_q2_argmin_window_is_partitioned(spark):
     df = Q.REGISTRY["q2_min_cost_supplier"].fn(spark, SF_MED)
-    # the argmin window partitions by l_partkey — never exchange-to-one
+    # the argmin partitions by l_partkey — never exchange-to-one; r11:
+    # argmin is min(struct(unit_cost, l_suppkey)) — a hash aggregate
+    # with map-side partial combine, not a fact-wide window sort
     assert single_partition_exchange_count(df) == 0
     assert broadcast_join_count(df) >= 2  # part + supplier dims
+    assert node_count(df, "Window") == 0
 
 
 def test_q4_exists_aggregates_fact_below_join(spark):
