@@ -8301,7 +8301,18 @@ def events_cusum_alarm(spark, sf_dir):
 def stable_row_ids_docs(spark, sf_dir):
     from py_etl_spark.operators.ranking import with_global_position
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    # Checkpoint the NARROW (doc_id, n_chars) frame once (r11, same
+    # pattern as quality_rank_ensemble): with_global_position walks its
+    # input lineage four times (count, boundary sample, bucket counts,
+    # final plan) — against the raw scan that is four parquet passes;
+    # against the 16-byte-row checkpoint it is one scan + three block
+    # reads. Blocks are freed with the frame's RDD by the
+    # ContextCleaner.
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .localCheckpoint(eager=True)
+    )
     # order_cols are VALUE expressions compared ascending (they ride a
     # struct comparison); n_chars DESC ≡ (-n_chars) ASC for these longs
     out = with_global_position(
