@@ -33,6 +33,10 @@ def normalize(plan: str) -> str:
     plan = re.sub(r"/root/testdata/sf[\d.]+", "<sf>", plan)
     plan = re.sub(r"file:[^\s,\]]+", "<path>", plan)
     plan = re.sub(r"MapPartitionsRDD\[\d+\]", "MapPartitionsRDD[x]", plan)
+    # lambda-variable counters (x_4, y_341) are session-global and grow
+    # with every HOF planned before the dump — fold them so a query's
+    # plan text is independent of how many queries the session planned
+    plan = re.sub(r"lambda ([a-z]+)_\d+", r"lambda \1_n", plan)
     # with_global_position bucket boundaries are driver-sampled literals
     # whose values are not stable run-to-run (AQE-dependent sampling
     # input partitioning); fold them so diffs stay structural.
