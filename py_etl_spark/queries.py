@@ -924,7 +924,15 @@ def w2_retry_escalation(spark, sf_dir):
          "exchange-to-one; driver sees only bucket counts.",
 )
 def o2_case_insensitive_sort(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    # Checkpoint the narrow (doc_id, source) frame once (r11, same
+    # pattern as stable_row_ids_docs): with_global_position walks its
+    # input lineage four times (count, boundary sample, bucket counts,
+    # final plan) — against the raw scan that is four parquet passes.
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .localCheckpoint(eager=True)
+    )
     return ranking.with_global_position(
         docs, [F.lower("source"), F.col("doc_id")], position_col="position"
     ).select("doc_id", "source", "position")
@@ -8727,7 +8735,10 @@ def rolling_7d_distinct_users_hll(spark, sf_dir):
 #           (sf0.01+sf0.1 hash-green runs + updated plan pins):
 #           knn_label_agreement (locally neutral broadcast-side swap,
 #           metadata-sized either way) and asof_next_order_within_30d
-#           (identical change to its fronted sibling).
+#           (identical change to its fronted sibling); likewise
+#           o2_case_insensitive_sort (third-session narrow-frame
+#           checkpoint, values identical, hash-green at sf0.01+sf0.1
+#           with its plan pin and plans/r11 pair).
 #           The rest of the r07-green cohort defers to r12, all
 #           redundantly evidenced (byte-exact golden pipeline coverage,
 #           stream-parity units, property pins, or plan-pinned trivial
