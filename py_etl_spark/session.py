@@ -48,6 +48,22 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # Production levers, measured r11 (OPTIMIZATION_r11.md "Config
+        # levers"): zstd shuffle/spill compression (guide §2.3/§9) and
+        # shuffled-hash-join preference (guide §3.1/§9). Local defaults
+        # = Spark defaults so the driver's bench stays comparable; at
+        # 100 TB (NIC-bound shuffles, §1.3 napkin math) set
+        # SPARK_GRAFT_IO_CODEC=zstd — the interleaved sf10 A/B measured
+        # it -12% on the spill-heavy aggregate and neutral elsewhere
+        # locally, where shuffle never crosses a NIC.
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "true"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Some sources write TIMESTAMP(NANOS) parquet, which Spark's reader
         # rejects; read as raw nanos long and let loaders convert to µs.
