@@ -285,3 +285,12 @@ def test_norm_tokens_matches_contract_spelling(spark, texts):
     con.close()
     assert rows[len(texts) - 4] == [""]  # ' \t\n' -> [''] (r09 contract)
     assert rows[len(texts) - 5] == [""]  # '!!! ?? ..' -> ['']
+
+
+def test_session_lever_defaults_are_spark_defaults(spark):
+    """The r11 production levers (SPARK_GRAFT_IO_CODEC /
+    SPARK_GRAFT_PREFER_SMJ) must default to Spark's own defaults so the
+    driver's bench stays protocol-comparable across rounds; flipping a
+    default is a measured, documented decision, not a drive-by."""
+    assert spark.conf.get("spark.io.compression.codec") == "lz4"
+    assert spark.conf.get("spark.sql.join.preferSortMergeJoin") == "true"
