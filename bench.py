@@ -820,6 +820,33 @@ def _gate_on_quiet(max_load: float, wait_s: int) -> dict:
     }
 
 
+def _free_leaked_storage(spark) -> None:
+    """Drop storage blocks left behind by the query that just finished.
+
+    Several queries eagerly ``localCheckpoint`` a narrow invariant frame
+    (o2, stable_row_ids, quality_rank, lm_fluency, pagerank adjacency);
+    the blocks are only reclaimed when the Python frame is GC'd (py4j
+    finalizer → ContextCleaner), so over a 101-query sweep they pile up
+    in executor storage and inflate LATER queries — the session-state-
+    inflation mechanism SCALING §10/§11 kept adjudicating against fresh
+    anchors (ADVICE r11). Runs BETWEEN queries, outside every timed
+    region: nothing a finished query produced is ever reused (each rep
+    rebuilds from parquet), so this removes no legitimate caching and is
+    measurement hygiene, not methodology change.
+    """
+    import gc
+
+    gc.collect()  # drop py4j refs so the JVM sees the RDDs as unreferenced
+    try:
+        jsc = spark.sparkContext._jsc
+        for rdd_id in list(jsc.getPersistentRDDs().keySet().toArray()):
+            jvm_rdd = jsc.getPersistentRDDs().get(rdd_id)
+            if jvm_rdd is not None:
+                jvm_rdd.rdd().unpersist(False)
+    except Exception:
+        pass  # hygiene only — never fail a bench block over cleanup
+
+
 def _run_block(
     qs, names, sf_dir: str, reps: int, spark, skew=None,
     stable_ratio: float = 1.3, extra_reps: int = 4, meta=None,
@@ -871,6 +898,7 @@ def _run_block(
                 break
         mins[name] = round(min(samples), 3)
         medians[name] = round(statistics.median(samples), 3)
+        _free_leaked_storage(spark)
         if meta is not None:
             s = sorted(samples)
             best = samples.index(min(samples))

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import py_etl_spark.queries as Q
 from tests.conftest import SF_SMALL
 
@@ -291,6 +293,21 @@ def test_session_lever_defaults_are_spark_defaults(spark):
     """The r11 production levers (SPARK_GRAFT_IO_CODEC /
     SPARK_GRAFT_PREFER_SMJ) must default to Spark's own defaults so the
     driver's bench stays protocol-comparable across rounds; flipping a
-    default is a measured, documented decision, not a drive-by."""
+    default is a measured, documented decision, not a drive-by.
+
+    The pin guards the DEFAULT code path only: when the suite itself runs
+    under a lever (e.g. SPARK_GRAFT_IO_CODEC=zstd, the documented
+    production value), the session-scoped fixture legitimately inherits
+    it — skip rather than forbid lever use during test runs (ADVICE r11).
+    """
+    import os
+
+    levers = {
+        k: v
+        for k, v in os.environ.items()
+        if k in ("SPARK_GRAFT_IO_CODEC", "SPARK_GRAFT_PREFER_SMJ")
+    }
+    if levers:
+        pytest.skip(f"session levers set in environment: {levers}")
     assert spark.conf.get("spark.io.compression.codec") == "lz4"
     assert spark.conf.get("spark.sql.join.preferSortMergeJoin") == "true"
