@@ -132,26 +132,64 @@ def _shingles(text_col: str, k: int = 3) -> F.Column:
 def exploded_shingles(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
-    """(id, shingle) rows via posexplode + window lead — fully codegen'd.
+    """(id, shingle) rows, fully MAP-SIDE: k whole-array slices zipped
+    and exploded (the lm._pairs idiom, generalized to k).
 
-    Per-element array HOFs (transform+slice) are interpreted and ~8× slower
-    at corpus scale; the window shuffle is on id and combines with the
-    downstream signature aggregation's shuffle."""
-    from pyspark.sql import Window as W
+    r12 (guide §2.3/§2.4): the r09–r11 shape was posexplode + a doc-keyed
+    lead window — one exchange AND a per-doc sort of the ENTIRE TOKEN
+    STREAM (~corpus bytes on the wire) before any shingle exists; SCALING
+    §11 attributed 46% of minhash sf10 cost to it. Slicing the token
+    array k ways at the top level and zipping is all codegen'd JVM
+    (Slice/ArraysZip/Generate — NOT the per-element interpreted
+    transform+slice HOF that r09 measured 8× slower), produces the
+    identical shingle multiset in the identical order, and leaves the
+    downstream signature aggregation free to do MAP-SIDE partial
+    aggregation — its exchange then carries per-(task, doc) partials
+    instead of every token.
 
-    ex = df.select(F.col(id_col), F.posexplode(_norm_tokens(text_col)).alias("pos", "tok"))
-    w = W.partitionBy(id_col).orderBy("pos")
-    leads = [F.lead("tok", i).over(w) for i in range(1, k)]
-    n = F.count(F.lit(1)).over(W.partitionBy(id_col))
-    return (
-        ex.select(
-            id_col,
-            "pos",
-            F.concat_ws(" ", "tok", *leads).alias("shingle"),
-            n.alias("__n"),
+    Contract (unchanged, oracle-pinned): docs with ≥ k tokens emit one
+    shingle per window position; docs with 1 ≤ n < k tokens emit exactly
+    one shingle (all tokens joined); NULL text emits nothing.
+    """
+    # Materialize the token array in its own projection: the expensive
+    # tokenizer is referenced k+2 times below, and a separate Project
+    # keeps it evaluated once per row (CollapseProject does not re-inline
+    # non-cheap multiply-referenced aliases).
+    base = df.select(F.col(id_col), _norm_tokens(text_col).alias("__toks"))
+    toks = F.col("__toks")
+    n = F.size(toks)
+    zipped = F.arrays_zip(
+        *[
+            F.slice(toks, i + 1, n - (k - 1)).alias(f"w{i}")
+            for i in range(k)
+        ]
+    )
+    shingle_arr = (
+        F.when(n >= k, zipped)
+        # 1 ≤ n < k: one struct whose fields cover the whole doc (the
+        # concat below skips NULL fields, matching concat_ws over all
+        # tokens); n is NULL for NULL text → neither branch → NULL →
+        # explode emits nothing, same as posexplode of a NULL array.
+        .when(
+            n >= 1,
+            F.array(
+                F.struct(
+                    *[
+                        # try_: index may exceed n here by construction
+                        # (n < k); ANSI element_at would throw
+                        F.try_element_at(toks, F.lit(i + 1)).alias(f"w{i}")
+                        for i in range(k)
+                    ]
+                )
+            ),
         )
-        .filter((F.col("pos") <= F.col("__n") - k) | ((F.col("__n") < k) & (F.col("pos") == 0)))
-        .select(id_col, "shingle")
+    )
+    ex = base.select(F.col(id_col), F.explode(shingle_arr).alias("p"))
+    return ex.select(
+        id_col,
+        F.concat_ws(" ", *[F.col(f"p.w{i}") for i in range(k)]).alias(
+            "shingle"
+        ),
     )
 
 
@@ -300,8 +338,13 @@ def connected_components(
     once at the end as singletons. Converges in O(component diameter)
     iterations; near-dup graphs are unions of small cliques (diameter
     ≲ 2), so the loop exits after 2–3 rounds in practice. Lineage is cut
-    with ``localCheckpoint`` per iteration so the plan stays bounded (on
-    a cluster: ``checkpoint`` against the checkpoint dir).
+    with a LAZY ``localCheckpoint`` per iteration so the plan stays
+    bounded and the convergence-sum job doubles as the materialization
+    job — one driver round trip per iteration (on a cluster:
+    ``checkpoint`` against the checkpoint dir). The first min-round is
+    fused into label initialization (``least(node, min(nbr))`` — exactly
+    what one propagate round over identity labels computes), so
+    ``max_iter`` bounds the rounds AFTER that fused one.
 
     Convergence witness: labels are MONOTONE non-increasing (every
     update is a min), so Σ labels strictly decreases on any effective
@@ -320,7 +363,7 @@ def connected_components(
         edges.select(
             F.col(dst).cast("long").alias("node"), F.col(src).cast("long").alias("nbr")
         )
-    ).repartition(F.col("nbr")).localCheckpoint(eager=True)
+    ).repartition(F.col("nbr")).localCheckpoint(eager=False)
     # ^ materialized once: edges are typically the output of an expensive
     # candidate pipeline (LSH banding); without the checkpoint every
     # iteration's action would re-run that whole lineage. Partitioned by
@@ -336,11 +379,29 @@ def connected_components(
     # one groupBy over ≤2|E| rows + one co-partitioned left join back —
     # a single bounded-by-the-edge-set exchange per iteration; isolated
     # nodes from ``nodes`` are attached once at the end as singletons.
+    #
+    # r12 driver-round-trip pass (guide §5 — the loop's wall at bench
+    # scale was DRIVER job dispatch, build 2.8 s vs exec 0.09 s at
+    # sf0.1, not executor work):
+    # - iteration 1 is FUSED into label initialization: from identity
+    #   labels, one propagate round computes exactly
+    #   least(node, min(nbr)) — so initialize with that directly. The
+    #   label trajectory from here on is bit-identical to the old
+    #   (identity-init + first propagate) sequence, one round earlier.
+    #   (``max_iter`` now counts rounds AFTER the fused first one; the
+    #   convergence contract is unchanged because the budget grew by
+    #   exactly the round that init absorbed.)
+    # - every localCheckpoint is LAZY (eager=False): the lineage is
+    #   truncated immediately, and the convergence-witness sum job
+    #   below doubles as the materialization job — one driver round
+    #   trip per iteration instead of two (and the candidate pipeline
+    #   behind ``edges`` still executes exactly once, now inside the
+    #   first sum job rather than a separate eager checkpoint job).
     labels = (
-        und.select("node")
-        .distinct()
-        .select("node", F.col("node").alias("label"))
-        .localCheckpoint(eager=True)
+        und.groupBy("node")
+        .agg(F.min("nbr").alias("__nl"))
+        .select("node", F.least("node", F.col("__nl")).alias("label"))
+        .localCheckpoint(eager=False)
     )
     # Name-based (USING) joins throughout: labels and und share lineage,
     # and column-expression joins on same-exprId attributes fail Spark's
@@ -367,7 +428,8 @@ def connected_components(
             # least() skips NULLs, so a node whose neighbours are all
             # higher-labelled (or absent) keeps its own label
             .select("node", F.least("label", "nl").alias("label"))
-            .localCheckpoint(eager=True)
+            # lazy: label_sum's one job materializes the blocks (r12)
+            .localCheckpoint(eager=False)
         )
 
     def finish(lbl: DataFrame) -> DataFrame:
@@ -563,26 +625,28 @@ def segment_dedup(
     removed from EVERY document; the survivors are re-joined in original
     order. Output: ``(id_col, n_segments, n_kept, text_dedup)``.
 
-    Plan (2 shuffles — the semantic minimum for "count globally, then
-    reassemble per doc"):
+    Plan (r12 shape):
       1. segmentation is map-side (whitespace split → explode block index
          → slice), memory bounded by the largest single document;
-      2. the corpus-wide occurrence count is a window over the segment
-         text — ONE shuffle keyed on the segment, with per-row counts
-         attached in place (an agg+join-back would spend a second shuffle
-         on the same key);
-      3. reassembly groups by doc id — the second shuffle — collecting
-         surviving ``(seg_idx, seg)`` structs and re-joining in index
-         order; duplicated segments are dropped by the collect's
-         null-skip, so kept/total counts ride the same aggregate.
-    At 100 TB the window key can be swapped for ``md5(seg)`` to sort
-    16-byte fingerprints instead of raw strings; the shuffle payload
-    (which must carry the segment text for reassembly either way) is
-    unchanged, so this keeps the portable plain-text key the DuckDB
-    oracle can reproduce verbatim.
+      2. the corpus-wide occurrence count is a map-side-combined
+         ``groupBy(seg)`` whose exchange carries one (seg, n) partial
+         per task; only segments with occ > ``max_occurrences`` (the
+         duplicated set — boilerplate-scale, far below the corpus)
+         survive into a LEFT join against the payload, which AQE
+         converts to broadcast-hash when the set fits (r11's q5 rule:
+         AQE owns the data-dependent broadcast decision);
+      3. reassembly groups by doc id — the one unavoidable payload
+         shuffle — collecting surviving ``(seg_idx, seg)`` structs and
+         re-joining in index order; duplicated segments are dropped by
+         the collect's null-skip, so kept/total counts ride the same
+         aggregate.
+    vs the r02–r11 window-over-seg shape this removes the payload's
+    second full exchange-and-SORT by the segment string; the join
+    attaches the same membership bit with a hash probe. At 100 TB the
+    count key can be swapped for ``md5(seg)`` to aggregate 16-byte
+    fingerprints instead of raw strings; the plain-text key stays the
+    portable spelling the DuckDB oracle reproduces verbatim.
     """
-    from pyspark.sql import Window as W
-
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     n_segs = F.ceil(F.size(toks) / F.lit(float(segment_words))).cast("int")
     segs = (
@@ -607,10 +671,29 @@ def segment_dedup(
         )
         .filter(F.col("seg") != "")
     )
-    occ = F.count(F.lit(1)).over(W.partitionBy("seg"))
-    kept = F.when(F.col("__occ") <= max_occurrences, F.struct("seg_idx", "seg"))
+    # r12 (guide §2.3 "aggregate before you shuffle" + §3.2 semi-join
+    # pruning): the corpus-wide count was a WINDOW over the segment text
+    # — the full (doc, idx, seg) payload exchanged AND sorted by the
+    # segment string just to attach a count. Only membership in the
+    # DUPLICATED set (occ > max_occurrences) matters downstream, so:
+    # count per segment with map-side partial aggregation (the exchange
+    # carries one (seg, n) partial per task, not every row), keep the
+    # heavy hitters, and LEFT-join the payload against that set. The
+    # duplicated-segment set is orders of magnitude smaller than the
+    # corpus (boilerplate, not content) — AQE sizes it at runtime and
+    # converts the join to broadcast-hash when it fits (the q5 lesson:
+    # AQE owns that decision; a static broadcast hint of a side that
+    # grows with the corpus is the §3.1 anti-pattern). The payload's
+    # seg-keyed sort is gone either way — the join is hash, not window.
+    dups = (
+        segs.groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("__occ"))
+        .filter(F.col("__occ") > max_occurrences)
+        .select("seg", F.lit(True).alias("__dup"))
+    )
+    kept = F.when(F.col("__dup").isNull(), F.struct("seg_idx", "seg"))
     return (
-        segs.withColumn("__occ", occ)
+        segs.join(dups, "seg", "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_segments"),
@@ -687,10 +770,20 @@ def duplicate_span_mask(
             id_col, F.col("pos").cast("long").alias("start"), "seg"
         )
     )
-    occ = F.count(F.lit(1)).over(W.partitionBy("seg"))
-    covered = (
-        spans.withColumn("__occ", occ)
+    # r12 (same rewrite as segment_dedup, guide §2.3/§3.2): duplicated-
+    # span membership via a map-side-combined groupBy(seg) + inner join
+    # against the (small) duplicated set, instead of windowing the full
+    # span payload over the seg key (which exchanged AND sorted every
+    # span row by its text). AQE broadcasts the dup set at runtime when
+    # it fits.
+    dups = (
+        spans.groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("__occ"))
         .filter(F.col("__occ") > max_occurrences)
+        .select("seg")
+    )
+    covered = (
+        spans.join(dups, "seg")
         .select(
             id_col,
             F.explode(

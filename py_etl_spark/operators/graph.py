@@ -79,15 +79,18 @@ def pagerank_fixed_point(
     enable it for scale-free graphs where one hub's array row would
     OOM the aggregation buffer.
 
-    **EAGER-EXECUTION SIDE EFFECT**: unless ``checkpoint_every=None``,
-    this function RUNS SPARK JOBS AT PLAN-BUILD TIME
-    (``localCheckpoint(eager=True)``) — always for the loop-invariant
-    adjacency/node materialization (r11), plus the in-loop lineage cut
-    every ``checkpoint_every`` iterations. Plan-audit / ``explain`` /
-    dry-run consumers MUST pass ``checkpoint_every=None`` (pure-lazy
-    plan). On a real cluster prefer ``checkpoint`` against a checkpoint
-    dir for executor-loss resilience; the truncation economics are
-    identical.
+    Unless ``checkpoint_every=None``, loop invariants (the grouped
+    adjacency and node set, r11) and the in-loop lineage cut every
+    ``checkpoint_every`` iterations use ``localCheckpoint`` — LAZY
+    since r12: no jobs run at plan-build time any more; the blocks
+    materialize once inside the first action over the result, and the
+    lineage (hence the bounded per-iteration plan and the preserved
+    hash-partitioning) truncates immediately at build. Plan-audit /
+    ``explain`` / dry-run consumers still pass ``checkpoint_every=None``
+    for a checkpoint-free plan. localCheckpoint is non-reliable
+    storage: on a real cluster prefer ``checkpoint`` against a
+    checkpoint dir for executor-loss resilience; the truncation
+    economics are identical.
     """
     d_micro = int(round(damping * MICRO))
     init = MICRO
@@ -183,9 +186,12 @@ def pagerank_fixed_point(
     # ``checkpoint`` against a checkpoint dir has the same economics
     # plus executor-loss resilience.
     if checkpoint_every is not None:
-        adjg = adjg.localCheckpoint(eager=True)
+        # lazy (r12): lineage truncates immediately; the blocks
+        # materialize inside the first downstream job instead of a
+        # separate eager driver round trip per invariant
+        adjg = adjg.localCheckpoint(eager=False)
         if flat_src is not None:
-            flat_src = flat_src.localCheckpoint(eager=True)
+            flat_src = flat_src.localCheckpoint(eager=False)
         srcs = adjg.select("node")
         dsts = adjg.select(F.explode("__dsts").alias("node"))
         if flat_src is not None:
@@ -194,7 +200,7 @@ def pagerank_fixed_point(
                 flat_src.select(F.col("__dst").alias("node"))
             )
         nodes = srcs.unionByName(dsts).distinct().localCheckpoint(
-            eager=True
+            eager=False
         )
     else:
         nodes = (
@@ -239,5 +245,5 @@ def pagerank_fixed_point(
         if checkpoint_every and (it + 1) % checkpoint_every == 0 and (
             it + 1
         ) < iterations:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks

@@ -113,13 +113,141 @@ def with_global_position(
     for row in sorted(counts, key=lambda r: r["__pid"]):
         offsets.append((row["__pid"], acc))
         acc += row["__cnt"]
-    off_df = df.sparkSession.createDataFrame(offsets, "__pid INT, __off BIGINT")
-
-    return (
-        local.join(F.broadcast(off_df), "__pid")
-        .withColumn(position_col, (F.col("__off") + F.col("__local")).cast("long"))
-        .drop("__pid", "__key", "__local", "__off")
+    # Offsets attach as a ≤ num_buckets-entry literal map lookup (r12) —
+    # same values the old broadcast-join-back produced, with no join in
+    # the plan at all.
+    off_map = F.create_map(
+        *[
+            c
+            for pid_v, off_v in offsets
+            for c in (F.lit(pid_v), F.lit(off_v).cast("long"))
+        ]
     )
+    return (
+        local.withColumn(
+            position_col,
+            (off_map[F.col("__pid")] + F.col("__local")).cast("long"),
+        )
+        .drop("__pid", "__key", "__local")
+    )
+
+
+def with_global_positions(
+    df: DataFrame,
+    rankings: list[tuple[str, list[Column]]],
+    num_buckets: int = 32,
+    sample_per_bucket: int = 200,
+    seed: int = 42,
+    n: int | None = None,
+) -> DataFrame:
+    """SEVERAL exact global ranks over the same rows, driver-fused (r12).
+
+    ``rankings``: list of ``(position_col, order_cols)``. Produces the
+    bit-identical positions of calling :func:`with_global_position` once
+    per ranking (exact ranks are invariant to bucketing), but the driver
+    round-trips collapse from ``3 × len(rankings)`` jobs to at most 3
+    TOTAL (guide §5 — at bench scale the driver dispatch, not the
+    executors, was the wall for the rank-ensemble query):
+
+    1. one ``count()`` (skipped when ``n`` is given) — doubles as the
+       materialization job when ``df`` is a lazy localCheckpoint;
+    2. ONE boundary-sample job collecting every ranking's sort key from
+       the same sampled rows;
+    3. ONE bucket-count job — each ranking's bucket histogram rides a
+       single exploded (ranking, bucket) aggregate.
+
+    The final plan chains one per-bucket ``row_number`` window per
+    ranking over ONE pass of ``df`` (no self-joins to re-assemble
+    per-ranking frames), attaching offsets as literal map lookups.
+    """
+    keys = [(pc, _key_struct(cols)) for pc, cols in rankings]
+    tagged = df.select(
+        "*", *[k.alias(f"__key_{pc}") for pc, k in keys]
+    )
+    if n is None:
+        n = tagged.count()
+    if n == 0:
+        out = df
+        for pc, _ in rankings:
+            out = out.withColumn(pc, F.lit(None).cast("long"))
+        return out
+
+    target = num_buckets * sample_per_bucket
+    fraction = min(1.0, target / n)
+    sampled_rows = (
+        tagged.select(*[f"__key_{pc}" for pc, _ in keys])
+        .sample(fraction, seed=seed)
+        .collect()
+    )
+
+    def boundaries_of(pc: str) -> list[tuple]:
+        sampled = sorted(r[f"__key_{pc}"] for r in sampled_rows)
+        bs: list[tuple] = []
+        if sampled and num_buckets > 1:
+            step = len(sampled) / num_buckets
+            seen = set()
+            for i in range(1, num_buckets):
+                b = tuple(sampled[min(int(i * step), len(sampled) - 1)])
+                if b not in seen:
+                    seen.add(b)
+                    bs.append(b)
+        return bs
+
+    pid_cols = {}
+    for pc, _ in keys:
+        pid = F.lit(0)
+        for b in boundaries_of(pc):
+            pid = pid + F.when(
+                F.col(f"__key_{pc}") > _lit_struct(b), 1
+            ).otherwise(0)
+        pid_cols[pc] = pid
+    bucketed = tagged.select(
+        "*", *[pid_cols[pc].alias(f"__pid_{pc}") for pc, _ in keys]
+    )
+
+    # ONE job for every ranking's bucket histogram: explode to
+    # (ranking_index, pid) pairs — ≤ len(rankings)·num_buckets rows of
+    # driver metadata.
+    rp = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("r"), F.col(f"__pid_{pc}").alias("pid")
+                )
+                for i, (pc, _) in enumerate(keys)
+            ]
+        )
+    ).alias("rp")
+    counts = (
+        bucketed.select(rp)
+        .groupBy("rp.r", "rp.pid")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .collect()
+    )
+    out = bucketed
+    for i, (pc, _) in enumerate(keys):
+        offsets, acc = [], 0
+        for row in sorted(
+            (r for r in counts if r["r"] == i), key=lambda r: r["pid"]
+        ):
+            offsets.append((row["pid"], acc))
+            acc += row["__cnt"]
+        off_map = F.create_map(
+            *[
+                c
+                for pid_v, off_v in offsets
+                for c in (F.lit(pid_v), F.lit(off_v).cast("long"))
+            ]
+        )
+        w = Window.partitionBy(f"__pid_{pc}").orderBy(F.col(f"__key_{pc}"))
+        out = out.withColumn(
+            pc,
+            (off_map[F.col(f"__pid_{pc}")] + F.row_number().over(w)).cast(
+                "long"
+            ),
+        )
+    drop = [f"__key_{pc}" for pc, _ in keys] + [f"__pid_{pc}" for pc, _ in keys]
+    return out.drop(*drop)
 
 
 def exact_ntile_boundaries(
@@ -155,7 +283,8 @@ def exact_ntile_boundaries(
     bounds_df = df.sparkSession.createDataFrame(bounds, "position BIGINT, tile BIGINT")
 
     ranked = with_global_position(
-        df.select(order_col), [F.col(order_col)], position_col="position"
+        df.select(order_col), [F.col(order_col)], position_col="position",
+        n=n,  # r12: this function already counted df — one pass, not two
     )
     return (
         ranked.join(F.broadcast(bounds_df), "position")

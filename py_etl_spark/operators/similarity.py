@@ -20,22 +20,51 @@ from pyspark.sql import functions as F
 from py_etl_spark.plans.width import exchange_width
 
 
-def _dot(a, b):
-    return F.aggregate(
+def _dot(a, b, dim: int | None = None):
+    """Dot product in double precision.
+
+    Default: zip_with + aggregate fold — correct for any lengths, but
+    higher-order functions are INTERPRETED (CodegenFallback): every pair
+    allocates a zipped array and folds it element-by-element outside
+    whole-stage codegen. With ``dim`` (r12, guide §1.2 step 2 / §4.1
+    "prefer built-ins with codegen"): a statically unrolled
+    ``0.0 + a[1]·b[1] + … + a[dim]·b[dim]`` — the identical IEEE-754
+    addition sequence the fold runs (acc starts at 0.0, terms in index
+    order, each ``cast(double)·cast(double)``), so values are
+    bit-identical; fully codegen'd, measured ~several× cheaper per pair.
+    Rows where either array's length ≠ dim keep the interpreted fold
+    (per-row guard), so ragged/NULL inputs behave exactly as before.
+    """
+    hof = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-
-
-def _norm(a):
-    return F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+    if not dim:
+        return hof
+    acc = F.lit(0.0)
+    for i in range(1, dim + 1):
+        acc = acc + (
+            F.element_at(a, i).cast("double")
+            * F.element_at(b, i).cast("double")
         )
+    return F.when((F.size(a) == dim) & (F.size(b) == dim), acc).otherwise(hof)
+
+
+def _norm(a, dim: int | None = None):
+    """√Σx² — same unrolled-with-guard treatment as :func:`_dot`."""
+    hof = F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
+    if not dim:
+        return F.sqrt(hof)
+    acc = F.lit(0.0)
+    for i in range(1, dim + 1):
+        x = F.element_at(a, i).cast("double")
+        acc = acc + x * x
+    return F.sqrt(F.when(F.size(a) == dim, acc).otherwise(hof))
 
 
 def _py_norm(vec) -> float:
@@ -62,6 +91,7 @@ def cosine_topk_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int | None = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors of each query vector.
 
@@ -82,17 +112,17 @@ def cosine_topk_bruteforce(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        _norm(F.col(vec_col)).alias("__qn"),
+        _norm(F.col(vec_col), dim).alias("__qn"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        _norm(F.col(vec_col)).alias("__cn"),
+        _norm(F.col(vec_col), dim).alias("__cn"),
     )
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
-        (_dot(F.col("q_vec"), F.col("c_vec"))
+        (_dot(F.col("q_vec"), F.col("c_vec"), dim)
          / (F.col("__qn") * F.col("__cn"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -142,7 +172,7 @@ def hyperplane_lsh_buckets(
     bucket = F.lit(0).cast("long")
     for i, hp in enumerate(hyperplanes):
         plane = F.array(*[F.lit(w) for w in hp])
-        s = _dot(F.col(vec_col), plane)
+        s = _dot(F.col(vec_col), plane, dim)
         bucket = bucket + F.shiftleft(
             F.when(s >= 0, F.lit(1).cast("long")).otherwise(F.lit(0)), i
         )
@@ -168,7 +198,7 @@ def cosine_topk_lsh(
     ).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        _norm(F.col(vec_col)).alias("__qn"),
+        _norm(F.col(vec_col), dim).alias("__qn"),
         "bucket",
     )
     cb = hyperplane_lsh_buckets(
@@ -176,7 +206,7 @@ def cosine_topk_lsh(
     ).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        _norm(F.col(vec_col)).alias("__cn"),
+        _norm(F.col(vec_col), dim).alias("__cn"),
         "bucket",
     )
     # Norms once per input row below the join (see cosine_topk_bruteforce)
@@ -186,7 +216,7 @@ def cosine_topk_lsh(
         "query_id",
         "neighbor_id",
         F.round(
-            _dot(F.col("q_vec"), F.col("c_vec"))
+            _dot(F.col("q_vec"), F.col("c_vec"), dim)
             / (F.col("__qn") * F.col("__cn")),
             6,
         ).alias("cosine"),
@@ -261,10 +291,11 @@ def ivf_topk(
     candidates shuffle once on query_id for the top-k window (rows =
     candidates, bounded by nprobe/k·|corpus| · |queries| ≪ all-pairs).
     """
+    dim = len(centroids[0]) if centroids else None
     c = ivf_assign(corpus, centroids, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        _norm(F.col(vec_col)).alias("__cn"),
+        _norm(F.col(vec_col), dim).alias("__cn"),
         "ivf_cell",
     )
     # Per-query ranked centroid list: array of (−cos, cell) structs sorted
@@ -277,7 +308,7 @@ def ivf_topk(
     entries = []
     for ci, cvec in enumerate(centroids):
         plane = F.array(*[F.lit(x) for x in cvec])
-        s = _dot(F.col("q_vec"), plane) / (
+        s = _dot(F.col("q_vec"), plane, dim) / (
             F.col("__qn") * F.lit(_py_norm(cvec))
         )
         entries.append(
@@ -288,7 +319,7 @@ def ivf_topk(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
-            _norm(F.col(vec_col)).alias("__qn"),
+            _norm(F.col(vec_col), dim).alias("__qn"),
         )
         .select(
             "query_id", "q_vec", "__qn", F.explode(probes).alias("p")
@@ -304,7 +335,7 @@ def ivf_topk(
             "query_id",
             "neighbor_id",
             (
-                _dot(F.col("q_vec"), F.col("c_vec"))
+                _dot(F.col("q_vec"), F.col("c_vec"), dim)
                 / (F.col("__qn") * F.col("__cn"))
             ).alias("cosine"),
         )
@@ -378,14 +409,14 @@ def ivf_assign(
     # centroid norms once on the driver: the k-way argmax costs k dot
     # folds per row instead of 3k (values bit-identical — see _py_norm).
     pre = df.select(
-        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("__vn")
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col), dim).alias("__vn")
     )
     score_cols = []
     neg_inf = F.lit(float("-inf"))
     for cvec in centroids:
         plane = F.array(*[F.lit(x) for x in cvec])
         s = F.try_divide(
-            _dot(F.col(vec_col), plane),
+            _dot(F.col(vec_col), plane, dim),
             F.col("__vn") * F.lit(_py_norm(cvec)),
         )
         score_cols.append(F.coalesce(F.nanvl(s, neg_inf), neg_inf))
@@ -436,15 +467,16 @@ def _ivf_assign_join(
         ],
         "__ci int, __cv array<double>, __cn double",
     )
+    dim = len(centroids[0])
     s = F.nanvl(
         F.try_divide(
-            _dot(F.col(vec_col), F.col("__cv")),
+            _dot(F.col(vec_col), F.col("__cv"), dim),
             F.col("__vn") * F.col("__cn"),
         ),
         F.lit(float("-inf")),
     )
     scored = (
-        df.select(id_col, vec_col, _norm(F.col(vec_col)).alias("__vn"))
+        df.select(id_col, vec_col, _norm(F.col(vec_col), dim).alias("__vn"))
         .crossJoin(F.broadcast(cdf))
         .select(
             id_col,
@@ -523,6 +555,7 @@ def cosine_topk_int8(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int | None = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Top-k cosine candidates scored entirely on int8-quantized vectors —
     the candidate-generation stage quantization buys: 4x less data scanned
@@ -543,19 +576,19 @@ def cosine_topk_int8(
     q = cq.select(
         F.col(id_col).alias("query_id"),
         F.col("q_vec").alias("qq"),
-        _norm(F.col("q_vec")).alias("__qn"),
+        _norm(F.col("q_vec"), dim).alias("__qn"),
     )
     c = cc.select(
         F.col(id_col).alias("neighbor_id"),
         F.col("q_vec").alias("cq"),
-        _norm(F.col("q_vec")).alias("__cn"),
+        _norm(F.col("q_vec"), dim).alias("__cn"),
     )
     scored = c.join(
         F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
     ).select(
         "query_id",
         "neighbor_id",
-        (_dot(F.col("qq"), F.col("cq"))
+        (_dot(F.col("qq"), F.col("cq"), dim)
          / (F.col("__qn") * F.col("__cn"))).alias("cosine_i8"),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -578,6 +611,7 @@ def cosine_topk_twostage(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int | None = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """The production ANN shape: int8 candidate generation (stage 1,
     scans the 4x-smaller quantized vectors) followed by exact float
@@ -590,12 +624,12 @@ def cosine_topk_twostage(
     """
     cands = cosine_topk_int8(
         corpus, queries, k=candidate_k,
-        id_col=id_col, vec_col=vec_col, round_to=None,
+        id_col=id_col, vec_col=vec_col, round_to=None, dim=dim,
     ).select("query_id", "neighbor_id")
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        _norm(F.col(vec_col)).alias("__qn"),
+        _norm(F.col(vec_col), dim).alias("__qn"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
@@ -607,12 +641,12 @@ def cosine_topk_twostage(
     # folds once. Values bit-identical to the per-pair spelling.
     scored = (
         c.join(F.broadcast(cands), "neighbor_id")
-        .withColumn("__cn", _norm(F.col("c_vec")))
+        .withColumn("__cn", _norm(F.col("c_vec"), dim))
         .join(F.broadcast(q), "query_id")
         .select(
             "query_id",
             "neighbor_id",
-            (_dot(F.col("q_vec"), F.col("c_vec"))
+            (_dot(F.col("q_vec"), F.col("c_vec"), dim)
              / (F.col("__qn") * F.col("__cn"))
              ).alias("cosine"),
         )
@@ -686,12 +720,15 @@ def semantic_dedup(
     # re-inlining). zip_with with an array_repeat(norm, dim) ARGUMENT
     # pins once-per-row evaluation; element values are the identical
     # x / norm doubles, so the oracle contract is untouched.
+    sd_dim = len(centroids[0]) if centroids else None
     unit = assigned.select(
         F.col(id_col),
         F.col("ivf_cell"),
         F.zip_with(
             F.col(vec_col),
-            F.array_repeat(_norm(F.col(vec_col)), F.size(F.col(vec_col))),
+            F.array_repeat(
+                _norm(F.col(vec_col), sd_dim), F.size(F.col(vec_col))
+            ),
             lambda x, n: x.cast("double") / n,
         ).alias("__uv"),
     )
@@ -717,7 +754,7 @@ def semantic_dedup(
         F.col(id_col).alias("id_b"), F.col("__uv").alias("ub"),
         F.col("ivf_cell").alias("cell_b"),
     )
-    cos = _dot(F.col("ua"), F.col("ub"))
+    cos = _dot(F.col("ua"), F.col("ub"), sd_dim)
     # Join-strategy routing: the pair join's parallelism under SMJ is
     # the number of DISTINCT cells — fine at the production posture
     # (k ∝ n/c cells), pathological with few centroids (the 4-cell
@@ -1023,6 +1060,7 @@ def hard_negatives(
     vec_col: str = "embedding",
     label_col: str = "label",
     round_to: int | None = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: per query, the
     top-k most-similar vectors with a DIFFERENT label — the pairs that
@@ -1038,13 +1076,13 @@ def hard_negatives(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         F.col(label_col).alias("q_label"),
-        _norm(F.col(vec_col)).alias("__qn"),
+        _norm(F.col(vec_col), dim).alias("__qn"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         F.col(label_col).alias("n_label"),
-        _norm(F.col(vec_col)).alias("__cn"),
+        _norm(F.col(vec_col), dim).alias("__cn"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
@@ -1054,7 +1092,7 @@ def hard_negatives(
             "neighbor_id",
             "n_label",
             (
-                _dot(F.col("q_vec"), F.col("c_vec"))
+                _dot(F.col("q_vec"), F.col("c_vec"), dim)
                 / (F.col("__qn") * F.col("__cn"))
             ).alias("cosine"),
         )

@@ -928,10 +928,23 @@ def o2_case_insensitive_sort(spark, sf_dir):
     # pattern as stable_row_ids_docs): with_global_position walks its
     # input lineage four times (count, boundary sample, bucket counts,
     # final plan) — against the raw scan that is four parquet passes.
+    #
+    # Retention + reliability (ADVICE r11, applies to all 4 eager
+    # localCheckpoint sites in this module): the blocks live until the
+    # Python frame is GC'd (py4j finalizer → ContextCleaner unpersist);
+    # sweep harnesses (bench.py/check_correctness) additionally
+    # unpersist between queries. localCheckpoint is NON-RELIABLE
+    # storage — at the 1000-executor posture an executor loss drops its
+    # blocks and fails the job (no lineage to recompute); for cluster
+    # runs where that matters, set a checkpoint dir and use reliable
+    # checkpoint() on these narrow frames instead (SCALING.md
+    # localCheckpoint discussion).
     docs = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "source")
-        .localCheckpoint(eager=True)
+        # lazy (r12): with_global_position's count() doubles as the
+        # materialization job — one driver round trip, not two
+        .localCheckpoint(eager=False)
     )
     return ranking.with_global_position(
         docs, [F.lower("source"), F.col("doc_id")], position_col="position"
@@ -1875,7 +1888,9 @@ def lm_fluency_bits(spark, sf_dir):
     # narrow (doc_id, toks) frame turns 4 corpus regex passes into 1
     # (r08, measured sf10: 45.9 -> see SCALING.md). Blocks are freed
     # with the frame's RDD by the ContextCleaner.
-    toks = tokenize_docs(docs).localCheckpoint(eager=True)
+    # lazy (r12): the total-token agg below doubles as the
+    # materialization job — one driver round trip, not two
+    toks = tokenize_docs(docs).localCheckpoint(eager=False)
     unigrams, bigrams = train_bigram_lm(toks_df=toks)
     total = unigrams.agg(F.sum("c")).collect()[0][0]
     return lm_score(
@@ -2882,7 +2897,7 @@ def dedup_simhash(spark, sf_dir):
 def ann_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.cosine_topk_bruteforce(emb, queries, k=5)
+    return similarity.cosine_topk_bruteforce(emb, queries, k=5, dim=64)
 
 
 @query(
@@ -2972,7 +2987,7 @@ def _int8_qv_sql() -> str:
 def ann_cosine_topk_int8(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.cosine_topk_int8(
-        emb, emb.filter(F.col("vec_id") < 10), k=5
+        emb, emb.filter(F.col("vec_id") < 10), k=5, dim=64
     )
 
 
@@ -3022,7 +3037,7 @@ def ann_cosine_topk_int8(spark, sf_dir):
 def ann_cosine_topk_twostage(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.cosine_topk_twostage(
-        emb, emb.filter(F.col("vec_id") < 10), k=5, candidate_k=20
+        emb, emb.filter(F.col("vec_id") < 10), k=5, candidate_k=20, dim=64
     )
 
 
@@ -3501,12 +3516,23 @@ def ngram_jaccard_allpairs_small(spark, sf_dir):
 )
 def embedding_near_dup(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
+    # r12: norms fold once per input row below the pair join (the
+    # cosine_topk_bruteforce pattern — a norm's value does not depend on
+    # which row evaluates it, so the cosine doubles are bit-identical to
+    # the per-pair spelling), and dot/norm take the unrolled codegen
+    # path (dim=64 fixture contract, similarity._dot).
     a = emb.filter(F.col("vec_id") < 200).select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        similarity._norm(F.col("embedding"), 64).alias("__na"),
     )
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    cos = similarity._dot(F.col("va"), F.col("vb")) / (
-        similarity._norm(F.col("va")) * similarity._norm(F.col("vb"))
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        similarity._norm(F.col("embedding"), 64).alias("__nb"),
+    )
+    cos = similarity._dot(F.col("va"), F.col("vb"), 64) / (
+        F.col("__na") * F.col("__nb")
     )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
@@ -6990,7 +7016,7 @@ def exact_median_price(spark, sf_dir):
     "row_number, so the naive-window SQL still defines the semantics)",
 )
 def quality_rank_ensemble(spark, sf_dir):
-    from py_etl_spark.operators.ranking import with_global_position
+    from py_etl_spark.operators.ranking import with_global_positions
 
     # Char-class counts as length deltas of a translate-DELETE — the
     # r09 textstats/winnowing lesson: regexp_replace('[^X]','') is a
@@ -7018,22 +7044,29 @@ def quality_rank_ensemble(spark, sf_dir):
     # measured 3.5 s at sf0.1 where one pass is ~0.3 s. The guide-§8
     # rule: decide placement on a lightweight proxy, touch the heavy
     # bytes once.
-    docs = docs.localCheckpoint(eager=True)
+    # lazy (r12): the shared count() below doubles as the
+    # materialization job — one driver round trip, not two
+    docs = docs.localCheckpoint(eager=False)
     n = docs.count()  # shared by all three rankings (metadata-cheap)
 
-    def ranks(col, name):
-        return with_global_position(
-            docs.select("doc_id", col),
-            [(-F.col(col)).alias("neg"), F.col("doc_id")],
-            position_col=name,
-            n=n,
-        ).select("doc_id", name)
-
-    out = (
-        ranks("len_score", "r_len")
-        .join(ranks("ws_score", "r_ws"), "doc_id")
-        .join(ranks("alpha_score", "r_alpha"), "doc_id")
-    )
+    # r12: the three rankings fuse into ONE driver-round-trip family
+    # (ranking.with_global_positions — 1 shared count + 1 sample job +
+    # 1 bucket-count job, was 7 jobs) and ONE final plan pass (three
+    # chained per-bucket windows, no doc_id re-join of three branches).
+    # Positions are exact ranks — bit-identical to the per-ranking
+    # operator by construction.
+    out = with_global_positions(
+        docs,
+        [
+            (name, [(-F.col(col)).alias("neg"), F.col("doc_id")])
+            for col, name in (
+                ("len_score", "r_len"),
+                ("ws_score", "r_ws"),
+                ("alpha_score", "r_alpha"),
+            )
+        ],
+        n=n,
+    ).select("doc_id", "r_len", "r_ws", "r_alpha")
     return out.withColumn(
         "rank_sum", F.col("r_len") + F.col("r_ws") + F.col("r_alpha")
     )
@@ -7277,7 +7310,9 @@ def ann_hard_negatives(spark, sf_dir):
     from py_etl_spark.operators.similarity import hard_negatives
 
     emb = _t(spark, sf_dir, "embeddings")
-    return hard_negatives(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return hard_negatives(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, dim=64
+    )
 
 
 @query(
@@ -7327,7 +7362,7 @@ def ann_hard_negatives(spark, sf_dir):
 def knn_label_agreement(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     topk = similarity.cosine_topk_bruteforce(
-        emb, emb.filter(F.col("vec_id") < 50), k=5
+        emb, emb.filter(F.col("vec_id") < 50), k=5, dim=64
     )
     labels = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
@@ -8319,7 +8354,9 @@ def stable_row_ids_docs(spark, sf_dir):
     docs = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "n_chars")
-        .localCheckpoint(eager=True)
+        # lazy (r12): with_global_position's count() doubles as the
+        # materialization job — one driver round trip, not two
+        .localCheckpoint(eager=False)
     )
     # order_cols are VALUE expressions compared ascending (they ride a
     # struct comparison); n_chars DESC ≡ (-n_chars) ASC for these longs
@@ -8348,10 +8385,12 @@ def stable_row_ids_docs(spark, sf_dir):
 def retrieval_rrf_fusion(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10)
-    dense = similarity.cosine_topk_bruteforce(emb, probes, k=5).select(
+    dense = similarity.cosine_topk_bruteforce(
+        emb, probes, k=5, dim=64
+    ).select(
         "query_id", "neighbor_id", F.col("rank").alias("r_dense")
     )
-    quant = similarity.cosine_topk_int8(emb, probes, k=5).select(
+    quant = similarity.cosine_topk_int8(emb, probes, k=5, dim=64).select(
         F.col("query_id").alias("q2"),
         F.col("neighbor_id").alias("n2"),
         F.col("rank").alias("r_quant"),
