@@ -51,6 +51,39 @@ def _dot(a, b, dim: int | None = None):
     return F.when((F.size(a) == dim) & (F.size(b) == dim), acc).otherwise(hof)
 
 
+def _dot_coeffs(vec, coeffs: list[float]):
+    """Dot of a VECTOR COLUMN against CONSTANT coefficients, unrolled
+    with scalar literals: ``0.0 + vec[1]·c₁ + … + vec[dim]·c_dim``.
+
+    The generic ``_dot(vec, F.array(*lits), dim)`` unroll would embed a
+    COPY of the 64-literal CreateArray tree inside every element_at term
+    (64 × 64 literal nodes per dot — measured as multi-second Catalyst
+    build time and a slower interpreted stage on the ivf/semantic-dedup
+    paths); scalar literals keep the term at two nodes. Values are
+    bit-identical to the fold (same IEEE order; each element cast to
+    double then multiplied by the same double literal). Rows whose
+    vector length ≠ len(coeffs) fall back to the interpreted fold
+    against the literal array — the exact pre-r12 semantics.
+    """
+    dim = len(coeffs)
+    acc = F.lit(0.0)
+    for i in range(1, dim + 1):
+        acc = acc + (
+            F.element_at(vec, i).cast("double")
+            * F.lit(float(coeffs[i - 1]))
+        )
+    hof = F.aggregate(
+        F.zip_with(
+            vec,
+            F.array(*[F.lit(float(c)) for c in coeffs]),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc_, v: acc_ + v,
+    )
+    return F.when(F.size(vec) == dim, acc).otherwise(hof)
+
+
 def _norm(a, dim: int | None = None):
     """√Σx² — same unrolled-with-guard treatment as :func:`_dot`."""
     hof = F.aggregate(
@@ -171,8 +204,7 @@ def hyperplane_lsh_buckets(
     hyperplanes = hyperplane_coords(dim, planes, seed, integer_planes)
     bucket = F.lit(0).cast("long")
     for i, hp in enumerate(hyperplanes):
-        plane = F.array(*[F.lit(w) for w in hp])
-        s = _dot(F.col(vec_col), plane, dim)
+        s = _dot_coeffs(F.col(vec_col), hp)
         bucket = bucket + F.shiftleft(
             F.when(s >= 0, F.lit(1).cast("long")).otherwise(F.lit(0)), i
         )
@@ -307,8 +339,7 @@ def ivf_topk(
     # instead of 3k.
     entries = []
     for ci, cvec in enumerate(centroids):
-        plane = F.array(*[F.lit(x) for x in cvec])
-        s = _dot(F.col("q_vec"), plane, dim) / (
+        s = _dot_coeffs(F.col("q_vec"), cvec) / (
             F.col("__qn") * F.lit(_py_norm(cvec))
         )
         entries.append(
@@ -414,9 +445,8 @@ def ivf_assign(
     score_cols = []
     neg_inf = F.lit(float("-inf"))
     for cvec in centroids:
-        plane = F.array(*[F.lit(x) for x in cvec])
         s = F.try_divide(
-            _dot(F.col(vec_col), plane, dim),
+            _dot_coeffs(F.col(vec_col), cvec),
             F.col("__vn") * F.lit(_py_norm(cvec)),
         )
         score_cols.append(F.coalesce(F.nanvl(s, neg_inf), neg_inf))
